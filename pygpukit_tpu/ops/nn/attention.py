@@ -1,0 +1,180 @@
+"""Attention ops: causal SDPA, flash(chunked) attention, fixed-cache decode.
+
+Reference surface: src/pygpukit/ops/nn/attention.py:16-90 (sdpa_causal,
+sdpa_causal_fixed_cache*) backed by FA3/flash-decoding CUDA kernels
+(native/ops/nn/attention/**). TPU-native design:
+
+* prefill: chunked online-softmax attention expressed in XLA ``lax.scan`` —
+  the flash-attention recurrence (running max + rescaled accumulator) with
+  O(S·chunk) memory instead of O(S²); XLA fuses each chunk's QK^T, masking and
+  PV into MXU-resident loops.
+* decode: fixed-shape attention over a preallocated KV cache with a length
+  mask — the flash-decoding analog; one compiled executable serves every
+  context length (no "outside the graph" step like the reference's
+  m1_graph.py:29-35 needed).
+
+Layouts follow the reference: q/k/v are [seq, heads, head_dim]; GQA supported
+via head-group broadcasting.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ...core.array import Array
+from .._common import apply_op
+
+_F32 = jnp.float32
+_NEG_INF = -1e30
+
+
+def _gqa_expand(k, n_heads_q):
+    """[S,Hk,D] -> [S,Hq,D] by repeating each kv head over its group."""
+    n_kv = k.shape[-2]
+    if n_kv == n_heads_q:
+        return k
+    rep = n_heads_q // n_kv
+    return jnp.repeat(k, rep, axis=-2)
+
+
+def sdpa_causal_fn(q, k, v, scale: float | None = None):
+    """Causal SDPA, [S,H,D] layout. f32 softmax accumulation."""
+    s, h, d = q.shape
+    scale = scale if scale is not None else 1.0 / math.sqrt(d)
+    k = _gqa_expand(k, h)
+    v = _gqa_expand(v, h)
+    qh = jnp.transpose(q, (1, 0, 2)).astype(_F32)       # [H,S,D]
+    kh = jnp.transpose(k, (1, 0, 2)).astype(_F32)
+    vh = jnp.transpose(v, (1, 0, 2)).astype(_F32)
+    scores = jnp.einsum("hqd,hkd->hqk", qh, kh) * scale
+    i = jnp.arange(s)[:, None]
+    j = jnp.arange(s)[None, :]
+    scores = jnp.where(j > i, _NEG_INF, scores)
+    probs = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum("hqk,hkd->hqd", probs, vh)
+    return jnp.transpose(out, (1, 0, 2)).astype(q.dtype)
+
+
+def flash_attention_fn(q, k, v, scale: float | None = None,
+                       chunk_size: int = 512, causal: bool = True):
+    """Online-softmax chunked attention (flash-attention recurrence in XLA).
+
+    Memory O(S·chunk); numerically identical to full softmax (same f32
+    accumulation, running-max rescaling — reference FA3 math,
+    native/ops/nn/attention/fa3 online-softmax).
+    """
+    s, h, d = q.shape
+    scale = scale if scale is not None else 1.0 / math.sqrt(d)
+    k = _gqa_expand(k, h)
+    v = _gqa_expand(v, h)
+    if s <= chunk_size:
+        return sdpa_causal_fn(q, k, v, scale) if causal else _full_attn(q, k, v, scale)
+
+    pad = (-s) % chunk_size
+    sp = s + pad
+    qh = jnp.transpose(q, (1, 0, 2)).astype(_F32)
+    kh = jnp.pad(jnp.transpose(k, (1, 0, 2)).astype(_F32), ((0, 0), (0, pad), (0, 0)))
+    vh = jnp.pad(jnp.transpose(v, (1, 0, 2)).astype(_F32), ((0, 0), (0, pad), (0, 0)))
+    n_chunks = sp // chunk_size
+    kc = kh.reshape(h, n_chunks, chunk_size, d).transpose(1, 0, 2, 3)
+    vc = vh.reshape(h, n_chunks, chunk_size, d).transpose(1, 0, 2, 3)
+    q_idx = jnp.arange(s)[None, :, None]                 # [1,S,1]
+
+    def body(carry, inp):
+        m, l, acc = carry                                # [H,S,1], [H,S,1], [H,S,D]
+        k_blk, v_blk, c_start = inp
+        scores = jnp.einsum("hqd,hkd->hqk", qh, k_blk) * scale
+        kv_idx = c_start + jnp.arange(chunk_size)[None, None, :]
+        mask = kv_idx >= s                                # padding
+        if causal:
+            mask = mask | (kv_idx > q_idx)
+        scores = jnp.where(mask, _NEG_INF, scores)
+        m_new = jnp.maximum(m, jnp.max(scores, axis=-1, keepdims=True))
+        p = jnp.exp(scores - m_new)
+        alpha = jnp.exp(m - m_new)
+        l_new = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        acc_new = acc * alpha + jnp.einsum("hqk,hkd->hqd", p, v_blk)
+        return (m_new, l_new, acc_new), None
+
+    init = (
+        jnp.full((h, s, 1), _NEG_INF, _F32),
+        jnp.zeros((h, s, 1), _F32),
+        jnp.zeros((h, s, d), _F32),
+    )
+    starts = jnp.arange(n_chunks) * chunk_size
+    (m, l, acc), _ = lax.scan(body, init, (kc, vc, starts))
+    out = acc / jnp.maximum(l, 1e-30)
+    return jnp.transpose(out, (1, 0, 2)).astype(q.dtype)
+
+
+def _full_attn(q, k, v, scale):
+    qh = jnp.transpose(q, (1, 0, 2)).astype(_F32)
+    kh = jnp.transpose(k, (1, 0, 2)).astype(_F32)
+    vh = jnp.transpose(v, (1, 0, 2)).astype(_F32)
+    scores = jnp.einsum("hqd,hkd->hqk", qh, kh) * scale
+    out = jnp.einsum("hqk,hkd->hqd", jax.nn.softmax(scores, axis=-1), vh)
+    return jnp.transpose(out, (1, 0, 2)).astype(q.dtype)
+
+
+def sdpa_fixed_cache_fn(q, k_cache, v_cache, ctx_len, scale: float | None = None):
+    """Decode attention over a fixed preallocated cache.
+
+    q: [1,Hq,D] (or [T,Hq,D] for lookahead windows), caches [MAX,Hk,D],
+    ctx_len: valid cache length (traced scalar — one executable serves all
+    lengths; the flash-decoding analog, reference sdpa_causal.inl:481-501).
+    Positions >= ctx_len are masked.
+    """
+    t, h, d = q.shape
+    max_len = k_cache.shape[0]
+    scale = scale if scale is not None else 1.0 / math.sqrt(d)
+    kh = _gqa_expand(k_cache, h)
+    vh = _gqa_expand(v_cache, h)
+    qh = jnp.transpose(q, (1, 0, 2)).astype(_F32)          # [H,T,D]
+    kk = jnp.transpose(kh, (1, 0, 2)).astype(_F32)          # [H,MAX,D]
+    vv = jnp.transpose(vh, (1, 0, 2)).astype(_F32)
+    scores = jnp.einsum("htd,hkd->htk", qh, kk) * scale
+    kv_idx = jnp.arange(max_len)[None, None, :]
+    # query row i (0-based within the lookahead window) attends cache
+    # positions < ctx_len - (t-1) + i
+    q_off = jnp.arange(t)[None, :, None]
+    limit = ctx_len - (t - 1) + q_off
+    scores = jnp.where(kv_idx >= limit, _NEG_INF, scores)
+    probs = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum("htk,hkd->htd", probs, vv)
+    return jnp.transpose(out, (1, 0, 2)).astype(q.dtype)
+
+
+def sdpa_batch_fixed_cache_fn(q, k_cache, v_cache, ctx_lens,
+                              scale: float | None = None):
+    """Batched decode: q [B,1,Hq,D], caches [B,MAX,Hk,D], ctx_lens [B]."""
+    return jax.vmap(sdpa_fixed_cache_fn, in_axes=(0, 0, 0, 0))(
+        q, k_cache, v_cache, ctx_lens)
+
+
+# ---------------------------------------------------------------------------
+# Array-facing wrappers (reference: ops/nn/attention.py:16)
+# ---------------------------------------------------------------------------
+
+def sdpa_causal(q, k, v, scale: float | None = None, *,
+                out: Array | None = None) -> Array:
+    return apply_op(functools.partial(sdpa_causal_fn, scale=scale), q, k, v, out=out)
+
+
+def flash_attention(q, k, v, scale: float | None = None, chunk_size: int = 512,
+                    *, out: Array | None = None) -> Array:
+    return apply_op(
+        functools.partial(flash_attention_fn, scale=scale, chunk_size=chunk_size),
+        q, k, v, out=out)
+
+
+def sdpa_causal_fixed_cache(q, k_cache, v_cache, ctx_len: int,
+                            scale: float | None = None, *,
+                            out: Array | None = None) -> Array:
+    return apply_op(
+        lambda a, b, c: sdpa_fixed_cache_fn(a, b, c, jnp.int32(ctx_len), scale),
+        q, k_cache, v_cache, out=out)

@@ -1,0 +1,184 @@
+"""RoPE family + PoPE + ALiBi (reference: src/pygpukit/ops/nn/rope.py:16-628).
+
+Rotation convention matches the reference (split-half / NeoX style):
+  out[:half] = x[:half]*cos - x[half:]*sin
+  out[half:] = x[half:]*cos + x[:half]*sin
+Tables are [max_seq_len, head_dim] with each half-frequency duplicated into
+even/odd columns (only the first half_dim columns are read by apply), exactly
+like the reference's table layout so loaders can interchange them.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from ...core.array import Array, as_jax, wrap
+
+_F32 = jnp.float32
+
+
+# ---------------------------------------------------------------------------
+# Table initialisation
+# ---------------------------------------------------------------------------
+
+def _tables_from_inv_freq(max_seq_len: int, head_dim: int, inv_freq,
+                          positions=None):
+    if positions is None:
+        positions = jnp.arange(max_seq_len, dtype=_F32)
+    angles = jnp.outer(positions, inv_freq)                    # [S, half]
+    cos_h, sin_h = jnp.cos(angles), jnp.sin(angles)
+    cos = jnp.zeros((max_seq_len, head_dim), _F32)
+    sin = jnp.zeros((max_seq_len, head_dim), _F32)
+    cos = cos.at[:, 0::2].set(cos_h).at[:, 1::2].set(cos_h)
+    sin = sin.at[:, 0::2].set(sin_h).at[:, 1::2].set(sin_h)
+    return cos, sin
+
+
+def _base_inv_freq(head_dim: int, base: float):
+    half = head_dim // 2
+    return 1.0 / (base ** (jnp.arange(half, dtype=_F32) / half))
+
+
+def rope_init(max_seq_len: int, head_dim: int, base: float = 10000.0
+              ) -> tuple[Array, Array]:
+    """Standard RoPE tables."""
+    cos, sin = _tables_from_inv_freq(max_seq_len, head_dim,
+                                     _base_inv_freq(head_dim, base))
+    return wrap(cos), wrap(sin)
+
+
+def rope_init_ntk_aware(max_seq_len: int, head_dim: int, base: float = 10000.0,
+                        scale: float = 1.0) -> tuple[Array, Array]:
+    """NTK-aware: scale the base instead of positions
+    (reference: rope.py:136-207): base' = base * scale^(d/(d-2))."""
+    base_scaled = base * (scale ** (head_dim / max(head_dim - 2, 1)))
+    cos, sin = _tables_from_inv_freq(max_seq_len, head_dim,
+                                     _base_inv_freq(head_dim, base_scaled))
+    return wrap(cos), wrap(sin)
+
+
+def rope_init_yarn(max_seq_len: int, head_dim: int, base: float = 10000.0,
+                   scale: float = 1.0, original_max_len: int = 4096,
+                   beta_fast: float = 32.0, beta_slow: float = 1.0,
+                   mscale: float = 0.1) -> tuple[Array, Array]:
+    """YaRN dimension-wise interpolation (reference: rope.py:209-320):
+    low-frequency dims get full interpolation, high-frequency none, with a
+    smooth ramp between the beta_fast/beta_slow wavelength thresholds."""
+    inv_freq = _base_inv_freq(head_dim, base)
+    wavelengths = 2 * np.pi / inv_freq
+    low_w = original_max_len / beta_slow
+    high_w = original_max_len / beta_fast
+    smooth = jnp.clip((wavelengths - high_w) / (low_w - high_w), 0.0, 1.0)
+    interp = (1 - smooth) * (inv_freq / scale) + smooth * inv_freq
+    cos, sin = _tables_from_inv_freq(max_seq_len, head_dim, interp)
+    return wrap(cos), wrap(sin)
+
+
+def rope_init_linear(max_seq_len: int, head_dim: int, base: float = 10000.0,
+                     scale: float = 1.0) -> tuple[Array, Array]:
+    """Linear position interpolation: pos' = pos / scale (reference: rope.py:321)."""
+    positions = jnp.arange(max_seq_len, dtype=_F32) / scale
+    cos, sin = _tables_from_inv_freq(max_seq_len, head_dim,
+                                     _base_inv_freq(head_dim, base), positions)
+    return wrap(cos), wrap(sin)
+
+
+# ---------------------------------------------------------------------------
+# Application
+# ---------------------------------------------------------------------------
+
+def apply_rope_fn(x, cos, sin):
+    """Rotate [..., S, H, D] (or [S,H,D]) with tables [S, D] (split-half)."""
+    d = x.shape[-1]
+    half = d // 2
+    c = cos[..., :half]            # [S, half]
+    s = sin[..., :half]
+    # broadcast over the heads axis which sits between S and D
+    c = jnp.expand_dims(c, -2)
+    s = jnp.expand_dims(s, -2)
+    x0, x1 = x[..., :half], x[..., half:]
+    xf0, xf1 = x0.astype(_F32), x1.astype(_F32)
+    r0 = xf0 * c - xf1 * s
+    r1 = xf1 * c + xf0 * s
+    return jnp.concatenate([r0, r1], axis=-1).astype(x.dtype)
+
+
+def rope_inplace(q: Array, k: Array, cos, sin) -> None:
+    """Apply RoPE to q [S,Hq,D] and k [S,Hk,D] in place (buffer rebind).
+
+    Matches reference rope_inplace (rope.py:16-47); GQA-compatible.
+    """
+    cj, sj = as_jax(cos), as_jax(sin)
+    qj, kj = as_jax(q), as_jax(k)
+    seq = qj.shape[0]
+    q._set_buffer(apply_rope_fn(qj, cj[:seq], sj[:seq]))
+    k._set_buffer(apply_rope_fn(kj, cj[:seq], sj[:seq]))
+
+
+def rope_inplace_f32table(q: Array, k: Array, cos, sin, start_pos: int = 0) -> None:
+    """Positional-offset variant for incremental decode (reference: rope.py:109)."""
+    cj, sj = as_jax(cos), as_jax(sin)
+    qj, kj = as_jax(q), as_jax(k)
+    seq = qj.shape[0]
+    c = jnp.asarray(cj)[start_pos:start_pos + seq]
+    s = jnp.asarray(sj)[start_pos:start_pos + seq]
+    q._set_buffer(apply_rope_fn(qj, c, s))
+    k._set_buffer(apply_rope_fn(kj, c, s))
+
+
+# ---------------------------------------------------------------------------
+# PoPE — additive sinusoidal positional encoding (reference: rope.py:386-506)
+# ---------------------------------------------------------------------------
+
+def pope_init_encoding(max_seq_len: int, head_dim: int, base: float = 10000.0
+                       ) -> Array:
+    half = head_dim // 2
+    inv_freq = 1.0 / (base ** (jnp.arange(half, dtype=_F32) / half))
+    angles = jnp.outer(jnp.arange(max_seq_len, dtype=_F32), inv_freq)
+    enc = jnp.zeros((max_seq_len, head_dim), _F32)
+    enc = enc.at[:, 0::2].set(jnp.sin(angles)).at[:, 1::2].set(jnp.cos(angles))
+    return wrap(enc)
+
+
+def pope_inplace(q: Array, k: Array, encoding, start_pos: int = 0) -> None:
+    ej = as_jax(encoding)
+    qj, kj = as_jax(q), as_jax(k)
+    seq = qj.shape[0]
+    e = ej[start_pos:start_pos + seq][:, None, :]  # [S,1,D]
+    q._set_buffer((qj.astype(_F32) + e).astype(qj.dtype))
+    k._set_buffer((kj.astype(_F32) + e).astype(kj.dtype))
+
+
+# ---------------------------------------------------------------------------
+# ALiBi (reference: rope.py:507-628)
+# ---------------------------------------------------------------------------
+
+def alibi_init_slopes(num_heads: int) -> Array:
+    slopes = 2.0 ** (-8.0 * (jnp.arange(num_heads, dtype=_F32) + 1) / num_heads)
+    return wrap(slopes)
+
+
+def alibi_bias_fn(seq_len: int, slopes, causal: bool = True):
+    i = jnp.arange(seq_len)[:, None]
+    j = jnp.arange(seq_len)[None, :]
+    dist = (i - j).astype(_F32)
+    bias = -jnp.asarray(slopes)[:, None, None] * dist[None]
+    if causal:
+        bias = jnp.where(j[None] > i[None], -1e9, bias)
+    return bias
+
+
+def alibi_compute_bias(seq_len: int, num_heads: int, slopes,
+                       causal: bool = True) -> Array:
+    return wrap(alibi_bias_fn(seq_len, as_jax(slopes), causal))
+
+
+def alibi_add_bias(scores: Array, slopes) -> Array:
+    """scores [H,S,S] += causal ALiBi bias, in place (buffer rebind)."""
+    sj = as_jax(scores)
+    seq = sj.shape[-1]
+    scores._set_buffer(
+        (sj.astype(_F32) + alibi_bias_fn(seq, as_jax(slopes), causal=False))
+        .astype(sj.dtype))
+    return scores

@@ -1,0 +1,22 @@
+"""Test config: force CPU backend with 8 virtual devices (multi-chip sharding
+tests run on a virtual mesh), Pallas kernels in interpreter mode.
+
+Mirrors the reference's CPUSimulationBackend autouse fixture
+(reference: tests/conftest.py:8-15) — the full suite runs without TPU hardware.
+"""
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True)
+def _cpu_backend():
+    from pygpukit_tpu.core import backend
+    backend.set_backend("cpu")
+    yield
+    backend.reset_backend()
