@@ -1,0 +1,291 @@
+"""Model specs + unified transformer config.
+
+Rebuilds the reference's data-only ModelSpec registry + tensor-name
+auto-detection + TransformerConfig (reference: src/pygpukit/llm/config.py:
+20,95,140,185,393,440). Weight-name templates are the standard HuggingFace
+checkpoint names per architecture family.
+
+Our weight layout convention differs from the reference internally: projection
+matrices are stored [in_features, out_features] so forward passes are
+``x @ W`` with no transpose (HF Linear [out,in] tensors are transposed once at
+load; GPT-2 Conv1D tensors already are [in,out] — the inverse of the
+reference's ``weight_transpose`` flag, same capability).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Literal
+
+
+@dataclass(frozen=True)
+class ModelSpec:
+    """Data-only per-architecture spec: weight-name templates + arch flags."""
+
+    name: str
+
+    # embeddings / head
+    embed_tokens: str = "model.embed_tokens.weight"
+    position_embed: str | None = None
+    lm_head: str | None = "lm_head.weight"
+    final_norm: str = "model.norm.weight"
+    final_norm_bias: str | None = None
+
+    # per-layer attention ({layer} placeholder)
+    attn_norm: str = "model.layers.{layer}.input_layernorm.weight"
+    attn_norm_bias: str | None = None
+    q_proj: str = "model.layers.{layer}.self_attn.q_proj.weight"
+    k_proj: str = "model.layers.{layer}.self_attn.k_proj.weight"
+    v_proj: str = "model.layers.{layer}.self_attn.v_proj.weight"
+    o_proj: str = "model.layers.{layer}.self_attn.o_proj.weight"
+    q_bias: str | None = None
+    k_bias: str | None = None
+    v_bias: str | None = None
+    o_bias: str | None = None
+    q_norm: str | None = None
+    k_norm: str | None = None
+
+    # per-layer mlp
+    mlp_norm: str = "model.layers.{layer}.post_attention_layernorm.weight"
+    mlp_norm_bias: str | None = None
+    fc1: str | None = None          # GELU-style
+    fc1_bias: str | None = None
+    fc2: str | None = None
+    fc2_bias: str | None = None
+    gate_proj: str | None = "model.layers.{layer}.mlp.gate_proj.weight"
+    up_proj: str | None = "model.layers.{layer}.mlp.up_proj.weight"
+    down_proj: str | None = "model.layers.{layer}.mlp.down_proj.weight"
+
+    # MoE ({layer} and {expert} placeholders)
+    moe_gate: str | None = None
+    expert_gate_proj: str | None = None
+    expert_up_proj: str | None = None
+    expert_down_proj: str | None = None
+
+    # architecture flags
+    norm_type: Literal["rmsnorm", "layernorm"] = "rmsnorm"
+    activation: Literal["gelu", "silu"] = "silu"
+    use_rope: bool = True
+    use_qk_norm: bool = False
+    use_position_embed: bool = False
+    qkv_combined: bool = False       # GPT-2 fused c_attn
+    hf_linear_layout: bool = True    # True: HF Linear [out,in] → transpose at load
+    is_moe: bool = False
+
+    default_norm_eps: float = 1e-5
+    default_rope_theta: float = 10000.0
+    hf_model_type: str = ""
+
+
+GPT2_SPEC = ModelSpec(
+    name="gpt2",
+    embed_tokens="wte.weight",
+    position_embed="wpe.weight",
+    lm_head=None,
+    final_norm="ln_f.weight",
+    final_norm_bias="ln_f.bias",
+    attn_norm="h.{layer}.ln_1.weight",
+    attn_norm_bias="h.{layer}.ln_1.bias",
+    q_proj="h.{layer}.attn.c_attn.weight",
+    k_proj="h.{layer}.attn.c_attn.weight",
+    v_proj="h.{layer}.attn.c_attn.weight",
+    o_proj="h.{layer}.attn.c_proj.weight",
+    q_bias="h.{layer}.attn.c_attn.bias",
+    k_bias="h.{layer}.attn.c_attn.bias",
+    v_bias="h.{layer}.attn.c_attn.bias",
+    o_bias="h.{layer}.attn.c_proj.bias",
+    mlp_norm="h.{layer}.ln_2.weight",
+    mlp_norm_bias="h.{layer}.ln_2.bias",
+    fc1="h.{layer}.mlp.c_fc.weight",
+    fc1_bias="h.{layer}.mlp.c_fc.bias",
+    fc2="h.{layer}.mlp.c_proj.weight",
+    fc2_bias="h.{layer}.mlp.c_proj.bias",
+    gate_proj=None, up_proj=None, down_proj=None,
+    norm_type="layernorm",
+    activation="gelu",
+    use_rope=False,
+    use_position_embed=True,
+    qkv_combined=True,
+    hf_linear_layout=False,          # GPT-2 Conv1D already [in,out]
+    default_norm_eps=1e-5,
+    hf_model_type="gpt2",
+)
+
+LLAMA_SPEC = ModelSpec(
+    name="llama",
+    default_norm_eps=1e-5,
+    hf_model_type="llama",
+)
+
+QWEN2_SPEC = ModelSpec(
+    name="qwen2",
+    q_bias="model.layers.{layer}.self_attn.q_proj.bias",
+    k_bias="model.layers.{layer}.self_attn.k_proj.bias",
+    v_bias="model.layers.{layer}.self_attn.v_proj.bias",
+    default_norm_eps=1e-6,
+    default_rope_theta=1000000.0,
+    hf_model_type="qwen2",
+)
+
+QWEN3_SPEC = ModelSpec(
+    name="qwen3",
+    q_norm="model.layers.{layer}.self_attn.q_norm.weight",
+    k_norm="model.layers.{layer}.self_attn.k_norm.weight",
+    use_qk_norm=True,
+    default_norm_eps=1e-6,
+    default_rope_theta=1000000.0,
+    hf_model_type="qwen3",
+)
+
+QWEN3_MOE_SPEC = ModelSpec(
+    name="qwen3_moe",
+    q_norm="model.layers.{layer}.self_attn.q_norm.weight",
+    k_norm="model.layers.{layer}.self_attn.k_norm.weight",
+    use_qk_norm=True,
+    gate_proj=None, up_proj=None, down_proj=None,
+    moe_gate="model.layers.{layer}.mlp.gate.weight",
+    expert_gate_proj="model.layers.{layer}.mlp.experts.{expert}.gate_proj.weight",
+    expert_up_proj="model.layers.{layer}.mlp.experts.{expert}.up_proj.weight",
+    expert_down_proj="model.layers.{layer}.mlp.experts.{expert}.down_proj.weight",
+    is_moe=True,
+    default_norm_eps=1e-6,
+    default_rope_theta=10000000.0,
+    hf_model_type="qwen3_moe",
+)
+
+MIXTRAL_SPEC = ModelSpec(
+    name="mixtral",
+    gate_proj=None, up_proj=None, down_proj=None,
+    moe_gate="model.layers.{layer}.block_sparse_moe.gate.weight",
+    expert_gate_proj="model.layers.{layer}.block_sparse_moe.experts.{expert}.w1.weight",
+    expert_up_proj="model.layers.{layer}.block_sparse_moe.experts.{expert}.w3.weight",
+    expert_down_proj="model.layers.{layer}.block_sparse_moe.experts.{expert}.w2.weight",
+    is_moe=True,
+    default_norm_eps=1e-5,
+    default_rope_theta=1000000.0,
+    hf_model_type="mixtral",
+)
+
+
+MODEL_SPECS: dict[str, ModelSpec] = {
+    s.name: s for s in (
+        GPT2_SPEC, LLAMA_SPEC, QWEN2_SPEC, QWEN3_SPEC, QWEN3_MOE_SPEC,
+        MIXTRAL_SPEC,
+    )
+}
+
+
+def detect_model_spec(tensor_names: list[str]) -> ModelSpec:
+    """Pattern-match architecture from checkpoint tensor names
+    (reference: detect_model_spec, llm/config.py:393)."""
+    names = set(tensor_names)
+    if any("block_sparse_moe" in n for n in names):
+        return MIXTRAL_SPEC
+    has_experts = any("mlp.experts" in n for n in names)
+    has_qk_norm = any(".q_norm." in n or n.endswith("q_norm.weight") for n in names)
+    if has_experts and has_qk_norm:
+        return QWEN3_MOE_SPEC
+    if has_qk_norm:
+        return QWEN3_SPEC
+    if "model.embed_tokens.weight" in names:
+        if "model.layers.0.self_attn.q_proj.bias" in names:
+            return QWEN2_SPEC
+        return LLAMA_SPEC
+    if "wte.weight" in names:
+        return GPT2_SPEC
+    raise ValueError(
+        f"cannot detect model architecture; first names: {sorted(names)[:10]}")
+
+
+@dataclass
+class TransformerConfig:
+    """Unified hyperparameter config (reference: TransformerConfig,
+    llm/config.py:440)."""
+
+    vocab_size: int = 32000
+    hidden_size: int = 2048
+    num_layers: int = 22
+    num_heads: int = 32
+    num_kv_heads: int | None = None
+    intermediate_size: int | None = None
+    head_dim_override: int | None = None
+
+    # MoE
+    num_experts: int | None = None
+    num_experts_per_tok: int = 2
+    moe_intermediate_size: int | None = None
+
+    norm_type: Literal["rmsnorm", "layernorm"] = "rmsnorm"
+    activation: Literal["gelu", "silu"] = "silu"
+    use_rope: bool = True
+    use_qk_norm: bool = False
+    use_position_embed: bool = False
+    causal: bool = True
+
+    max_position_embeddings: int = 2048
+    norm_eps: float = 1e-5
+    rope_theta: float = 10000.0
+    rope_scaling: dict | None = None   # {"type": "yarn"|"linear"|"ntk", ...}
+    tie_word_embeddings: bool = True
+
+    def __post_init__(self):
+        if self.num_kv_heads is None:
+            self.num_kv_heads = self.num_heads
+        if self.intermediate_size is None:
+            self.intermediate_size = 4 * self.hidden_size
+        if self.moe_intermediate_size is None:
+            self.moe_intermediate_size = self.intermediate_size
+
+    @property
+    def head_dim(self) -> int:
+        if self.head_dim_override is not None:
+            return self.head_dim_override
+        return self.hidden_size // self.num_heads
+
+    @property
+    def is_moe(self) -> bool:
+        return self.num_experts is not None and self.num_experts > 1
+
+    @property
+    def num_kv_groups(self) -> int:
+        return self.num_heads // self.num_kv_heads
+
+    @classmethod
+    def from_hf_config(cls, hf: dict, spec: ModelSpec | None = None
+                       ) -> "TransformerConfig":
+        """Build from a HuggingFace config.json dict."""
+        mt = hf.get("model_type", "")
+        if spec is None:
+            spec = MODEL_SPECS.get(mt, LLAMA_SPEC)
+        if mt == "gpt2" or spec.name == "gpt2":
+            return cls(
+                vocab_size=hf.get("vocab_size", 50257),
+                hidden_size=hf.get("n_embd", 768),
+                num_layers=hf.get("n_layer", 12),
+                num_heads=hf.get("n_head", 12),
+                norm_type="layernorm", activation="gelu", use_rope=False,
+                use_position_embed=True,
+                max_position_embeddings=hf.get("n_positions", 1024),
+                norm_eps=hf.get("layer_norm_epsilon", 1e-5),
+            )
+        return cls(
+            vocab_size=hf.get("vocab_size", 32000),
+            hidden_size=hf.get("hidden_size", 2048),
+            num_layers=hf.get("num_hidden_layers", 22),
+            num_heads=hf.get("num_attention_heads", 32),
+            num_kv_heads=hf.get("num_key_value_heads"),
+            intermediate_size=hf.get("intermediate_size"),
+            head_dim_override=hf.get("head_dim"),
+            num_experts=hf.get("num_local_experts", hf.get("num_experts")),
+            num_experts_per_tok=hf.get("num_experts_per_tok", 2),
+            moe_intermediate_size=hf.get("moe_intermediate_size"),
+            norm_type=spec.norm_type,
+            activation=spec.activation,
+            use_rope=spec.use_rope,
+            use_qk_norm=spec.use_qk_norm,
+            max_position_embeddings=hf.get("max_position_embeddings", 2048),
+            norm_eps=hf.get("rms_norm_eps", spec.default_norm_eps),
+            rope_theta=hf.get("rope_theta", spec.default_rope_theta),
+            rope_scaling=hf.get("rope_scaling"),
+            tie_word_embeddings=hf.get("tie_word_embeddings", False),
+        )

@@ -1,0 +1,220 @@
+"""Build models from safetensors checkpoints (reference: src/pygpukit/llm/
+loader.py:63-132 — spec-driven assembly, GPT-2 transpose + fused-QKV split,
+per-arch convenience loaders).
+
+Output is the stacked-pytree layout consumed by model.py: per-layer weights
+stacked on a leading layer axis so the layer loop compiles to ``lax.scan``.
+Projections are stored [in, out] (x @ W); norm weights stay f32.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from pathlib import Path
+
+import jax.numpy as jnp
+import numpy as np
+
+from .config import (
+    MODEL_SPECS, ModelSpec, TransformerConfig, detect_model_spec,
+)
+from .model import CausalTransformerModel
+from .safetensors import load_safetensors
+
+
+def _to_jnp(arr: np.ndarray, dtype) -> jnp.ndarray:
+    return jnp.asarray(np.asarray(arr)).astype(dtype)
+
+
+def _linear(st, name: str, dtype, transpose: bool) -> jnp.ndarray:
+    w = st.tensor_numpy(name)
+    w = np.asarray(w)
+    if transpose:
+        w = w.T
+    return _to_jnp(np.ascontiguousarray(w), dtype)
+
+
+def _find_config_json(path) -> dict | None:
+    p = Path(path)
+    base = p if p.is_dir() else p.parent
+    cj = base / "config.json"
+    if cj.exists():
+        with open(cj) as f:
+            return json.load(f)
+    return None
+
+
+def _infer_config(st, spec: ModelSpec, hf_cfg: dict | None) -> TransformerConfig:
+    if hf_cfg is not None:
+        cfg = TransformerConfig.from_hf_config(hf_cfg, spec)
+        return cfg
+    # heuristic inference from tensor shapes (no config.json)
+    names = st.keys()
+    n_layers = 0
+    probe = spec.attn_norm
+    while probe.format(layer=n_layers) in st:
+        n_layers += 1
+    vocab, hidden = st.tensor_shape(spec.embed_tokens)
+    qn = spec.q_proj.format(layer=0)
+    kn = spec.k_proj.format(layer=0)
+    q_shape = st.tensor_shape(qn)
+    if spec.qkv_combined:
+        num_heads = max(1, hidden // 64)
+        num_kv = num_heads
+    else:
+        q_out = q_shape[0] if spec.hf_linear_layout else q_shape[1]
+        k_out = st.tensor_shape(kn)[0] if spec.hf_linear_layout else st.tensor_shape(kn)[1]
+        head_dim = 64 if hidden % 64 else 64
+        num_heads = q_out // head_dim
+        num_kv = k_out // head_dim
+    inter = None
+    if spec.gate_proj:
+        g = st.tensor_shape(spec.gate_proj.format(layer=0))
+        inter = g[0] if spec.hf_linear_layout else g[1]
+    elif spec.fc1:
+        g = st.tensor_shape(spec.fc1.format(layer=0))
+        inter = g[1] if not spec.hf_linear_layout else g[0]
+    max_pos = 1024
+    if spec.position_embed and spec.position_embed in st:
+        max_pos = st.tensor_shape(spec.position_embed)[0]
+    return TransformerConfig(
+        vocab_size=vocab, hidden_size=hidden, num_layers=n_layers,
+        num_heads=num_heads, num_kv_heads=num_kv, intermediate_size=inter,
+        norm_type=spec.norm_type, activation=spec.activation,
+        use_rope=spec.use_rope, use_qk_norm=spec.use_qk_norm,
+        use_position_embed=spec.use_position_embed,
+        max_position_embeddings=max_pos,
+        norm_eps=spec.default_norm_eps, rope_theta=spec.default_rope_theta,
+        tie_word_embeddings=spec.lm_head is None,
+    )
+
+
+def load_model_from_safetensors(path, dtype=jnp.bfloat16,
+                                spec: ModelSpec | None = None,
+                                config: TransformerConfig | None = None,
+                                max_seq_len: int | None = None
+                                ) -> CausalTransformerModel:
+    """Load any supported checkpoint into a CausalTransformerModel
+    (reference: load_model_from_safetensors, llm/loader.py:132)."""
+    st = load_safetensors(path)
+    if spec is None:
+        spec = detect_model_spec(st.keys())
+    hf_cfg = _find_config_json(path)
+    if config is None:
+        config = _infer_config(st, spec, hf_cfg)
+    norm_dtype = jnp.float32
+    tr = spec.hf_linear_layout
+
+    params: dict = {}
+    params["embed"] = _to_jnp(st.tensor_numpy(spec.embed_tokens), dtype)
+    if spec.use_position_embed and spec.position_embed:
+        params["pos_embed"] = _to_jnp(st.tensor_numpy(spec.position_embed), dtype)
+    params["final_norm_w"] = _to_jnp(st.tensor_numpy(spec.final_norm), norm_dtype)
+    if spec.final_norm_bias and spec.final_norm_bias in st:
+        params["final_norm_b"] = _to_jnp(
+            st.tensor_numpy(spec.final_norm_bias), norm_dtype)
+    if spec.lm_head and spec.lm_head in st:
+        # store [E, V] so logits = h @ lm_head
+        params["lm_head"] = _linear(st, spec.lm_head, dtype, transpose=True)
+    else:
+        params["lm_head"] = None
+
+    hq, hk, d = config.num_heads, config.num_kv_heads, config.head_dim
+    layers = []
+    for l in range(config.num_layers):
+        lp: dict = {}
+        lp["attn_norm_w"] = _to_jnp(
+            st.tensor_numpy(spec.attn_norm.format(layer=l)), norm_dtype)
+        if spec.attn_norm_bias:
+            lp["attn_norm_b"] = _to_jnp(
+                st.tensor_numpy(spec.attn_norm_bias.format(layer=l)), norm_dtype)
+        lp["mlp_norm_w"] = _to_jnp(
+            st.tensor_numpy(spec.mlp_norm.format(layer=l)), norm_dtype)
+        if spec.mlp_norm_bias:
+            lp["mlp_norm_b"] = _to_jnp(
+                st.tensor_numpy(spec.mlp_norm_bias.format(layer=l)), norm_dtype)
+
+        if spec.qkv_combined:
+            w = np.asarray(st.tensor_numpy(spec.q_proj.format(layer=l)))
+            if tr:
+                w = w.T                               # → [in, 3E]
+            e = w.shape[0]
+            qd, kd = hq * d, hk * d
+            lp["w_q"] = _to_jnp(w[:, :qd], dtype)
+            lp["w_k"] = _to_jnp(w[:, qd:qd + kd], dtype)
+            lp["w_v"] = _to_jnp(w[:, qd + kd:qd + 2 * kd], dtype)
+            if spec.q_bias:
+                b = np.asarray(st.tensor_numpy(spec.q_bias.format(layer=l)))
+                lp["b_q"] = _to_jnp(b[:qd], dtype)
+                lp["b_k"] = _to_jnp(b[qd:qd + kd], dtype)
+                lp["b_v"] = _to_jnp(b[qd + kd:qd + 2 * kd], dtype)
+        else:
+            lp["w_q"] = _linear(st, spec.q_proj.format(layer=l), dtype, tr)
+            lp["w_k"] = _linear(st, spec.k_proj.format(layer=l), dtype, tr)
+            lp["w_v"] = _linear(st, spec.v_proj.format(layer=l), dtype, tr)
+            if spec.q_bias and spec.q_bias.format(layer=l) in st:
+                lp["b_q"] = _to_jnp(st.tensor_numpy(spec.q_bias.format(layer=l)), dtype)
+                lp["b_k"] = _to_jnp(st.tensor_numpy(spec.k_bias.format(layer=l)), dtype)
+                lp["b_v"] = _to_jnp(st.tensor_numpy(spec.v_bias.format(layer=l)), dtype)
+        lp["w_o"] = _linear(st, spec.o_proj.format(layer=l), dtype, tr)
+        if spec.o_bias and spec.o_bias.format(layer=l) in st:
+            lp["b_o"] = _to_jnp(st.tensor_numpy(spec.o_bias.format(layer=l)), dtype)
+        if spec.use_qk_norm:
+            lp["w_q_norm"] = _to_jnp(
+                st.tensor_numpy(spec.q_norm.format(layer=l)), norm_dtype)
+            lp["w_k_norm"] = _to_jnp(
+                st.tensor_numpy(spec.k_norm.format(layer=l)), norm_dtype)
+
+        if spec.is_moe:
+            lp["w_router"] = _linear(st, spec.moe_gate.format(layer=l),
+                                     jnp.float32, tr)
+            gates, ups, downs = [], [], []
+            for e_i in range(config.num_experts):
+                gates.append(_linear(
+                    st, spec.expert_gate_proj.format(layer=l, expert=e_i), dtype, tr))
+                ups.append(_linear(
+                    st, spec.expert_up_proj.format(layer=l, expert=e_i), dtype, tr))
+                downs.append(_linear(
+                    st, spec.expert_down_proj.format(layer=l, expert=e_i), dtype, tr))
+            lp["w_experts_gate"] = jnp.stack(gates)
+            lp["w_experts_up"] = jnp.stack(ups)
+            lp["w_experts_down"] = jnp.stack(downs)
+        elif spec.gate_proj:
+            lp["w_gate"] = _linear(st, spec.gate_proj.format(layer=l), dtype, tr)
+            lp["w_up"] = _linear(st, spec.up_proj.format(layer=l), dtype, tr)
+            lp["w_down"] = _linear(st, spec.down_proj.format(layer=l), dtype, tr)
+        else:
+            lp["w_fc1"] = _linear(st, spec.fc1.format(layer=l), dtype, tr)
+            lp["w_fc2"] = _linear(st, spec.fc2.format(layer=l), dtype, tr)
+            if spec.fc1_bias:
+                lp["b_fc1"] = _to_jnp(
+                    st.tensor_numpy(spec.fc1_bias.format(layer=l)), dtype)
+                lp["b_fc2"] = _to_jnp(
+                    st.tensor_numpy(spec.fc2_bias.format(layer=l)), dtype)
+        layers.append(lp)
+
+    import jax
+    params["layers"] = jax.tree.map(lambda *xs: jnp.stack(xs), *layers)
+    model = CausalTransformerModel(config, params, spec=spec, dtype=dtype)
+    if max_seq_len is not None:
+        model.init_fixed_cache(max_seq_len)
+    return model
+
+
+# per-arch convenience loaders (reference: loader.py:63-111)
+
+def load_gpt2_from_safetensors(path, dtype=jnp.float32, **kw):
+    return load_model_from_safetensors(path, dtype, spec=MODEL_SPECS["gpt2"], **kw)
+
+
+def load_llama_from_safetensors(path, dtype=jnp.bfloat16, **kw):
+    return load_model_from_safetensors(path, dtype, spec=MODEL_SPECS["llama"], **kw)
+
+
+def load_qwen3_from_safetensors(path, dtype=jnp.bfloat16, **kw):
+    return load_model_from_safetensors(path, dtype, spec=MODEL_SPECS["qwen3"], **kw)
+
+
+def load_mixtral_from_safetensors(path, dtype=jnp.bfloat16, **kw):
+    return load_model_from_safetensors(path, dtype, spec=MODEL_SPECS["mixtral"], **kw)

@@ -1,0 +1,511 @@
+"""Unified causal transformer model (GPT-2 / LLaMA / Qwen2 / Qwen3 / MoE).
+
+Rebuilds the reference's CausalTransformerModel (reference:
+src/pygpukit/llm/models/causal.py:79 — forward, generate/generate_stream,
+zero-alloc decode, fixed-cache decode, KV snapshot/restore) TPU-first:
+
+* Parameters are a pytree of stacked per-layer jnp arrays; the layer loop is
+  ``lax.scan``, so the whole forward is one fused XLA program.
+* KV cache is a fixed preallocated [L, MAX, Hk, D] buffer pair; decode is ONE
+  AOT-compiled executable with donated cache buffers (the CUDA-Graph replay
+  analog — but attention and cache update live INSIDE the executable, since
+  fixed shapes + masking remove the reference's need to keep them outside,
+  m1_graph.py:29-35).
+* Same executable serves every context length: ``pos`` is a traced scalar,
+  attention masks beyond it. Prefill is bucketed to powers of two to bound
+  recompiles.
+* Determinism: greedy decode is argmax on f32 logits inside the executable;
+  seeded sampling uses explicit jax PRNG keys.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import Any, Iterator
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from ..core.executable import Executable, capture
+from ..ops.nn.activation import gelu_fn, swiglu_fn
+from ..ops.nn.attention import flash_attention_fn, sdpa_fixed_cache_fn
+from ..ops.nn.norm import layernorm_fn, l2norm_fn, rmsnorm_fn
+from ..ops.nn.rope import apply_rope_fn
+from .config import ModelSpec, TransformerConfig
+
+_F32 = jnp.float32
+
+
+def _norm(cfg: TransformerConfig, x, w, b):
+    if cfg.norm_type == "rmsnorm":
+        return rmsnorm_fn(x, w, cfg.norm_eps)
+    return layernorm_fn(x, w, b, cfg.norm_eps)
+
+
+def _qk_headnorm(x, w, eps):
+    """Per-head RMS norm over head_dim (Qwen3 q_norm/k_norm), w [D]."""
+    xf = x.astype(_F32)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    return (xf * lax.rsqrt(var + eps) * w.astype(_F32)).astype(x.dtype)
+
+
+def _mlp(cfg: TransformerConfig, lp, y):
+    if cfg.is_moe:
+        return _moe_mlp(cfg, lp, y)
+    if cfg.activation == "silu":
+        gate = jnp.dot(y, lp["w_gate"], preferred_element_type=_F32).astype(y.dtype)
+        up = jnp.dot(y, lp["w_up"], preferred_element_type=_F32).astype(y.dtype)
+        act = swiglu_fn(gate, up)
+        return jnp.dot(act, lp["w_down"], preferred_element_type=_F32).astype(y.dtype)
+    h = jnp.dot(y, lp["w_fc1"], preferred_element_type=_F32)
+    if "b_fc1" in lp:
+        h = h + lp["b_fc1"].astype(_F32)
+    h = gelu_fn(h.astype(y.dtype))
+    out = jnp.dot(h, lp["w_fc2"], preferred_element_type=_F32)
+    if "b_fc2" in lp:
+        out = out + lp["b_fc2"].astype(_F32)
+    return out.astype(y.dtype)
+
+
+def _moe_mlp(cfg: TransformerConfig, lp, y):
+    """Top-k routed expert MLP (reference: llm/layers/moe.py:29,153).
+
+    Dense one-hot formulation: per-token expert mix computed with static
+    shapes, all matmuls on the MXU. w_experts_* are stacked [E, in, out].
+    """
+    t = y.shape[0]
+    router = jnp.dot(y.astype(_F32), lp["w_router"])           # [T, E]
+    topv, topi = lax.top_k(router, cfg.num_experts_per_tok)     # [T, K]
+    weights = jax.nn.softmax(topv, axis=-1)                     # [T, K]
+    num_e = cfg.num_experts
+    # combine weights over experts: [T, E]
+    combine = jnp.zeros((t, num_e), _F32)
+    combine = jnp.take_along_axis(
+        combine, topi, axis=1
+    ) if False else combine.at[jnp.arange(t)[:, None], topi].set(weights)
+
+    def expert_fwd(w_gate, w_up, w_down):
+        g = jnp.dot(y, w_gate, preferred_element_type=_F32).astype(y.dtype)
+        u = jnp.dot(y, w_up, preferred_element_type=_F32).astype(y.dtype)
+        return jnp.dot(swiglu_fn(g, u), w_down,
+                       preferred_element_type=_F32)             # [T, H]
+
+    per_expert = jax.vmap(expert_fwd)(
+        lp["w_experts_gate"], lp["w_experts_up"], lp["w_experts_down"]
+    )                                                           # [E, T, H]
+    out = jnp.einsum("te,eth->th", combine, per_expert)
+    return out.astype(y.dtype)
+
+
+def _project_qkv(cfg: TransformerConfig, lp, x):
+    s = x.shape[0]
+    hq, hk, d = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+    q = jnp.dot(x, lp["w_q"], preferred_element_type=_F32)
+    k = jnp.dot(x, lp["w_k"], preferred_element_type=_F32)
+    v = jnp.dot(x, lp["w_v"], preferred_element_type=_F32)
+    if "b_q" in lp:
+        q = q + lp["b_q"].astype(_F32)
+        k = k + lp["b_k"].astype(_F32)
+        v = v + lp["b_v"].astype(_F32)
+    q = q.astype(x.dtype).reshape(s, hq, d)
+    k = k.astype(x.dtype).reshape(s, hk, d)
+    v = v.astype(x.dtype).reshape(s, hk, d)
+    if cfg.use_qk_norm:
+        q = _qk_headnorm(q, lp["w_q_norm"], cfg.norm_eps)
+        k = _qk_headnorm(k, lp["w_k_norm"], cfg.norm_eps)
+    return q, k, v
+
+
+def _out_proj(lp, attn, s, dtype):
+    o = jnp.dot(attn.reshape(s, -1), lp["w_o"], preferred_element_type=_F32)
+    if "b_o" in lp:
+        o = o + lp["b_o"].astype(_F32)
+    return o.astype(dtype)
+
+
+def _logits(cfg: TransformerConfig, params, h):
+    if params.get("lm_head") is not None:
+        return jnp.dot(h, params["lm_head"], preferred_element_type=_F32)
+    # tied embeddings: h @ embed.T (XLA transposes for free)
+    return lax.dot_general(
+        h, params["embed"], (((h.ndim - 1,), (1,)), ((), ())),
+        preferred_element_type=_F32)
+
+
+# ---------------------------------------------------------------------------
+# Forward (no cache) — training/eval path and logits parity tests
+# ---------------------------------------------------------------------------
+
+def forward_fn(cfg: TransformerConfig, params, tokens):
+    """tokens [S] int32 -> logits [S, V] f32."""
+    s = tokens.shape[0]
+    h = jnp.take(params["embed"], tokens, axis=0)
+    if cfg.use_position_embed:
+        h = h + params["pos_embed"][:s]
+    rope_cos = params.get("rope_cos")
+    rope_sin = params.get("rope_sin")
+
+    def block(h, lp):
+        x = _norm(cfg, h, lp["attn_norm_w"], lp.get("attn_norm_b"))
+        q, k, v = _project_qkv(cfg, lp, x)
+        if cfg.use_rope:
+            q = apply_rope_fn(q, rope_cos[:s], rope_sin[:s])
+            k = apply_rope_fn(k, rope_cos[:s], rope_sin[:s])
+        attn = flash_attention_fn(q, k, v)
+        h = h + _out_proj(lp, attn, s, h.dtype)
+        y = _norm(cfg, h, lp["mlp_norm_w"], lp.get("mlp_norm_b"))
+        h = h + _mlp(cfg, lp, y)
+        return h, None
+
+    h, _ = lax.scan(block, h, params["layers"])
+    h = _norm(cfg, h, params["final_norm_w"], params.get("final_norm_b"))
+    return _logits(cfg, params, h)
+
+
+# ---------------------------------------------------------------------------
+# Cached prefill + decode
+# ---------------------------------------------------------------------------
+
+def prefill_fn(cfg: TransformerConfig, params, k_cache, v_cache, tokens, true_len):
+    """Prefill padded ``tokens`` [S_pad]; write caches; return last logits.
+
+    k_cache/v_cache: [L, MAX, Hk, D]. true_len: traced scalar — positions
+    >= true_len are masked out of attention and ignored for the last-logit.
+    """
+    s = tokens.shape[0]
+    h = jnp.take(params["embed"], tokens, axis=0)
+    if cfg.use_position_embed:
+        h = h + params["pos_embed"][:s]
+    rope_cos = params.get("rope_cos")
+    rope_sin = params.get("rope_sin")
+
+    def block(h, xs):
+        lp, kc, vc = xs
+        x = _norm(cfg, h, lp["attn_norm_w"], lp.get("attn_norm_b"))
+        q, k, v = _project_qkv(cfg, lp, x)
+        if cfg.use_rope:
+            q = apply_rope_fn(q, rope_cos[:s], rope_sin[:s])
+            k = apply_rope_fn(k, rope_cos[:s], rope_sin[:s])
+        kc = lax.dynamic_update_slice(kc, k.astype(kc.dtype), (0, 0, 0))
+        vc = lax.dynamic_update_slice(vc, v.astype(vc.dtype), (0, 0, 0))
+        # causal attention within the padded prompt; pad region masked
+        attn = _prefill_attn(q, k, v, true_len)
+        h = h + _out_proj(lp, attn, s, h.dtype)
+        y = _norm(cfg, h, lp["mlp_norm_w"], lp.get("mlp_norm_b"))
+        h = h + _mlp(cfg, lp, y)
+        return h, (kc, vc)
+
+    h, (k_cache, v_cache) = lax.scan(block, h, (params["layers"], k_cache, v_cache))
+    h = _norm(cfg, h, params["final_norm_w"], params.get("final_norm_b"))
+    last = jnp.take(h, true_len - 1, axis=0)
+    return k_cache, v_cache, _logits(cfg, params, last)
+
+
+def _prefill_attn(q, k, v, true_len):
+    import math
+    s, hq, d = q.shape
+    hk = k.shape[1]
+    if hk != hq:
+        k = jnp.repeat(k, hq // hk, axis=1)
+        v = jnp.repeat(v, hq // hk, axis=1)
+    qh = jnp.transpose(q, (1, 0, 2)).astype(_F32)
+    kh = jnp.transpose(k, (1, 0, 2)).astype(_F32)
+    vh = jnp.transpose(v, (1, 0, 2)).astype(_F32)
+    scores = jnp.einsum("hqd,hkd->hqk", qh, kh) * (1.0 / math.sqrt(d))
+    i = jnp.arange(s)[:, None]
+    j = jnp.arange(s)[None, :]
+    mask = (j > i) | (j[None] >= true_len)
+    scores = jnp.where(mask, -1e30, scores)
+    out = jnp.einsum("hqk,hkd->hqd", jax.nn.softmax(scores, axis=-1), vh)
+    return jnp.transpose(out, (1, 0, 2)).astype(q.dtype)
+
+
+def decode_step_fn(cfg: TransformerConfig, params, k_cache, v_cache, token, pos):
+    """One decode step: token scalar, pos scalar -> (k_cache, v_cache, logits).
+
+    Caches are donated by the caller's executable — XLA updates them in place
+    (the zero-alloc decode analog, reference causal.py:324).
+    """
+    h = jnp.take(params["embed"], token[None], axis=0)           # [1, E]
+    if cfg.use_position_embed:
+        h = h + lax.dynamic_slice_in_dim(params["pos_embed"], pos, 1, axis=0)
+    rope_cos = params.get("rope_cos")
+    rope_sin = params.get("rope_sin")
+
+    def block(h, xs):
+        lp, kc, vc = xs
+        x = _norm(cfg, h, lp["attn_norm_w"], lp.get("attn_norm_b"))
+        q, k, v = _project_qkv(cfg, lp, x)                       # [1,H,D]
+        if cfg.use_rope:
+            c = lax.dynamic_slice_in_dim(rope_cos, pos, 1, axis=0)
+            sn = lax.dynamic_slice_in_dim(rope_sin, pos, 1, axis=0)
+            q = apply_rope_fn(q, c, sn)
+            k = apply_rope_fn(k, c, sn)
+        kc = lax.dynamic_update_slice(kc, k.astype(kc.dtype), (pos, 0, 0))
+        vc = lax.dynamic_update_slice(vc, v.astype(vc.dtype), (pos, 0, 0))
+        attn = sdpa_fixed_cache_fn(q, kc, vc, pos + 1)
+        h = h + _out_proj(lp, attn, 1, h.dtype)
+        y = _norm(cfg, h, lp["mlp_norm_w"], lp.get("mlp_norm_b"))
+        h = h + _mlp(cfg, lp, y)
+        return h, (kc, vc)
+
+    h, (k_cache, v_cache) = lax.scan(block, h, (params["layers"], k_cache, v_cache))
+    h = _norm(cfg, h, params["final_norm_w"], params.get("final_norm_b"))
+    logits = _logits(cfg, params, h[0])
+    return k_cache, v_cache, logits
+
+
+# ---------------------------------------------------------------------------
+# Random initialisation (benchmarks / dry runs; no checkpoint needed)
+# ---------------------------------------------------------------------------
+
+def init_params(cfg: TransformerConfig, seed: int = 0, dtype=jnp.bfloat16) -> dict:
+    """Random param pytree in the stacked-layer layout loader.py produces."""
+    rng = np.random.default_rng(seed)
+    e, hq, hk, d = cfg.hidden_size, cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+    inter = cfg.intermediate_size
+    std = 0.02
+
+    def w(*shape, dt=dtype):
+        return jnp.asarray(rng.standard_normal(shape, dtype=np.float32) * std, dt)
+
+    lp: dict = {
+        "attn_norm_w": jnp.ones((cfg.num_layers, e), _F32),
+        "mlp_norm_w": jnp.ones((cfg.num_layers, e), _F32),
+        "w_q": w(cfg.num_layers, e, hq * d),
+        "w_k": w(cfg.num_layers, e, hk * d),
+        "w_v": w(cfg.num_layers, e, hk * d),
+        "w_o": w(cfg.num_layers, hq * d, e),
+    }
+    if cfg.norm_type == "layernorm":
+        lp["attn_norm_b"] = jnp.zeros((cfg.num_layers, e), _F32)
+        lp["mlp_norm_b"] = jnp.zeros((cfg.num_layers, e), _F32)
+    if cfg.use_qk_norm:
+        lp["w_q_norm"] = jnp.ones((cfg.num_layers, d), _F32)
+        lp["w_k_norm"] = jnp.ones((cfg.num_layers, d), _F32)
+    if cfg.is_moe:
+        lp["w_router"] = w(cfg.num_layers, e, cfg.num_experts, dt=_F32)
+        mi = cfg.moe_intermediate_size
+        lp["w_experts_gate"] = w(cfg.num_layers, cfg.num_experts, e, mi)
+        lp["w_experts_up"] = w(cfg.num_layers, cfg.num_experts, e, mi)
+        lp["w_experts_down"] = w(cfg.num_layers, cfg.num_experts, mi, e)
+    elif cfg.activation == "silu":
+        lp["w_gate"] = w(cfg.num_layers, e, inter)
+        lp["w_up"] = w(cfg.num_layers, e, inter)
+        lp["w_down"] = w(cfg.num_layers, inter, e)
+    else:
+        lp["w_fc1"] = w(cfg.num_layers, e, inter)
+        lp["w_fc2"] = w(cfg.num_layers, inter, e)
+        lp["b_fc1"] = jnp.zeros((cfg.num_layers, inter), dtype)
+        lp["b_fc2"] = jnp.zeros((cfg.num_layers, e), dtype)
+
+    params: dict = {
+        "embed": w(cfg.vocab_size, e),
+        "final_norm_w": jnp.ones((e,), _F32),
+        "lm_head": None if cfg.tie_word_embeddings else w(e, cfg.vocab_size),
+        "layers": lp,
+    }
+    if cfg.norm_type == "layernorm":
+        params["final_norm_b"] = jnp.zeros((e,), _F32)
+    if cfg.use_position_embed:
+        params["pos_embed"] = w(cfg.max_position_embeddings, e)
+    return params
+
+
+# ---------------------------------------------------------------------------
+# Model class
+# ---------------------------------------------------------------------------
+
+def _bucket(n: int, minimum: int = 32) -> int:
+    b = minimum
+    while b < n:
+        b *= 2
+    return b
+
+
+@dataclass
+class KVSnapshot:
+    """Host-side KV snapshot (reference: snapshot_kv_cache, causal.py:1003)."""
+    k: np.ndarray
+    v: np.ndarray
+    pos: int
+
+
+class CausalTransformerModel:
+    """Unified causal LM with AOT-compiled cached decode."""
+
+    def __init__(self, config: TransformerConfig, params: dict,
+                 spec: ModelSpec | None = None, dtype=jnp.bfloat16):
+        self.config = config
+        self.spec = spec
+        self.dtype = dtype
+        self.params = params
+        self.max_seq_len: int | None = None
+        self.k_cache = None
+        self.v_cache = None
+        self.pos = 0
+        self._decode_exe: Executable | None = None
+        self._prefill_exes: dict[int, Executable] = {}
+        self._forward_jit = jax.jit(functools.partial(forward_fn, config))
+
+        # RoPE tables once, f32 (reference: precompute_freqs_cis)
+        if config.use_rope and "rope_cos" not in params:
+            from ..ops.nn import rope as rope_mod
+            scaling = config.rope_scaling or {}
+            st = scaling.get("type", scaling.get("rope_type", ""))
+            n = config.max_position_embeddings
+            d = config.head_dim
+            if st in ("yarn",):
+                cos, sin = rope_mod.rope_init_yarn(
+                    n, d, config.rope_theta, scaling.get("factor", 1.0),
+                    scaling.get("original_max_position_embeddings", n))
+            elif st in ("linear",):
+                cos, sin = rope_mod.rope_init_linear(
+                    n, d, config.rope_theta, scaling.get("factor", 1.0))
+            elif st in ("ntk", "dynamic"):
+                cos, sin = rope_mod.rope_init_ntk_aware(
+                    n, d, config.rope_theta, scaling.get("factor", 1.0))
+            else:
+                cos, sin = rope_mod.rope_init(n, d, config.rope_theta)
+            params["rope_cos"] = cos.jax
+            params["rope_sin"] = sin.jax
+
+    # -- forward (no cache) --------------------------------------------------
+
+    def __call__(self, input_ids) -> jax.Array:
+        tokens = jnp.asarray(np.asarray(input_ids), jnp.int32)
+        return self._forward_jit(self.params, tokens)
+
+    def get_logits(self, input_ids) -> np.ndarray:
+        return np.asarray(self(input_ids), np.float32)
+
+    # -- fixed cache management ---------------------------------------------
+
+    def init_fixed_cache(self, max_seq_len: int) -> None:
+        """Preallocate KV caches [L, MAX, Hk, D]
+        (reference: Attention.init_fixed_cache, llm/layers/attention.py:128)."""
+        cfg = self.config
+        shape = (cfg.num_layers, max_seq_len, cfg.num_kv_heads, cfg.head_dim)
+        self.k_cache = jnp.zeros(shape, self.dtype)
+        self.v_cache = jnp.zeros(shape, self.dtype)
+        self.max_seq_len = max_seq_len
+        self.pos = 0
+        self._decode_exe = None
+        self._prefill_exes = {}
+
+    def _ensure_decode_exe(self) -> Executable:
+        if self._decode_exe is None:
+            fn = functools.partial(decode_step_fn, self.config)
+            self._decode_exe = capture(
+                fn, self.params, self.k_cache, self.v_cache,
+                jnp.int32(0), jnp.int32(0),
+                donate_argnums=(1, 2),
+                name="decode_step",
+            )
+        return self._decode_exe
+
+    def _ensure_prefill_exe(self, bucket: int) -> Executable:
+        if bucket not in self._prefill_exes:
+            fn = functools.partial(prefill_fn, self.config)
+            self._prefill_exes[bucket] = capture(
+                fn, self.params, self.k_cache, self.v_cache,
+                jnp.zeros((bucket,), jnp.int32), jnp.int32(1),
+                donate_argnums=(1, 2),
+                name=f"prefill_{bucket}",
+            )
+        return self._prefill_exes[bucket]
+
+    # -- generation ----------------------------------------------------------
+
+    def prefill(self, input_ids) -> jax.Array:
+        """Run prompt through cached prefill; returns last-position logits."""
+        ids = np.asarray(input_ids, np.int32).reshape(-1)
+        n = len(ids)
+        if self.k_cache is None:
+            self.init_fixed_cache(_bucket(max(n * 2, 256)))
+        if n > self.max_seq_len:
+            raise ValueError(f"prompt ({n}) exceeds cache ({self.max_seq_len})")
+        bucket = min(_bucket(n), self.max_seq_len)
+        exe = self._ensure_prefill_exe(bucket)
+        padded = np.zeros((bucket,), np.int32)
+        padded[:n] = ids
+        self.k_cache, self.v_cache, logits = exe.replay(
+            self.params, self.k_cache, self.v_cache,
+            jnp.asarray(padded), jnp.int32(n))
+        self.pos = n
+        return logits
+
+    def decode_step(self, token: int) -> jax.Array:
+        """One cached decode step; returns logits for the next position."""
+        exe = self._ensure_decode_exe()
+        self.k_cache, self.v_cache, logits = exe.replay(
+            self.params, self.k_cache, self.v_cache,
+            jnp.int32(token), jnp.int32(self.pos))
+        self.pos += 1
+        return logits
+
+    def generate(self, input_ids, max_new_tokens: int = 32,
+                 temperature: float = 0.0, top_k: int = 0, top_p: float = 0.0,
+                 eos_token_id: int | None = None, seed: int = 0,
+                 use_cache: bool = True) -> list[int]:
+        """Greedy/sampled generation (reference: generate, causal.py:179)."""
+        return list(self.generate_stream(
+            input_ids, max_new_tokens, temperature, top_k, top_p,
+            eos_token_id, seed, use_cache))
+
+    def generate_stream(self, input_ids, max_new_tokens: int = 32,
+                        temperature: float = 0.0, top_k: int = 0,
+                        top_p: float = 0.0, eos_token_id: int | None = None,
+                        seed: int = 0, use_cache: bool = True
+                        ) -> Iterator[int]:
+        from ..ops.sampling import (
+            sample_greedy_fn, sample_temperature_fn, sample_topk_fn,
+            sample_topp_fn,
+        )
+        key = jax.random.PRNGKey(seed)
+
+        def sample(logits, key):
+            if temperature <= 0.0:
+                return sample_greedy_fn(logits)
+            if top_k > 0:
+                return sample_topk_fn(logits, key, top_k, temperature)
+            if 0.0 < top_p < 1.0:
+                return sample_topp_fn(logits, key, top_p, temperature)
+            return sample_temperature_fn(logits, key, temperature)
+
+        if not use_cache:
+            ids = list(np.asarray(input_ids, np.int32).reshape(-1))
+            for _ in range(max_new_tokens):
+                logits = self(ids)[-1]
+                key, sub = jax.random.split(key)
+                tok = int(sample(logits, sub))
+                yield tok
+                ids.append(tok)
+                if eos_token_id is not None and tok == eos_token_id:
+                    return
+            return
+
+        logits = self.prefill(input_ids)
+        for _ in range(max_new_tokens):
+            key, sub = jax.random.split(key)
+            tok = int(sample(logits, sub))
+            yield tok
+            if eos_token_id is not None and tok == eos_token_id:
+                return
+            if self.pos >= self.max_seq_len:
+                return
+            logits = self.decode_step(tok)
+
+    # -- KV snapshot / restore (reference: causal.py:1003,1017) --------------
+
+    def snapshot_kv_cache(self) -> KVSnapshot:
+        return KVSnapshot(
+            k=np.asarray(self.k_cache), v=np.asarray(self.v_cache), pos=self.pos)
+
+    def restore_kv_cache(self, snap: KVSnapshot) -> None:
+        self.k_cache = jnp.asarray(snap.k, self.dtype)
+        self.v_cache = jnp.asarray(snap.v, self.dtype)
+        self.pos = snap.pos

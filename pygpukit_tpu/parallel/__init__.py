@@ -1,0 +1,5 @@
+from .mesh import make_mesh, replicated, sharding
+from .sharding import cache_specs, param_specs, shard_params
+
+__all__ = ["make_mesh", "replicated", "sharding", "cache_specs",
+           "param_specs", "shard_params"]

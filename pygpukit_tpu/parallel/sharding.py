@@ -1,0 +1,75 @@
+"""Sharding rules for the causal transformer param pytree.
+
+Megatron-style tensor parallelism expressed as NamedShardings over the
+stacked-layer pytree (leading axis = layer, never sharded):
+
+  w_q/w_k/w_v [L, E, H*D]  → (None, None, "tp")   column parallel
+  w_o         [L, H*D, E]  → (None, "tp", None)   row parallel
+  w_gate/w_up [L, E, I]    → (None, None, "tp")
+  w_down      [L, I, E]    → (None, "tp", None)
+  lm_head     [E, V]       → (None, "tp")
+  embeddings / norms       → replicated
+
+XLA inserts the all-reduce after row-parallel matmuls automatically from
+these layouts (the "let the compiler insert collectives" recipe).
+"""
+
+from __future__ import annotations
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+_COL = {"w_q", "w_k", "w_v", "w_gate", "w_up", "w_fc1",
+        "w_experts_gate", "w_experts_up"}
+_ROW = {"w_o", "w_down", "w_fc2", "w_experts_down"}
+_BIAS_COL = {"b_q", "b_k", "b_v", "b_fc1"}
+
+
+def _layer_spec(name: str, ndim: int) -> P:
+    # all stacked-layer leaves have a leading L axis
+    if name in _COL:
+        return P(*([None] * (ndim - 1) + ["tp"]))
+    if name in _ROW:
+        return P(*([None] * (ndim - 2) + ["tp", None]))
+    if name in _BIAS_COL:
+        return P(*([None] * (ndim - 1) + ["tp"]))
+    return P(*([None] * ndim))
+
+
+def param_specs(params: dict) -> dict:
+    """PartitionSpec pytree matching ``params`` (model.py layout)."""
+    specs: dict = {}
+    for k, v in params.items():
+        if k == "layers":
+            specs[k] = {name: _layer_spec(name, leaf.ndim)
+                        for name, leaf in v.items()}
+        elif k == "lm_head" and v is not None:
+            specs[k] = P(None, "tp")
+        elif v is None:
+            specs[k] = None
+        else:
+            specs[k] = P(*([None] * v.ndim))
+    return specs
+
+
+def shard_params(params: dict, mesh: Mesh) -> dict:
+    """Place ``params`` onto the mesh with TP shardings."""
+    specs = param_specs(params)
+
+    def place(leaf, spec):
+        if leaf is None:
+            return None
+        return jax.device_put(leaf, NamedSharding(mesh, spec))
+
+    out = {}
+    for k, v in params.items():
+        if k == "layers":
+            out[k] = {n: place(leaf, specs[k][n]) for n, leaf in v.items()}
+        else:
+            out[k] = place(v, specs[k]) if v is not None else None
+    return out
+
+
+def cache_specs(ndim: int = 4) -> P:
+    """KV cache [L, MAX, Hk, D] → shard kv heads over tp."""
+    return P(None, None, "tp", None)

@@ -11,6 +11,12 @@ _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
 
+import jax  # noqa: E402
+
+# The axon TPU plugin overrides JAX_PLATFORMS with "axon,cpu"; force CPU-only
+# before any backend initialisation so the 8 virtual devices take effect.
+jax.config.update("jax_platforms", "cpu")
+
 import pytest  # noqa: E402
 
 

@@ -1,0 +1,153 @@
+"""End-to-end LLM tests: safetensors load → logits parity vs transformers →
+greedy token match → cached decode == uncached decode (the reference's
+strategy-equivalence test pattern, SURVEY §4)."""
+
+import json
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
+
+import pygpukit_tpu.llm as llm  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def gpt2_ckpt(tmp_path_factory):
+    d = tmp_path_factory.mktemp("gpt2_tiny")
+    cfg = transformers.GPT2Config(
+        vocab_size=128, n_positions=64, n_embd=32, n_layer=2, n_head=4)
+    torch.manual_seed(0)
+    m = transformers.GPT2LMHeadModel(cfg).eval()
+    m.save_pretrained(d, safe_serialization=True)
+    return d, m
+
+
+@pytest.fixture(scope="module")
+def llama_ckpt(tmp_path_factory):
+    d = tmp_path_factory.mktemp("llama_tiny")
+    cfg = transformers.LlamaConfig(
+        vocab_size=128, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=64, tie_word_embeddings=False)
+    torch.manual_seed(1)
+    m = transformers.LlamaForCausalLM(cfg).eval()
+    m.save_pretrained(d, safe_serialization=True)
+    return d, m
+
+
+class TestSafetensorsLoader:
+    def test_parse_and_read(self, gpt2_ckpt):
+        d, m = gpt2_ckpt
+        st = llm.load_safetensors(d)
+        names = st.keys()
+        assert "wte.weight" in names or "transformer.wte.weight" in names
+        name = "wte.weight" if "wte.weight" in names else "transformer.wte.weight"
+        arr = st.tensor_numpy(name)
+        ref = m.transformer.wte.weight.detach().numpy()
+        np.testing.assert_allclose(np.asarray(arr, np.float32), ref, rtol=1e-6)
+
+    def test_detect_spec(self, gpt2_ckpt, llama_ckpt):
+        st_g = llm.load_safetensors(gpt2_ckpt[0])
+        st_l = llm.load_safetensors(llama_ckpt[0])
+        g_names = [n.replace("transformer.", "") for n in st_g.keys()]
+        assert llm.detect_model_spec(g_names).name == "gpt2"
+        assert llm.detect_model_spec(st_l.keys()).name == "llama"
+
+
+def _strip_prefix(ckpt_dir):
+    """GPT2LMHeadModel saves with 'transformer.' prefix; our spec uses the
+    raw gpt2 names. Re-save stripped if needed."""
+    import safetensors.numpy as stnp
+    from pathlib import Path
+    f = Path(ckpt_dir) / "model.safetensors"
+    import safetensors
+    with safetensors.safe_open(str(f), framework="np") as sf:
+        names = list(sf.keys())
+        if not any(n.startswith("transformer.") for n in names):
+            return
+        data = {n.replace("transformer.", ""): sf.get_tensor(n) for n in names}
+    stnp.save_file(data, str(f))
+
+
+class TestGPT2Parity:
+    def test_logits_match_transformers(self, gpt2_ckpt):
+        d, m = gpt2_ckpt
+        _strip_prefix(d)
+        model = llm.load_model_from_safetensors(d, dtype="float32")
+        ids = [3, 17, 42, 99, 7]
+        ours = model.get_logits(ids)
+        with torch.no_grad():
+            ref = m(torch.tensor([ids])).logits[0].numpy()
+        np.testing.assert_allclose(ours, ref, rtol=2e-3, atol=2e-3)
+
+    def test_greedy_token_match(self, gpt2_ckpt):
+        d, m = gpt2_ckpt
+        _strip_prefix(d)
+        model = llm.load_model_from_safetensors(d, dtype="float32")
+        prompt = [5, 23, 50]
+        ours = model.generate(prompt, max_new_tokens=8, temperature=0.0)
+        ref_out = m.generate(
+            torch.tensor([prompt]), max_new_tokens=8, do_sample=False,
+            pad_token_id=0)
+        ref = ref_out[0, len(prompt):].tolist()
+        assert ours == ref, f"ours={ours} ref={ref}"
+
+    def test_cached_matches_uncached(self, gpt2_ckpt):
+        d, _ = gpt2_ckpt
+        _strip_prefix(d)
+        model = llm.load_model_from_safetensors(d, dtype="float32")
+        prompt = [9, 4, 77]
+        cached = model.generate(prompt, max_new_tokens=6, temperature=0.0,
+                                use_cache=True)
+        uncached = model.generate(prompt, max_new_tokens=6, temperature=0.0,
+                                  use_cache=False)
+        assert cached == uncached
+
+
+class TestLlamaParity:
+    def test_logits_match_transformers(self, llama_ckpt):
+        d, m = llama_ckpt
+        model = llm.load_model_from_safetensors(d, dtype="float32")
+        assert model.config.num_kv_heads == 2  # GQA preserved
+        ids = [1, 8, 120, 33]
+        ours = model.get_logits(ids)
+        with torch.no_grad():
+            ref = m(torch.tensor([ids])).logits[0].numpy()
+        np.testing.assert_allclose(ours, ref, rtol=3e-3, atol=3e-3)
+
+    def test_greedy_token_match(self, llama_ckpt):
+        d, m = llama_ckpt
+        model = llm.load_model_from_safetensors(d, dtype="float32")
+        prompt = [1, 45, 100]
+        ours = model.generate(prompt, max_new_tokens=8, temperature=0.0)
+        ref = m.generate(torch.tensor([prompt]), max_new_tokens=8,
+                         do_sample=False)[0, len(prompt):].tolist()
+        assert ours == ref, f"ours={ours} ref={ref}"
+
+
+class TestDeterminism:
+    def test_bitwise_replay(self, llama_ckpt):
+        """North-star: identical logits across decode replays (SURVEY §5.2)."""
+        d, _ = llama_ckpt
+        model = llm.load_model_from_safetensors(d, dtype="float32")
+        prompt = [1, 5, 9]
+        l1 = np.asarray(model.prefill(prompt))
+        t1 = np.asarray(model.decode_step(int(l1.argmax())))
+        model2 = llm.load_model_from_safetensors(d, dtype="float32")
+        l2 = np.asarray(model2.prefill(prompt))
+        t2 = np.asarray(model2.decode_step(int(l2.argmax())))
+        assert np.array_equal(l1, l2), "prefill logits not bitwise identical"
+        assert np.array_equal(t1, t2), "decode logits not bitwise identical"
+
+    def test_kv_snapshot_restore(self, llama_ckpt):
+        d, _ = llama_ckpt
+        model = llm.load_model_from_safetensors(d, dtype="float32")
+        model.prefill([1, 7, 3])
+        snap = model.snapshot_kv_cache()
+        out_a = model.generate([1, 7, 3], max_new_tokens=4, temperature=0.0)
+        model.restore_kv_cache(snap)
+        logits = model.decode_step(out_a[0]) if False else None
+        out_b = model.generate([1, 7, 3], max_new_tokens=4, temperature=0.0)
+        assert out_a == out_b
