@@ -1,3 +1,4 @@
+from .buffers import BatchDecodeBuffers, DecodeBuffers, PrefillBuffers, kv_cache_nbytes
 from .chat import ChatMessage, apply_chat_template
 from .config import (
     GPT2_SPEC, LLAMA_SPEC, MIXTRAL_SPEC, MODEL_SPECS, QWEN2_SPEC, QWEN3_MOE_SPEC,
@@ -8,7 +9,21 @@ from .loader import (
     load_mixtral_from_safetensors, load_model_from_safetensors,
     load_qwen3_from_safetensors,
 )
-from .model import CausalTransformerModel, KVSnapshot
+from .decode import (
+    STRATEGIES, DecodeBatch, DecodeJacobi, DecodeM1, DecodeM1Graph,
+    DecodeSpeculative, DecodeStrategy,
+)
+from .model import CausalTransformerModel, KVSnapshot, init_params
+from .quant import (
+    FP8QuantConfig, QATConfig, PruningConfig, QuantizationMetadata,
+    dequantize_model_params, quantize_model_params, quantize_weight,
+)
+from .repack import repack_model_weights
+from .streaming import (
+    LayerStreamingContext, LoadingStrategy, StreamingConfig,
+    create_streaming_context,
+)
+from .tokenizer import Tokenizer
 from .safetensors import (
     LazyModelLoader, SafeTensorsFile, ShardedSafeTensorsFile, TensorState,
     load_safetensors,
@@ -16,6 +31,13 @@ from .safetensors import (
 from .sampling import sample_token
 
 __all__ = [
+    "BatchDecodeBuffers", "DecodeBuffers", "PrefillBuffers", "kv_cache_nbytes",
+    "STRATEGIES", "DecodeBatch", "DecodeJacobi", "DecodeM1", "DecodeM1Graph",
+    "DecodeSpeculative", "DecodeStrategy", "init_params",
+    "FP8QuantConfig", "QATConfig", "PruningConfig", "QuantizationMetadata",
+    "dequantize_model_params", "quantize_model_params", "quantize_weight",
+    "repack_model_weights", "LayerStreamingContext", "LoadingStrategy",
+    "StreamingConfig", "create_streaming_context", "Tokenizer",
     "ChatMessage", "apply_chat_template",
     "GPT2_SPEC", "LLAMA_SPEC", "MIXTRAL_SPEC", "MODEL_SPECS", "QWEN2_SPEC",
     "QWEN3_MOE_SPEC", "QWEN3_SPEC", "ModelSpec", "TransformerConfig",

@@ -39,6 +39,22 @@ from .config import ModelSpec, TransformerConfig
 _F32 = jnp.float32
 
 
+
+def _mm(x, w):
+    """Matmul against a possibly-quantized weight leaf.
+
+    Dense leaf: jnp array [in, out]. Quantized leaf (reference LinearFP8 /
+    W8A16, llm/layers/linear.py:25,106): {"q": fp8/int8 [in,out],
+    "scale": f32 scalar or [1, out]} — fp8 bytes stream from HBM (half/quarter
+    the traffic), the MXU computes in bf16, XLA fuses upconvert + scale.
+    """
+    if isinstance(w, dict):
+        acc = jnp.dot(x.astype(jnp.bfloat16), w["q"].astype(jnp.bfloat16),
+                      preferred_element_type=_F32)
+        return (acc * w["scale"]).astype(x.dtype)
+    return jnp.dot(x, w, preferred_element_type=_F32).astype(x.dtype)
+
+
 def _norm(cfg: TransformerConfig, x, w, b):
     if cfg.norm_type == "rmsnorm":
         return rmsnorm_fn(x, w, cfg.norm_eps)
@@ -56,15 +72,15 @@ def _mlp(cfg: TransformerConfig, lp, y):
     if cfg.is_moe:
         return _moe_mlp(cfg, lp, y)
     if cfg.activation == "silu":
-        gate = jnp.dot(y, lp["w_gate"], preferred_element_type=_F32).astype(y.dtype)
-        up = jnp.dot(y, lp["w_up"], preferred_element_type=_F32).astype(y.dtype)
+        gate = _mm(y, lp["w_gate"])
+        up = _mm(y, lp["w_up"])
         act = swiglu_fn(gate, up)
-        return jnp.dot(act, lp["w_down"], preferred_element_type=_F32).astype(y.dtype)
-    h = jnp.dot(y, lp["w_fc1"], preferred_element_type=_F32)
+        return _mm(act, lp["w_down"])
+    h = _mm(y, lp["w_fc1"]).astype(_F32)
     if "b_fc1" in lp:
         h = h + lp["b_fc1"].astype(_F32)
     h = gelu_fn(h.astype(y.dtype))
-    out = jnp.dot(h, lp["w_fc2"], preferred_element_type=_F32)
+    out = _mm(h, lp["w_fc2"]).astype(_F32)
     if "b_fc2" in lp:
         out = out + lp["b_fc2"].astype(_F32)
     return out.astype(y.dtype)
@@ -103,9 +119,9 @@ def _moe_mlp(cfg: TransformerConfig, lp, y):
 def _project_qkv(cfg: TransformerConfig, lp, x):
     s = x.shape[0]
     hq, hk, d = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
-    q = jnp.dot(x, lp["w_q"], preferred_element_type=_F32)
-    k = jnp.dot(x, lp["w_k"], preferred_element_type=_F32)
-    v = jnp.dot(x, lp["w_v"], preferred_element_type=_F32)
+    q = _mm(x, lp["w_q"]).astype(_F32)
+    k = _mm(x, lp["w_k"]).astype(_F32)
+    v = _mm(x, lp["w_v"]).astype(_F32)
     if "b_q" in lp:
         q = q + lp["b_q"].astype(_F32)
         k = k + lp["b_k"].astype(_F32)
@@ -120,7 +136,7 @@ def _project_qkv(cfg: TransformerConfig, lp, x):
 
 
 def _out_proj(lp, attn, s, dtype):
-    o = jnp.dot(attn.reshape(s, -1), lp["w_o"], preferred_element_type=_F32)
+    o = _mm(attn.reshape(s, -1), lp["w_o"]).astype(_F32)
     if "b_o" in lp:
         o = o + lp["b_o"].astype(_F32)
     return o.astype(dtype)
@@ -258,6 +274,56 @@ def decode_step_fn(cfg: TransformerConfig, params, k_cache, v_cache, token, pos)
     return k_cache, v_cache, logits
 
 
+def decode_window_fn(cfg: TransformerConfig, params, k_cache, v_cache,
+                     tokens, pos):
+    """Lookahead decode: ``tokens`` [T] written at positions pos..pos+T-1,
+    logits for all T positions returned.
+
+    The speculative/Jacobi workhorse (reference:
+    decode_step_self_speculative_lookahead, causal.py:1096): token t attends
+    cache positions < pos+t+1. On partial acceptance the extra KV rows beyond
+    the accepted position are garbage — harmless, because every later step
+    masks beyond its own ctx_len and overwrites them (the TPU version of the
+    reference's lookahead commit/rollback bookkeeping, attention.py:152-169).
+    """
+    t = tokens.shape[0]
+    h = jnp.take(params["embed"], tokens, axis=0)                # [T, E]
+    if cfg.use_position_embed:
+        h = h + lax.dynamic_slice_in_dim(params["pos_embed"], pos, t, axis=0)
+    rope_cos = params.get("rope_cos")
+    rope_sin = params.get("rope_sin")
+
+    def block(h, xs):
+        lp, kc, vc = xs
+        x = _norm(cfg, h, lp["attn_norm_w"], lp.get("attn_norm_b"))
+        q, k, v = _project_qkv(cfg, lp, x)                       # [T,H,D]
+        if cfg.use_rope:
+            c = lax.dynamic_slice_in_dim(rope_cos, pos, t, axis=0)
+            sn = lax.dynamic_slice_in_dim(rope_sin, pos, t, axis=0)
+            q = apply_rope_fn(q, c, sn)
+            k = apply_rope_fn(k, c, sn)
+        kc = lax.dynamic_update_slice(kc, k.astype(kc.dtype), (pos, 0, 0))
+        vc = lax.dynamic_update_slice(vc, v.astype(vc.dtype), (pos, 0, 0))
+        attn = sdpa_fixed_cache_fn(q, kc, vc, pos + t)
+        h = h + _out_proj(lp, attn, t, h.dtype)
+        y = _norm(cfg, h, lp["mlp_norm_w"], lp.get("mlp_norm_b"))
+        h = h + _mlp(cfg, lp, y)
+        return h, (kc, vc)
+
+    h, (k_cache, v_cache) = lax.scan(block, h, (params["layers"], k_cache, v_cache))
+    h = _norm(cfg, h, params["final_norm_w"], params.get("final_norm_b"))
+    return k_cache, v_cache, _logits(cfg, params, h)
+
+
+def slice_layers(params: dict, n_layers: int) -> dict:
+    """First ``n_layers`` of a stacked param pytree — the self-speculative
+    draft model (reference: draft via early layers, causal.py:1096)."""
+    import jax
+    out = dict(params)
+    out["layers"] = jax.tree.map(lambda x: x[:n_layers], params["layers"])
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Random initialisation (benchmarks / dry runs; no checkpoint needed)
 # ---------------------------------------------------------------------------
@@ -349,6 +415,7 @@ class CausalTransformerModel:
         self.pos = 0
         self._decode_exe: Executable | None = None
         self._prefill_exes: dict[int, Executable] = {}
+        self._window_exes: dict[int, Executable] = {}
         self._forward_jit = jax.jit(functools.partial(forward_fn, config))
 
         # RoPE tables once, f32 (reference: precompute_freqs_cis)
@@ -445,6 +512,27 @@ class CausalTransformerModel:
             self.params, self.k_cache, self.v_cache,
             jnp.int32(token), jnp.int32(self.pos))
         self.pos += 1
+        return logits
+
+    def decode_window(self, tokens, advance: int | None = None) -> jax.Array:
+        """Lookahead window decode: T tokens in, [T, V] logits out.
+
+        Advances ``pos`` by ``advance`` (default T); callers that reject part
+        of the window pass the accepted count — rejected KV rows are masked by
+        later steps (see decode_window_fn). One executable per window size.
+        """
+        t = len(tokens)
+        if t not in self._window_exes:
+            fn = functools.partial(decode_window_fn, self.config)
+            self._window_exes[t] = capture(
+                fn, self.params, self.k_cache, self.v_cache,
+                jnp.zeros((t,), jnp.int32), jnp.int32(0),
+                donate_argnums=(1, 2), name=f"decode_window_{t}")
+        exe = self._window_exes[t]
+        self.k_cache, self.v_cache, logits = exe.replay(
+            self.params, self.k_cache, self.v_cache,
+            jnp.asarray(np.asarray(tokens, np.int32)), jnp.int32(self.pos))
+        self.pos += t if advance is None else advance
         return logits
 
     def generate(self, input_ids, max_new_tokens: int = 32,

@@ -1,0 +1,126 @@
+"""Quantization configs + model weight quantization (reference:
+src/pygpukit/llm/quant.py:30-376 — FP8QuantConfig, QAT/pruning/sparsity
+metadata, FP8 E4M3 dequant, direct FP8 weight load).
+
+TPU-native quantized inference: projection weights are stored fp8/int8 with
+per-column f32 scales ({"q","scale"} leaves consumed by model._mm). HBM
+weight traffic drops 2x (fp8) — the decode bottleneck — while the MXU
+computes in bf16. No LUT dequant kernel is needed: XLA fuses the on-chip
+upconvert into the dot.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Literal
+
+import jax
+import jax.numpy as jnp
+
+
+# ---------------------------------------------------------------------------
+# Config metadata (parity with reference quant.py:30-233)
+# ---------------------------------------------------------------------------
+
+@dataclass
+class FP8QuantConfig:
+    fmt: Literal["e4m3", "e5m2"] = "e4m3"
+    scale_granularity: Literal["tensor", "channel", "block"] = "channel"
+    block_size: int = 128
+
+
+@dataclass
+class QATConfig:
+    enabled: bool = False
+    bits: int = 8
+    symmetric: bool = True
+
+
+@dataclass
+class PruningConfig:
+    sparsity: float = 0.0
+    structured: bool = False
+    pattern: str = "2:4"
+
+
+@dataclass
+class QuantizationMetadata:
+    method: str = "none"
+    fp8: FP8QuantConfig = field(default_factory=FP8QuantConfig)
+    qat: QATConfig = field(default_factory=QATConfig)
+    pruning: PruningConfig = field(default_factory=PruningConfig)
+
+
+# ---------------------------------------------------------------------------
+# Weight quantization
+# ---------------------------------------------------------------------------
+
+_QUANT_KEYS = {
+    "w_q", "w_k", "w_v", "w_o", "w_gate", "w_up", "w_down", "w_fc1", "w_fc2",
+    "w_experts_gate", "w_experts_up", "w_experts_down",
+}
+
+
+def quantize_weight(w: jnp.ndarray, mode: str = "fp8") -> dict:
+    """One weight [..., in, out] → {"q", "scale"} with per-column scales."""
+    wf = w.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(wf), axis=-2, keepdims=True)       # [..., 1, out]
+    if mode == "fp8":
+        fmax = float(jnp.finfo(jnp.float8_e4m3fn).max)
+        scale = jnp.maximum(amax / fmax, 1e-12)
+        q = (wf / scale).astype(jnp.float8_e4m3fn)
+    elif mode == "int8":
+        scale = jnp.maximum(amax / 127.0, 1e-12)
+        q = jnp.clip(jnp.round(wf / scale), -127, 127).astype(jnp.int8)
+    elif mode == "int4":
+        scale = jnp.maximum(amax / 7.0, 1e-12)
+        q = jnp.clip(jnp.round(wf / scale), -7, 7).astype(jnp.int4)
+    else:
+        raise ValueError(f"unknown quant mode {mode!r}")
+    return {"q": q, "scale": scale}
+
+
+def dequantize_weight(wq: dict, dtype=jnp.bfloat16) -> jnp.ndarray:
+    return (wq["q"].astype(jnp.float32) * wq["scale"]).astype(dtype)
+
+
+def quantize_model_params(params: dict, mode: str = "fp8",
+                          keys: set[str] | None = None) -> dict:
+    """Quantize the projection weights of a model param pytree in place of
+    their dense leaves (reference: load_fp8_weight_direct, quant.py:376 —
+    here quantization happens post-load; direct-load of fp8 checkpoints
+    arrives via loader dtype passthrough)."""
+    keys = keys or _QUANT_KEYS
+    out = dict(params)
+    layers = dict(params["layers"])
+    for k in list(layers.keys()):
+        if k in keys and not isinstance(layers[k], dict):
+            layers[k] = quantize_weight(layers[k], mode)
+    out["layers"] = layers
+    return out
+
+
+def dequantize_model_params(params: dict, dtype=jnp.bfloat16) -> dict:
+    out = dict(params)
+    layers = dict(params["layers"])
+    for k, v in layers.items():
+        if isinstance(v, dict) and "q" in v:
+            layers[k] = dequantize_weight(v, dtype)
+    out["layers"] = layers
+    return out
+
+
+def model_quant_bytes(params: dict) -> tuple[int, int]:
+    """(quantized_bytes, dense_equivalent_bytes) for the layer stack."""
+    qb = db = 0
+    for k, v in params["layers"].items():
+        if isinstance(v, dict) and "q" in v:
+            n = v["q"].size
+            qb += int(n * jnp.dtype(v["q"].dtype).itemsize
+                      if v["q"].dtype != jnp.int4 else n // 2)
+            db += n * 2
+        else:
+            sz = int(v.size * jnp.dtype(v.dtype).itemsize)
+            qb += sz
+            db += sz
+    return qb, db

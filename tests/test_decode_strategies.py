@@ -1,0 +1,76 @@
+"""Cross-strategy greedy token-match tests — the reference's key integration
+guarantee (SURVEY §4: all decode strategies must produce identical greedy
+output)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from pygpukit_tpu.llm.config import TransformerConfig
+from pygpukit_tpu.llm.model import CausalTransformerModel, init_params
+from pygpukit_tpu.llm.decode import (
+    DecodeBatch, DecodeJacobi, DecodeM1, DecodeM1Graph, DecodeSpeculative,
+)
+
+
+@pytest.fixture(scope="module")
+def model():
+    cfg = TransformerConfig(
+        vocab_size=97, hidden_size=48, num_layers=3, num_heads=4,
+        num_kv_heads=2, intermediate_size=96, head_dim_override=12,
+        norm_type="rmsnorm", activation="silu", use_rope=True,
+        max_position_embeddings=128, norm_eps=1e-6,
+        tie_word_embeddings=True)
+    params = init_params(cfg, seed=3, dtype=jnp.float32)
+    return CausalTransformerModel(cfg, params, dtype=jnp.float32)
+
+
+PROMPT = [5, 11, 42]
+N_NEW = 10
+
+
+@pytest.fixture(scope="module")
+def reference_tokens(model):
+    model.init_fixed_cache(64)
+    return DecodeM1().bind(model).generate(PROMPT, N_NEW)
+
+
+def test_m1_graph_matches(model, reference_tokens):
+    model.init_fixed_cache(64)
+    strat = DecodeM1Graph().bind(model)
+    strat.init_graph(64)
+    assert strat.node_count > 0
+    out = strat.generate(PROMPT, N_NEW)
+    assert out == reference_tokens
+
+
+def test_speculative_matches(model, reference_tokens):
+    model.init_fixed_cache(64)
+    strat = DecodeSpeculative(n_draft_layers=2, gamma=3).bind(model)
+    out = strat.generate(PROMPT, N_NEW)
+    assert out == reference_tokens
+    assert strat.stats.tokens_generated >= N_NEW
+
+
+def test_jacobi_matches(model, reference_tokens):
+    model.init_fixed_cache(64)
+    strat = DecodeJacobi(window=4).bind(model)
+    out = strat.generate(PROMPT, N_NEW)
+    assert out == reference_tokens
+
+
+def test_batch_matches_and_is_independent(model, reference_tokens):
+    strat = DecodeBatch().bind(model)
+    prompts = [PROMPT, [7, 3], PROMPT]
+    outs = strat.generate(prompts, N_NEW)
+    assert outs[0] == reference_tokens
+    assert outs[2] == reference_tokens
+    assert len(outs[1]) == N_NEW
+    # batch position independence: same prompt in different slots matches
+    assert outs[0] == outs[2]
+
+
+def test_uncached_forward_matches(model, reference_tokens):
+    out = model.generate(PROMPT, N_NEW, temperature=0.0, use_cache=False)
+    assert out == reference_tokens

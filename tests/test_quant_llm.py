@@ -1,0 +1,69 @@
+"""Quantized-model inference tests (fp8/int8 weight-only)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from pygpukit_tpu.llm.config import TransformerConfig
+from pygpukit_tpu.llm.model import CausalTransformerModel, init_params
+from pygpukit_tpu.llm.quant import (
+    dequantize_weight, model_quant_bytes, quantize_model_params,
+    quantize_weight,
+)
+
+
+@pytest.fixture(scope="module")
+def cfg():
+    return TransformerConfig(
+        vocab_size=64, hidden_size=32, num_layers=2, num_heads=4,
+        num_kv_heads=2, intermediate_size=64, head_dim_override=8,
+        norm_type="rmsnorm", activation="silu", use_rope=True,
+        max_position_embeddings=64, tie_word_embeddings=True)
+
+
+def test_quantize_roundtrip_error():
+    rng = np.random.default_rng(0)
+    w = jnp.asarray(rng.standard_normal((64, 32), dtype=np.float32))
+    for mode, tol in [("fp8", 0.07), ("int8", 0.01), ("int4", 0.2)]:
+        wq = quantize_weight(w, mode)
+        deq = np.asarray(dequantize_weight(wq, jnp.float32))
+        rel = np.abs(deq - np.asarray(w)).max() / np.abs(w).max()
+        assert rel < tol, f"{mode}: {rel}"
+
+
+def test_fp8_model_logits_close(cfg):
+    params = init_params(cfg, seed=5, dtype=jnp.float32)
+    model = CausalTransformerModel(cfg, params, dtype=jnp.float32)
+    ids = [3, 9, 27]
+    ref = model.get_logits(ids)
+
+    qparams = quantize_model_params(dict(model.params), "fp8")
+    qmodel = CausalTransformerModel(cfg, qparams, dtype=jnp.float32)
+    got = qmodel.get_logits(ids)
+    rel = np.abs(got - ref).max() / (np.abs(ref).max() + 1e-9)
+    assert rel < 0.1, f"fp8 logits rel err {rel}"
+
+    qb, db = model_quant_bytes(qparams)
+    assert qb < db  # weights actually smaller
+
+
+def test_fp8_generate_runs(cfg):
+    params = init_params(cfg, seed=5, dtype=jnp.float32)
+    qparams = quantize_model_params(params, "fp8")
+    qmodel = CausalTransformerModel(cfg, qparams, dtype=jnp.float32)
+    out = qmodel.generate([1, 2, 3], max_new_tokens=5, temperature=0.0)
+    assert len(out) == 5
+    # decode must stay deterministic
+    qmodel2 = CausalTransformerModel(
+        cfg, quantize_model_params(init_params(cfg, seed=5, dtype=jnp.float32),
+                                   "fp8"), dtype=jnp.float32)
+    assert qmodel2.generate([1, 2, 3], max_new_tokens=5, temperature=0.0) == out
+
+
+def test_int8_model_runs(cfg):
+    params = init_params(cfg, seed=6, dtype=jnp.float32)
+    qparams = quantize_model_params(params, "int8")
+    qmodel = CausalTransformerModel(cfg, qparams, dtype=jnp.float32)
+    out = qmodel.generate([4, 5], max_new_tokens=4, temperature=0.0)
+    assert len(out) == 4
