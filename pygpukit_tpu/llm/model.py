@@ -315,6 +315,36 @@ def decode_window_fn(cfg: TransformerConfig, params, k_cache, v_cache,
     return k_cache, v_cache, _logits(cfg, params, h)
 
 
+def generate_scan_fn(cfg: TransformerConfig, n_steps: int, temperature: float,
+                     top_k: int, params, k_cache, v_cache, token, pos, key):
+    """Device-side generation loop: ``n_steps`` decode steps in ONE program.
+
+    The host-driven per-token loop pays a dispatch+sync roundtrip per token
+    (tens of ms over remote transports); folding the loop into ``lax.scan``
+    amortises one dispatch over n_steps tokens — the TPU equivalent of what
+    CUDA-graph replay buys the reference (m1_graph.py), taken further: even
+    sampling runs on device (jax PRNG in the carry), so the only D2H is the
+    final token block.
+    """
+    def step(carry, _):
+        kc, vc, tok, p, k = carry
+        kc, vc, logits = decode_step_fn(cfg, params, kc, vc, tok, p)
+        if temperature <= 0.0:
+            nxt = jnp.argmax(logits).astype(jnp.int32)
+        else:
+            k, sub = jax.random.split(k)
+            lf = logits.astype(_F32) / temperature
+            if top_k > 0:
+                topv, _ = lax.top_k(lf, top_k)
+                lf = jnp.where(lf < topv[-1], -1e30, lf)
+            nxt = jax.random.categorical(sub, lf).astype(jnp.int32)
+        return (kc, vc, nxt, p + 1, k), nxt
+
+    (k_cache, v_cache, token, pos, key), toks = lax.scan(
+        step, (k_cache, v_cache, token, pos, key), None, length=n_steps)
+    return k_cache, v_cache, toks
+
+
 def slice_layers(params: dict, n_layers: int) -> dict:
     """First ``n_layers`` of a stacked param pytree — the self-speculative
     draft model (reference: draft via early layers, causal.py:1096)."""
@@ -416,6 +446,7 @@ class CausalTransformerModel:
         self._decode_exe: Executable | None = None
         self._prefill_exes: dict[int, Executable] = {}
         self._window_exes: dict[int, Executable] = {}
+        self._gen_exes: dict[tuple, Executable] = {}
         self._forward_jit = jax.jit(functools.partial(forward_fn, config))
 
         # RoPE tables once, f32 (reference: precompute_freqs_cis)
@@ -535,14 +566,70 @@ class CausalTransformerModel:
         self.pos += t if advance is None else advance
         return logits
 
+    def decode_chunk(self, token: int, n_steps: int, temperature: float = 0.0,
+                     top_k: int = 0, seed: int = 0) -> np.ndarray:
+        """Run ``n_steps`` decode steps in one device program; returns the
+        generated tokens. One executable per (n_steps, sampling-mode)."""
+        key = (n_steps, temperature > 0, top_k if temperature > 0 else 0)
+        if key not in self._gen_exes:
+            fn = functools.partial(generate_scan_fn, self.config, n_steps,
+                                   float(temperature), int(top_k))
+            self._gen_exes[key] = capture(
+                fn, self.params, self.k_cache, self.v_cache,
+                jnp.int32(0), jnp.int32(0), jax.random.PRNGKey(0),
+                donate_argnums=(1, 2), name=f"generate_{n_steps}")
+        exe = self._gen_exes[key]
+        self.k_cache, self.v_cache, toks = exe.replay(
+            self.params, self.k_cache, self.v_cache,
+            jnp.int32(token), jnp.int32(self.pos),
+            jax.random.PRNGKey(seed + self.pos))
+        self.pos += n_steps
+        return np.asarray(toks)
+
     def generate(self, input_ids, max_new_tokens: int = 32,
                  temperature: float = 0.0, top_k: int = 0, top_p: float = 0.0,
                  eos_token_id: int | None = None, seed: int = 0,
-                 use_cache: bool = True) -> list[int]:
-        """Greedy/sampled generation (reference: generate, causal.py:179)."""
-        return list(self.generate_stream(
-            input_ids, max_new_tokens, temperature, top_k, top_p,
-            eos_token_id, seed, use_cache))
+                 use_cache: bool = True, chunk_size: int = 32) -> list[int]:
+        """Greedy/sampled generation (reference: generate, causal.py:179).
+
+        Cached greedy/top-k paths run the device-side chunked loop (one
+        dispatch per ``chunk_size`` tokens); top-p and uncached fall back to
+        the per-token stream.
+        """
+        if not use_cache or (temperature > 0 and not (top_k > 0 or top_p == 0.0)):
+            return list(self.generate_stream(
+                input_ids, max_new_tokens, temperature, top_k, top_p,
+                eos_token_id, seed, use_cache))
+
+        ids = np.asarray(input_ids, np.int32).reshape(-1)
+        if self.k_cache is None:
+            self.init_fixed_cache(_bucket(max(len(ids) + max_new_tokens + 1, 256)))
+        logits = self.prefill(ids)
+        cur = int(np.asarray(jnp.argmax(logits))) if temperature <= 0 else None
+        if cur is None:
+            from ..ops.sampling import sample_topk_fn, sample_temperature_fn
+            k0 = jax.random.PRNGKey(seed)
+            if top_k > 0:
+                cur = int(sample_topk_fn(logits, k0, top_k, temperature))
+            else:
+                cur = int(sample_temperature_fn(logits, k0, temperature))
+        out = [cur]
+        while len(out) < max_new_tokens:
+            if eos_token_id is not None and cur == eos_token_id:
+                break
+            n = min(chunk_size, max_new_tokens - len(out),
+                    self.max_seq_len - self.pos)
+            if n <= 0:
+                break
+            toks = self.decode_chunk(cur, n, temperature, top_k, seed)
+            toks_l = [int(t) for t in toks]
+            if eos_token_id is not None and eos_token_id in toks_l:
+                idx = toks_l.index(eos_token_id)
+                out.extend(toks_l[:idx + 1])
+                return out[:max_new_tokens]
+            out.extend(toks_l)
+            cur = out[-1]
+        return out[:max_new_tokens]
 
     def generate_stream(self, input_ids, max_new_tokens: int = 32,
                         temperature: float = 0.0, top_k: int = 0,

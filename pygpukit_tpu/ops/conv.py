@@ -56,10 +56,15 @@ def conv2d_fn(x, w, b=None, stride=1, padding=0, dilation=1, groups: int = 1):
 
 def conv_transpose1d_fn(x, w, b=None, stride: int = 1, padding: int = 0):
     """x [N,C,W], w [C,O,K] (torch ConvTranspose1d layout) -> [N,O,W']."""
+    # torch layout [in, out, K] consumed directly: with transpose_kernel=True
+    # lax.conv_transpose swaps the O/I kernel dims and flips the spatial dim,
+    # exactly matching torch's ConvTranspose1d semantics. torch's `padding`
+    # trims (K-1-p) relative to the full gradient conv.
+    k = w.shape[-1]
     out = lax.conv_transpose(
-        x.astype(_F32), jnp.swapaxes(w, 0, 1).astype(_F32),
+        x.astype(_F32), w.astype(_F32),
         strides=(stride,),
-        padding=[(padding, padding)],
+        padding=[(k - 1 - padding, k - 1 - padding)],
         dimension_numbers=("NCH", "OIH", "NCH"),
         transpose_kernel=True,
     )
