@@ -1,0 +1,114 @@
+"""Text-to-image pipelines (reference: src/pygpukit/diffusion/pipeline.py:34
+Text2ImagePipeline + models/flux/pipeline.py:26 FluxPipeline).
+
+FluxPipeline: encode_prompt (CLIP pooled + T5 sequence) → flow-matching
+Euler denoise over the FluxTransformer → VAE decode → image.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .models.flux import (
+    FluxTransformer, make_img_ids, patchify, unpatchify,
+)
+from .models.vae import VAE, VAEConfig
+from .schedulers import FlowMatchingScheduler
+
+
+@dataclass
+class PipelineOutput:
+    images: np.ndarray          # uint8 [N, H, W, 3]
+    latents: np.ndarray | None = None
+
+
+class FluxPipeline:
+    """reference: FluxPipeline, flux/pipeline.py:26-342."""
+
+    def __init__(self, transformer: FluxTransformer, vae: VAE,
+                 clip_encoder=None, t5_encoder=None,
+                 clip_tokenizer=None, t5_tokenizer=None,
+                 scheduler: FlowMatchingScheduler | None = None):
+        self.transformer = transformer
+        self.vae = vae
+        self.clip = clip_encoder
+        self.t5 = t5_encoder
+        self.clip_tokenizer = clip_tokenizer
+        self.t5_tokenizer = t5_tokenizer
+        self.scheduler = scheduler or FlowMatchingScheduler(
+            shift=1.0, use_dynamic_shifting=False)
+
+    @classmethod
+    def from_pretrained(cls, model_dir, dtype=jnp.bfloat16) -> "FluxPipeline":
+        """Load transformer + vae + text encoders from a local checkpoint
+        tree (reference: from_pretrained, flux/pipeline.py:77)."""
+        from pathlib import Path
+        from .text_encoders.clip import CLIPTextEncoder
+        from .text_encoders.t5 import T5Encoder
+        d = Path(model_dir)
+        transformer = FluxTransformer.from_safetensors(
+            d / "transformer", dtype=dtype)
+        vae = VAE.from_safetensors(d / "vae")
+        clip = (CLIPTextEncoder.from_safetensors(d / "text_encoder")
+                if (d / "text_encoder").exists() else None)
+        t5 = (T5Encoder.from_safetensors(d / "text_encoder_2")
+              if (d / "text_encoder_2").exists() else None)
+        return cls(transformer, vae, clip, t5)
+
+    # -- prompt encoding -----------------------------------------------------
+
+    def encode_prompt(self, prompt: str, max_t5_len: int = 256):
+        """(reference: encode_prompt, flux/pipeline.py:146)."""
+        cfg = self.transformer.config
+        if self.clip is not None and self.clip_tokenizer is not None:
+            ids = self.clip_tokenizer(prompt)
+            _, pooled = self.clip(ids)
+        else:
+            pooled = jnp.zeros((cfg.pooled_dim,), jnp.float32)
+        if self.t5 is not None and self.t5_tokenizer is not None:
+            ids = self.t5_tokenizer(prompt)[:max_t5_len]
+            txt = self.t5(ids)
+        else:
+            txt = jnp.zeros((max_t5_len, cfg.context_dim), jnp.float32)
+        return txt, pooled
+
+    # -- generation ----------------------------------------------------------
+
+    def __call__(self, prompt: str = "", height: int = 256, width: int = 256,
+                 num_inference_steps: int = 4, guidance_scale: float = 3.5,
+                 seed: int = 0, txt_embeds=None, pooled=None) -> PipelineOutput:
+        """Denoise loop (reference: __call__, flux/pipeline.py:265)."""
+        cfg = self.transformer.config
+        lat_c = self.vae.config.latent_channels
+        lat_h, lat_w = height // 8, width // 8
+        key = jax.random.PRNGKey(seed)
+        latents = jax.random.normal(key, (lat_c, lat_h, lat_w), jnp.float32)
+
+        if txt_embeds is None or pooled is None:
+            txt_embeds, pooled = self.encode_prompt(prompt)
+        t_txt = txt_embeds.shape[0]
+        txt_ids = jnp.zeros((t_txt, 3), jnp.int32)
+        img_ids = make_img_ids(lat_h // 2, lat_w // 2)
+
+        self.scheduler.set_timesteps(num_inference_steps)
+        img = patchify(latents)
+        for i in range(num_inference_steps):
+            t = float(self.scheduler.sigmas[i])
+            v = self.transformer(img, img_ids, txt_embeds, txt_ids,
+                                 t, pooled, guidance_scale)
+            img = self.scheduler.step(v, i, img).prev_sample
+        latents = unpatchify(img, lat_c, lat_h, lat_w)
+        images = self.vae.decode_to_images(latents[None])
+        return PipelineOutput(images=images, latents=np.asarray(latents))
+
+    generate = __call__
+
+
+class Text2ImagePipeline(FluxPipeline):
+    """Generic facade (reference: Text2ImagePipeline, pipeline.py:34) — the
+    SD3/PixArt variants share the flow-matching loop; model family selected
+    by the transformer passed in."""
