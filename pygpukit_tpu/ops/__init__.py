@@ -1,7 +1,11 @@
 """Ops re-export hub (reference: src/pygpukit/ops/__init__.py:1-60)."""
 
-from . import conv, elementwise, embedding, matmul, nn, reduction, sampling, tensor, unary
+from . import audio, batching, conv, elementwise, embedding, matmul, nn, paged, reduction, sampling, tensor, unary
 from .elementwise import add, add_scaled, clamp, div, maximum, minimum, mul, sub, where
+from .batching import (
+    argmax_sample, check_eos, gather_embeddings, prepare_position_ids,
+    scatter_last_token_logits,
+)
 from .embedding import (
     embedding_lookup, embedding_lookup_batch,
     kv_cache_prefill, kv_cache_prefill_gqa, kv_cache_update, kv_cache_update_gqa,
@@ -11,6 +15,10 @@ from .matmul import (
     grouped_matmul, int4_available, int8_available, matmul, matmul_fp8,
     matmul_int8, matmul_nt, matmul_w8a16, quantize_fp8, quantize_int4,
     quantize_int8, w8a16_available,
+)
+from .paged import (
+    PagedKVCache, paged_attention_batch_fn, paged_attention_fn,
+    reshape_and_cache_fn,
 )
 from .nn import (
     flash_attention, gelu, geglu, l2norm, layernorm, relu, relu2, rmsnorm,

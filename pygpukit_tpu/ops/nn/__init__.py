@@ -1,9 +1,10 @@
-from . import activation, attention, fused, norm, recurrent, rope
+from . import activation, attention, fused, llama4, norm, recurrent, rope
 from .activation import gelu, geglu, relu, relu2, silu, swiglu
 from .attention import (
     flash_attention, sdpa_causal, sdpa_causal_fixed_cache,
 )
 from .norm import groupnorm, l2norm, layernorm, rmsnorm
+from .llama4 import irope_scale_q, sdpa_irope
 from .rope import (
     alibi_add_bias, alibi_compute_bias, alibi_init_slopes,
     pope_init_encoding, pope_inplace,
