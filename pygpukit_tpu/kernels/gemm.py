@@ -38,9 +38,13 @@ def _gemm_kernel(a_ref, b_ref, o_ref, acc_ref, *, n_k: int):
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
+    # HIGHEST precision only for f32 inputs: Mosaic rejects fp32 contract
+    # precision on bf16 operands (bf16 is already the MXU-native input type)
+    prec = (jax.lax.Precision.HIGHEST if a_ref.dtype == jnp.float32
+            else None)
     acc_ref[:] += jnp.dot(
         a_ref[:], b_ref[:], preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+        precision=prec,
     )
 
     @pl.when(k == n_k - 1)

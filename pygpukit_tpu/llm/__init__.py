@@ -1,6 +1,7 @@
 from .buffers import BatchDecodeBuffers, DecodeBuffers, PrefillBuffers, kv_cache_nbytes
 from .chat import ChatMessage, apply_chat_template
 from .config import (
+    GPT2Config, LlamaConfig, Qwen3Config,
     GPT2_SPEC, LLAMA_SPEC, MIXTRAL_SPEC, MODEL_SPECS, QWEN2_SPEC, QWEN3_MOE_SPEC,
     QWEN3_SPEC, ModelSpec, TransformerConfig, detect_model_spec,
 )

@@ -289,3 +289,80 @@ class TransformerConfig:
             rope_scaling=hf.get("rope_scaling"),
             tie_word_embeddings=hf.get("tie_word_embeddings", False),
         )
+
+
+# =============================================================================
+# Legacy config classes (reference: llm/config.py:515-615 — GPT2Config,
+# LlamaConfig, Qwen3Config with to_transformer_config())
+# =============================================================================
+
+
+@dataclass
+class GPT2Config:
+    vocab_size: int = 50257
+    n_embd: int = 768
+    n_layer: int = 12
+    n_head: int = 12
+    n_positions: int = 1024
+    layer_norm_eps: float = 1e-5
+
+    @property
+    def n_inner(self) -> int:
+        return 4 * self.n_embd
+
+    def to_transformer_config(self) -> TransformerConfig:
+        return TransformerConfig(
+            vocab_size=self.vocab_size, hidden_size=self.n_embd,
+            num_layers=self.n_layer, num_heads=self.n_head,
+            intermediate_size=self.n_inner, norm_type="layernorm",
+            activation="gelu", use_rope=False, use_position_embed=True,
+            max_position_embeddings=self.n_positions,
+            norm_eps=self.layer_norm_eps)
+
+
+@dataclass
+class LlamaConfig:
+    vocab_size: int = 32000
+    hidden_size: int = 2048
+    intermediate_size: int = 5632
+    num_hidden_layers: int = 22
+    num_attention_heads: int = 32
+    num_key_value_heads: int = 4
+    max_position_embeddings: int = 2048
+    rms_norm_eps: float = 1e-5
+    rope_theta: float = 10000.0
+
+    def to_transformer_config(self) -> TransformerConfig:
+        return TransformerConfig(
+            vocab_size=self.vocab_size, hidden_size=self.hidden_size,
+            num_layers=self.num_hidden_layers,
+            num_heads=self.num_attention_heads,
+            num_kv_heads=self.num_key_value_heads,
+            intermediate_size=self.intermediate_size,
+            max_position_embeddings=self.max_position_embeddings,
+            norm_eps=self.rms_norm_eps, rope_theta=self.rope_theta)
+
+
+@dataclass
+class Qwen3Config:
+    vocab_size: int = 151936
+    hidden_size: int = 4096
+    intermediate_size: int = 12288
+    num_hidden_layers: int = 36
+    num_attention_heads: int = 32
+    num_key_value_heads: int = 8
+    head_dim: int = 128
+    max_position_embeddings: int = 40960
+    rms_norm_eps: float = 1e-6
+    rope_theta: float = 1000000.0
+
+    def to_transformer_config(self) -> TransformerConfig:
+        return TransformerConfig(
+            vocab_size=self.vocab_size, hidden_size=self.hidden_size,
+            num_layers=self.num_hidden_layers,
+            num_heads=self.num_attention_heads,
+            num_kv_heads=self.num_key_value_heads,
+            intermediate_size=self.intermediate_size,
+            head_dim_override=self.head_dim, use_qk_norm=True,
+            max_position_embeddings=self.max_position_embeddings,
+            norm_eps=self.rms_norm_eps, rope_theta=self.rope_theta)

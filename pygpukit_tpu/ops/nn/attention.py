@@ -60,6 +60,13 @@ def sdpa_causal_fn(q, k, v, scale: float | None = None):
     return jnp.transpose(out, (1, 0, 2)).astype(q.dtype)
 
 
+def _use_pallas_attention() -> bool:
+    import os
+    from ...core.backend import get_backend
+    return (os.environ.get("PYGPUKIT_FLASH_ATTENTION", "") == "pallas"
+            and get_backend().platform == "tpu")
+
+
 def flash_attention_fn(q, k, v, scale: float | None = None,
                        chunk_size: int = 512, causal: bool = True):
     """Online-softmax chunked attention (flash-attention recurrence in XLA).
@@ -70,6 +77,9 @@ def flash_attention_fn(q, k, v, scale: float | None = None,
     """
     s, h, d = q.shape
     scale = scale if scale is not None else 1.0 / math.sqrt(d)
+    if _use_pallas_attention() and scale == 1.0 / math.sqrt(d):
+        from ...kernels.flash_attention import flash_attention as _pfa
+        return _pfa(q, k, v, causal=causal)
     k = _gqa_expand(k, h)
     v = _gqa_expand(v, h)
     if s <= chunk_size:

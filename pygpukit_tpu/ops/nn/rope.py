@@ -28,10 +28,12 @@ def _tables_from_inv_freq(max_seq_len: int, head_dim: int, inv_freq,
         positions = jnp.arange(max_seq_len, dtype=_F32)
     angles = jnp.outer(positions, inv_freq)                    # [S, half]
     cos_h, sin_h = jnp.cos(angles), jnp.sin(angles)
-    cos = jnp.zeros((max_seq_len, head_dim), _F32)
-    sin = jnp.zeros((max_seq_len, head_dim), _F32)
-    cos = cos.at[:, 0::2].set(cos_h).at[:, 1::2].set(cos_h)
-    sin = sin.at[:, 0::2].set(sin_h).at[:, 1::2].set(sin_h)
+    # HF/NeoX convention: frequencies duplicated across the two halves
+    # (emb = cat(freqs, freqs)); apply reads [..., :half]. (The reference
+    # stores even/odd interleaved but its apply also reads the first half —
+    # we follow the HF layout so real checkpoints match bit-for-bit.)
+    cos = jnp.concatenate([cos_h, cos_h], axis=-1)
+    sin = jnp.concatenate([sin_h, sin_h], axis=-1)
     return cos, sin
 
 

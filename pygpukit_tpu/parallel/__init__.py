@@ -1,5 +1,5 @@
 from .mesh import make_mesh, replicated, sharding
-from .sharding import cache_specs, param_specs, shard_params
+from .sharding import cache_specs, param_specs, shard_model, shard_params
 
 __all__ = ["make_mesh", "replicated", "sharding", "cache_specs",
-           "param_specs", "shard_params"]
+           "param_specs", "shard_model", "shard_params"]

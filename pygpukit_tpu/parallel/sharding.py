@@ -73,3 +73,18 @@ def shard_params(params: dict, mesh: Mesh) -> dict:
 def cache_specs(ndim: int = 4) -> P:
     """KV cache [L, MAX, Hk, D] → shard kv heads over tp."""
     return P(None, None, "tp", None)
+
+
+def shard_model(model, mesh: Mesh):
+    """Place a CausalTransformerModel's params on a mesh with TP shardings.
+
+    Forward/decode executables then compile as GSPMD-partitioned programs —
+    XLA inserts the all-reduces after row-parallel matmuls. Re-capture of the
+    model's executables happens lazily (they key on input shardings).
+    """
+    model.params = shard_params(model.params, mesh)
+    model._decode_exe = None
+    model._prefill_exes = {}
+    model._window_exes = {}
+    model._gen_exes = {}
+    return model

@@ -1,0 +1,71 @@
+"""Model-family parity tests: Qwen2 (biases), Qwen3 (QK-norm), Mixtral (MoE)
+against transformers — the full ModelSpec registry exercised end-to-end."""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
+
+import pygpukit_tpu.llm as llm  # noqa: E402
+
+
+def _check_parity(d, hf_model, spec_name, prompt=(1, 7, 23), rtol=5e-3):
+    st = llm.load_safetensors(d)
+    assert llm.detect_model_spec(st.keys()).name == spec_name
+    model = llm.load_model_from_safetensors(d, dtype="float32")
+    ours = model.get_logits(list(prompt))
+    with torch.no_grad():
+        ref = hf_model(torch.tensor([list(prompt)])).logits[0].numpy()
+    np.testing.assert_allclose(ours, ref, rtol=rtol, atol=rtol)
+    # greedy token match
+    out = model.generate(list(prompt), max_new_tokens=6, temperature=0.0)
+    hf_out = hf_model.generate(
+        torch.tensor([list(prompt)]), max_new_tokens=6, do_sample=False,
+        pad_token_id=0)[0, len(prompt):].tolist()
+    assert out == hf_out, f"{spec_name}: {out} != {hf_out}"
+    return model
+
+
+class TestQwen2:
+    def test_parity(self, tmp_path):
+        cfg = transformers.Qwen2Config(
+            vocab_size=96, hidden_size=32, intermediate_size=64,
+            num_hidden_layers=2, num_attention_heads=4,
+            num_key_value_heads=2, max_position_embeddings=64,
+            tie_word_embeddings=False)
+        torch.manual_seed(0)
+        m = transformers.Qwen2ForCausalLM(cfg).eval()
+        m.save_pretrained(tmp_path, safe_serialization=True)
+        model = _check_parity(tmp_path, m, "qwen2")
+        assert "b_q" in model.params["layers"]     # qkv biases loaded
+
+
+class TestQwen3:
+    def test_parity(self, tmp_path):
+        cfg = transformers.Qwen3Config(
+            vocab_size=96, hidden_size=32, intermediate_size=64,
+            num_hidden_layers=2, num_attention_heads=4,
+            num_key_value_heads=2, head_dim=8,
+            max_position_embeddings=64, tie_word_embeddings=False)
+        torch.manual_seed(1)
+        m = transformers.Qwen3ForCausalLM(cfg).eval()
+        m.save_pretrained(tmp_path, safe_serialization=True)
+        model = _check_parity(tmp_path, m, "qwen3")
+        assert model.config.use_qk_norm
+
+
+class TestMixtral:
+    def test_parity(self, tmp_path):
+        cfg = transformers.MixtralConfig(
+            vocab_size=96, hidden_size=32, intermediate_size=64,
+            num_hidden_layers=2, num_attention_heads=4,
+            num_key_value_heads=2, num_local_experts=4,
+            num_experts_per_tok=2, max_position_embeddings=64,
+            tie_word_embeddings=False)
+        torch.manual_seed(2)
+        m = transformers.MixtralForCausalLM(cfg).eval()
+        m.save_pretrained(tmp_path, safe_serialization=True)
+        model = _check_parity(tmp_path, m, "mixtral")
+        assert model.config.is_moe
+        assert model.params["layers"]["w_experts_gate"].shape[1] == 4

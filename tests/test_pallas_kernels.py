@@ -1,0 +1,75 @@
+"""Pallas kernel tests — TPU-only (Mosaic compile; interpret mode is
+unusably slow on CI hosts). Run manually:
+  JAX_PLATFORMS= python -m pytest tests/test_pallas_kernels.py -m tpu --no-header
+The default CI run (CPU backend) skips these.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+
+tpu_only = pytest.mark.skipif(
+    jax.default_backend() != "tpu",
+    reason="pallas kernels require a TPU (Mosaic)")
+
+pytestmark = [pytest.mark.tpu, tpu_only]
+
+
+@pytest.fixture(scope="module")
+def rng():
+    return np.random.default_rng(0)
+
+
+def test_flash_attention_matches_sdpa(rng):
+    import jax.numpy as jnp
+    from pygpukit_tpu.kernels.flash_attention import flash_attention
+    from pygpukit_tpu.ops.nn.attention import sdpa_causal_fn
+    s, h, d = 512, 8, 128
+    q = jnp.asarray(rng.standard_normal((s, h, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((s, h, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((s, h, d)), jnp.float32)
+    out = np.asarray(flash_attention(q, k, v))
+    ref = np.asarray(jax.jit(sdpa_causal_fn)(q, k, v))
+    rel = np.abs(out - ref).max() / (np.abs(ref).max() + 1e-9)
+    assert rel < 5e-3, rel    # MXU bf16-pass precision
+
+
+def test_flash_decode_matches_fixed_cache(rng):
+    import jax.numpy as jnp
+    from pygpukit_tpu.kernels.flash_attention import flash_decode
+    from pygpukit_tpu.ops.nn.attention import sdpa_fixed_cache_fn
+    max_len, hq, hk, d = 1024, 8, 4, 128
+    kc = jnp.asarray(rng.standard_normal((max_len, hk, d)), jnp.float32)
+    vc = jnp.asarray(rng.standard_normal((max_len, hk, d)), jnp.float32)
+    q = jnp.asarray(rng.standard_normal((1, hq, d)), jnp.float32)
+    out = np.asarray(flash_decode(q, kc, vc, 700))
+    ref = np.asarray(jax.jit(sdpa_fixed_cache_fn)(q, kc, vc, jnp.int32(700)))
+    rel = np.abs(out - ref).max() / (np.abs(ref).max() + 1e-9)
+    assert rel < 5e-3, rel    # MXU bf16-pass precision
+
+
+def test_gemv_quant_w8a16(rng):
+    import jax.numpy as jnp
+    from pygpukit_tpu.kernels.gemv_quant import gemv_quant
+    n, k = 4096, 4096
+    w = rng.standard_normal((n, k)).astype(np.float32)
+    x = rng.standard_normal(k).astype(np.float32)
+    scale = (np.abs(w).max(axis=1, keepdims=True) / 448.0).astype(np.float32)
+    wq = jnp.asarray(w / scale, jnp.float8_e4m3fn)
+    y = np.asarray(gemv_quant(wq, jnp.asarray(x), jnp.asarray(scale[:, 0])),
+                   np.float32)
+    ref = w @ x
+    rel = np.abs(y - ref).max() / np.abs(ref).max()
+    assert rel < 0.05, rel
+
+
+def test_pallas_gemm(rng):
+    import jax.numpy as jnp
+    from pygpukit_tpu.kernels.gemm import gemm
+    a = jnp.asarray(rng.standard_normal((512, 512)), jnp.bfloat16)
+    b = jnp.asarray(rng.standard_normal((512, 512)), jnp.bfloat16)
+    out = np.asarray(gemm(a, b, force="pallas"), np.float32)
+    ref = np.asarray(a, np.float32) @ np.asarray(b, np.float32)
+    rel = np.abs(out - ref).max() / np.abs(ref).max()
+    assert rel < 2e-2, rel
