@@ -145,24 +145,95 @@ def decoder_fn(cfg: WhisperConfig, params, tokens, audio_features):
                            preferred_element_type=_F32)
 
 
-def greedy_decode_fn(cfg: WhisperConfig, n_steps: int, params,
+def cross_kv_fn(cfg: WhisperConfig, params, audio_features):
+    """Precompute per-layer cross-attention K/V from the audio features
+    (reference: decoder KV cache, decoder.py:253). Returns stacked
+    [L, T_audio, E] pairs — computed once per utterance."""
+    def per_layer(lp):
+        k = _linear(lp, "cross.k", audio_features)
+        v = _linear(lp, "cross.v", audio_features)
+        return k, v
+    ks, vs = jax.vmap(per_layer)(params["dec_layers"])
+    return ks, vs
+
+
+def decoder_step_fn(cfg: WhisperConfig, params, k_self, v_self, cross_k,
+                    cross_v, token, pos):
+    """One cached decoder step: self-attn over the cache (masked beyond
+    pos+1) + cross-attn over precomputed audio K/V. Caches [L, MAX, E]."""
+    e = cfg.d_model
+    h_heads = cfg.n_heads
+    d = e // h_heads
+    x = params["tok_embed"][token][None] + \
+        lax.dynamic_slice_in_dim(params["dec_pos"], pos, 1, axis=0)
+    max_len = k_self.shape[1]
+
+    def block(x, xs):
+        lp, kc, vc, kx, vx = xs
+        h = layernorm_fn(x, lp["ln1.w"], lp["ln1.b"])
+        q = _linear(lp, "self.q", h)
+        k_new = _linear(lp, "self.k", h)
+        v_new = _linear(lp, "self.v", h)
+        kc = lax.dynamic_update_slice(kc, k_new.astype(kc.dtype), (pos, 0))
+        vc = lax.dynamic_update_slice(vc, v_new.astype(vc.dtype), (pos, 0))
+        qh = q.reshape(1, h_heads, d).transpose(1, 0, 2).astype(_F32)
+        kh = kc.reshape(max_len, h_heads, d).transpose(1, 0, 2).astype(_F32)
+        vh = vc.reshape(max_len, h_heads, d).transpose(1, 0, 2).astype(_F32)
+        scores = jnp.einsum("hqd,hkd->hqk", qh, kh) / math.sqrt(d)
+        idx = jnp.arange(max_len)[None, None, :]
+        scores = jnp.where(idx > pos, -1e30, scores)
+        att = jnp.einsum("hqk,hkd->hqd",
+                         jax.nn.softmax(scores, -1), vh)
+        att = att.transpose(1, 0, 2).reshape(1, e).astype(x.dtype)
+        x = x + _linear(lp, "self.out", att)
+        h = layernorm_fn(x, lp["ln2.w"], lp["ln2.b"])
+        q2 = _linear(lp, "cross.q", h)
+        x = x + _linear(lp, "cross.out", _attn(q2, kx, vx, h_heads))
+        h = layernorm_fn(x, lp["ln3.w"], lp["ln3.b"])
+        h = gelu_fn(_linear(lp, "fc1", h))
+        x = x + _linear(lp, "fc2", h)
+        return x, (kc, vc)
+
+    x, (k_self, v_self) = lax.scan(
+        block, x, (params["dec_layers"], k_self, v_self, cross_k, cross_v))
+    x = layernorm_fn(x, params["dec_ln.w"], params["dec_ln.b"])
+    logits = lax.dot_general(x[0], params["tok_embed"],
+                             (((0,), (1,)), ((), ())),
+                             preferred_element_type=_F32)
+    return k_self, v_self, logits
+
+
+def greedy_decode_fn(cfg: WhisperConfig, n_steps: int, max_len: int, params,
                      audio_features, prompt, prompt_len):
-    """Device-side greedy loop: decodes up to n_steps tokens after the
-    prompt using the full-context decoder re-run per step over a fixed
-    window (simple + correct; cached incremental decode is the planned
-    optimisation)."""
-    max_len = prompt.shape[0]
+    """Device-side greedy loop with cached incremental decoding: the prompt
+    is consumed step-by-step (writing the self-attn cache), then n_steps new
+    tokens are generated — all inside ONE executable."""
+    e = cfg.d_model
+    L = params["dec_ln.w"].shape[0] if False else None
+    n_layers = cfg.decoder_layers
+    k_self = jnp.zeros((n_layers, max_len, e), _F32)
+    v_self = jnp.zeros((n_layers, max_len, e), _F32)
+    cross_k, cross_v = cross_kv_fn(cfg, params, audio_features)
 
-    def step(carry, _):
-        tokens, length = carry
-        logits = decoder_fn(cfg, params, tokens, audio_features)
-        nxt = jnp.argmax(logits[length - 1]).astype(jnp.int32)
-        tokens = tokens.at[length].set(nxt)
-        return (tokens, jnp.minimum(length + 1, max_len - 1)), nxt
+    def step(carry, i):
+        kc, vc, cur = carry
+        kc, vc, logits = decoder_step_fn(cfg, params, kc, vc, cross_k,
+                                         cross_v, cur, i)
+        pred = jnp.argmax(logits).astype(jnp.int32)
+        in_prompt = i + 1 < prompt_len
+        nxt = jnp.where(in_prompt, prompt[jnp.minimum(i + 1, max_len - 1)],
+                        pred)
+        emit = jnp.where(in_prompt, jnp.int32(-1), pred)
+        return (kc, vc, nxt), emit
 
-    (tokens, length), toks = lax.scan(
-        step, (prompt, prompt_len), None, length=n_steps)
-    return toks
+    total = max_len - 1
+    (_, _, _), emits = lax.scan(step, (k_self, v_self, prompt[0]),
+                                jnp.arange(total))
+    # first n_steps real emissions (emit == -1 during prompt consumption)
+    real = jnp.where(emits >= 0, emits, 0)
+    is_real = (emits >= 0).astype(jnp.int32)
+    order = jnp.argsort(-is_real, stable=True)      # real tokens first
+    return real[order][:n_steps]
 
 
 class WhisperModel:
@@ -291,7 +362,7 @@ class WhisperModel:
         key = (max_len, max_new_tokens)
         if key not in self._greedy:
             self._greedy[key] = jax.jit(functools.partial(
-                greedy_decode_fn, self.config, max_new_tokens))
+                greedy_decode_fn, self.config, max_new_tokens, max_len))
         prompt = np.zeros((max_len,), np.int32)
         prompt[:len(sot_sequence)] = sot_sequence
         toks = np.asarray(self._greedy[key](

@@ -1,0 +1,68 @@
+"""Continuous-batching engine tests: dynamic join/leave, output equivalence
+with single-sequence generation, slot reuse."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from pygpukit_tpu.llm import CausalTransformerModel, TransformerConfig, init_params
+from pygpukit_tpu.llm.serving import ContinuousBatchingEngine
+
+
+@pytest.fixture(scope="module")
+def model():
+    cfg = TransformerConfig(
+        vocab_size=97, hidden_size=48, num_layers=2, num_heads=4,
+        num_kv_heads=2, intermediate_size=96, head_dim_override=12,
+        max_position_embeddings=256, tie_word_embeddings=True)
+    return CausalTransformerModel(cfg, init_params(cfg, 5, jnp.float32),
+                                  dtype=jnp.float32)
+
+
+def _single_ref(model, prompt, n):
+    model.init_fixed_cache(128)
+    return model.generate(prompt, max_new_tokens=n, temperature=0.0)
+
+
+class TestContinuousBatching:
+    def test_matches_single_sequence(self, model):
+        ref_a = _single_ref(model, [5, 11, 42], 8)
+        ref_b = _single_ref(model, [7, 3], 8)
+        eng = ContinuousBatchingEngine(model, max_batch=4, max_seq_len=128)
+        ra = eng.submit([5, 11, 42], max_new_tokens=8)
+        rb = eng.submit([7, 3], max_new_tokens=8)
+        eng.run_until_complete()
+        assert ra.done and rb.done
+        assert ra.generated == ref_a, (ra.generated, ref_a)
+        assert rb.generated == ref_b
+
+    def test_dynamic_join(self, model):
+        ref_c = _single_ref(model, [9, 9, 1], 6)
+        eng = ContinuousBatchingEngine(model, max_batch=2, max_seq_len=128)
+        r1 = eng.submit([5, 11, 42], max_new_tokens=6)
+        eng.step()
+        eng.step()
+        # join mid-flight
+        r2 = eng.submit([9, 9, 1], max_new_tokens=6)
+        eng.run_until_complete()
+        assert r1.done and r2.done
+        assert r2.generated == ref_c
+
+    def test_slot_reuse_overflow(self, model):
+        # more requests than slots: queue drains as slots free
+        refs = {i: _single_ref(model, [i + 1, 2], 4) for i in range(5)}
+        eng = ContinuousBatchingEngine(model, max_batch=2, max_seq_len=128)
+        reqs = [eng.submit([i + 1, 2], max_new_tokens=4) for i in range(5)]
+        eng.run_until_complete()
+        assert all(r.done for r in reqs)
+        for i, r in enumerate(reqs):
+            assert r.generated == refs[i], f"req {i}"
+        assert eng.stats.requests_completed == 5
+        assert eng.stats.prefills == 5
+
+    def test_ttft_recorded(self, model):
+        eng = ContinuousBatchingEngine(model, max_batch=2, max_seq_len=128)
+        r = eng.submit([1, 2, 3], max_new_tokens=3)
+        eng.run_until_complete()
+        assert r.ttft_s is not None and r.ttft_s >= 0
