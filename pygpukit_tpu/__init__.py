@@ -27,7 +27,7 @@ if _cache_dir and _cache_dir != "0":
 
 __version__ = "0.1.0"
 
-from . import core, kernels, ops
+from . import core, dispatch, jit, kernels, llm, memory, ops, parallel, profiling, scheduler, transfer
 from .core import (
     Array, DataType, DataTypeKind, Event, Stream, StreamManager, StreamPriority,
     arange, capture, default_stream, device_count, dtypes, empty, from_numpy,

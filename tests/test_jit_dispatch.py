@@ -125,3 +125,35 @@ class TestSlicing:
                                    rtol=1e-5)
         assert sched.stats.slices == 4
         assert len(yields) == 4
+
+
+class TestDeterminismHarness:
+    def test_bitwise_replay(self):
+        import jax
+        from pygpukit_tpu.profiling import verify_bitwise_replay
+        f = jax.jit(lambda x: jnp.tanh(x @ x))
+        x = jnp.ones((16, 16))
+        rep = verify_bitwise_replay(f, x)
+        assert rep and rep.runs == 3
+
+    def test_recompile_parity(self):
+        import jax
+        from pygpukit_tpu.profiling import verify_recompile_parity
+        x = jnp.linspace(0, 1, 64).reshape(8, 8)
+        rep = verify_recompile_parity(
+            lambda: jax.jit(lambda a: jnp.exp(a) @ a), x)
+        assert rep
+
+    def test_strategy_equivalence(self):
+        from pygpukit_tpu.llm import (
+            CausalTransformerModel, TransformerConfig, init_params,
+        )
+        from pygpukit_tpu.profiling import verify_strategy_equivalence
+        cfg = TransformerConfig(
+            vocab_size=64, hidden_size=32, num_layers=2, num_heads=4,
+            num_kv_heads=2, intermediate_size=64, head_dim_override=8,
+            max_position_embeddings=256, tie_word_embeddings=True)
+        m = CausalTransformerModel(cfg, init_params(cfg, 9, jnp.float32),
+                                   dtype=jnp.float32)
+        rep = verify_strategy_equivalence(m, [3, 7], n_tokens=8)
+        assert rep, rep.detail
