@@ -89,30 +89,15 @@ def _mlp(cfg: TransformerConfig, lp, y):
 def _moe_mlp(cfg: TransformerConfig, lp, y):
     """Top-k routed expert MLP (reference: llm/layers/moe.py:29,153).
 
-    Dense one-hot formulation: per-token expert mix computed with static
-    shapes, all matmuls on the MXU. w_experts_* are stacked [E, in, out].
+    Default: dense one-hot formulation (static shapes, always available).
+    PYGPUKIT_MOE=gmm on TPU switches to the ragged megablox grouped-matmul
+    path — minimal top-k FLOPs instead of all-experts.
     """
-    t = y.shape[0]
+    from ..ops.moe import moe_dense_fn, moe_gmm_fn, use_gmm
     router = jnp.dot(y.astype(_F32), lp["w_router"])           # [T, E]
-    topv, topi = lax.top_k(router, cfg.num_experts_per_tok)     # [T, K]
-    weights = jax.nn.softmax(topv, axis=-1)                     # [T, K]
-    num_e = cfg.num_experts
-    # combine weights over experts: [T, E]
-    combine = jnp.zeros((t, num_e), _F32)
-    combine = jnp.take_along_axis(
-        combine, topi, axis=1
-    ) if False else combine.at[jnp.arange(t)[:, None], topi].set(weights)
-
-    def expert_fwd(w_gate, w_up, w_down):
-        g = jnp.dot(y, w_gate, preferred_element_type=_F32).astype(y.dtype)
-        u = jnp.dot(y, w_up, preferred_element_type=_F32).astype(y.dtype)
-        return jnp.dot(swiglu_fn(g, u), w_down,
-                       preferred_element_type=_F32)             # [T, H]
-
-    per_expert = jax.vmap(expert_fwd)(
-        lp["w_experts_gate"], lp["w_experts_up"], lp["w_experts_down"]
-    )                                                           # [E, T, H]
-    out = jnp.einsum("te,eth->th", combine, per_expert)
+    fn = moe_gmm_fn if use_gmm() else moe_dense_fn
+    out = fn(y, lp["w_experts_gate"], lp["w_experts_up"],
+             lp["w_experts_down"], router, cfg.num_experts_per_tok)
     return out.astype(y.dtype)
 
 

@@ -208,6 +208,52 @@ def grouped_matmul(a, b_stack, group_ids, *, out: Array | None = None) -> Array:
     return apply_op(_f, a, b_stack, group_ids, out=out)
 
 
+def quantize_fp8_block(w, block: int = 128) -> tuple[Array, Array]:
+    """Blockwise fp8 quantization (reference: SM120 blockwise fp8 GEMM,
+    native/ops/matmul/gemm/fp8_block_scale — the ~0.1%-error envelope).
+
+    w [K, N] → (q fp8 [K, N], scales f32 [K/block, N/block]); K, N padded to
+    block multiples by the caller if needed.
+    """
+    wj = as_jax(w).astype(_F32)
+    k, n = wj.shape
+    kb, nb = -(-k // block), -(-n // block)
+    pad_k, pad_n = kb * block - k, nb * block - n
+    wp = jnp.pad(wj, ((0, pad_k), (0, pad_n)))
+    blocks = wp.reshape(kb, block, nb, block)
+    fmax = float(jnp.finfo(jnp.float8_e4m3fn).max)
+    amax = jnp.max(jnp.abs(blocks), axis=(1, 3))          # [kb, nb]
+    scale = jnp.maximum(amax / fmax, 1e-12)
+    q = (blocks / scale[:, None, :, None]).astype(jnp.float8_e4m3fn)
+    q = q.reshape(kb * block, nb * block)[:k, :n]
+    return Array(q), Array(scale)
+
+
+def matmul_fp8_block(a, w_q, w_scale, *, block: int = 128,
+                     out_dtype=jnp.bfloat16, out: Array | None = None) -> Array:
+    """x [M, K] @ blockwise-fp8 W [K, N] with per-(Kblock, Nblock) scales.
+
+    Per-block partial dots accumulate in f32 with the block scale applied
+    before the K-reduction — the same math as the reference's blockwise MMA
+    epilogue, expressed as one einsum that XLA tiles onto the MXU.
+    """
+    def _f(x, wq, ws):
+        m, k = x.shape
+        n = wq.shape[1]
+        kb, nb = ws.shape
+        pad_k, pad_n = kb * block - k, nb * block - n
+        xp = jnp.pad(x.astype(jnp.bfloat16), ((0, 0), (0, pad_k)))
+        wp = jnp.pad(wq, ((0, pad_k), (0, pad_n)))
+        xb = xp.reshape(m, kb, block)
+        wb = wp.reshape(kb, block, nb, block).astype(jnp.bfloat16)
+        # partial per (K-block, N-block) dots, then scale and reduce over kb
+        part = jnp.einsum("mkc,kcnd->mknd", xb, wb,
+                          preferred_element_type=_F32)      # [M,kb,nb,block]
+        y = jnp.einsum("mknd,kn->mnd", part, ws).reshape(m, nb * block)
+        return y[:, :n].astype(out_dtype)
+    return apply_op(_f, a, w_q, w_scale, out=out)
+
+
 # ---------------------------------------------------------------------------
 # Availability probes (reference: ops/matmul/availability.py)
 # ---------------------------------------------------------------------------

@@ -1,0 +1,84 @@
+"""MoE dispatch ops (reference: native/ops/moe/* — top-k routing, permute,
+grouped GEMM with per-row expert IDs; llm/layers/moe.py:29,153).
+
+Two exact (no token dropping) formulations:
+
+* dense one-hot: every expert processes every token, combined by the routing
+  weights — simple, always available, cost E× the minimal FLOPs.
+* ragged gmm: tokens sorted by expert, grouped matmul over contiguous expert
+  segments via the Mosaic ``megablox.gmm`` kernel (TPU only) — cost is the
+  minimal top-k× FLOPs. Gated by PYGPUKIT_MOE=gmm.
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import jax.numpy as jnp
+
+_F32 = jnp.float32
+
+
+def topk_route_fn(router_logits, k: int):
+    """[T, E] logits -> (weights [T,k] softmaxed, expert ids [T,k])."""
+    topv, topi = jax.lax.top_k(router_logits, k)
+    return jax.nn.softmax(topv, axis=-1), topi
+
+
+def moe_gmm_fn(y, w_gate, w_up, w_down, router_logits, k: int):
+    """Exact ragged MoE forward via megablox grouped matmul.
+
+    y [T, H]; w_* [E, H, I] / [E, I, H]; router_logits [T, E].
+    Tokens are replicated top-k times, sorted by expert, run through
+    contiguous grouped matmuls, then combined with routing weights.
+    """
+    from jax.experimental.pallas.ops.tpu.megablox import gmm
+
+    t, h = y.shape
+    e = w_gate.shape[0]
+    weights, topi = topk_route_fn(router_logits.astype(_F32), k)
+
+    flat_expert = topi.reshape(-1)                       # [T*k]
+    flat_token = jnp.repeat(jnp.arange(t), k)            # [T*k]
+    flat_w = weights.reshape(-1)
+    order = jnp.argsort(flat_expert)                     # stable
+    sorted_tokens = flat_token[order]
+    sorted_w = flat_w[order]
+    group_sizes = jnp.bincount(flat_expert, length=e).astype(jnp.int32)
+
+    lhs = y[sorted_tokens]                               # [T*k, H]
+    gate = gmm(lhs, w_gate, group_sizes)                 # [T*k, I]
+    up = gmm(lhs, w_up, group_sizes)
+    act = (jax.nn.sigmoid(gate.astype(_F32)) * gate.astype(_F32)
+           * up.astype(_F32)).astype(lhs.dtype)
+    down = gmm(act, w_down, group_sizes)                 # [T*k, H]
+
+    out = jnp.zeros((t, h), _F32)
+    out = out.at[sorted_tokens].add(down.astype(_F32) * sorted_w[:, None])
+    return out
+
+
+def moe_dense_fn(y, w_gate, w_up, w_down, router_logits, k: int):
+    """Dense one-hot formulation (always available; the CPU/parity path)."""
+    t = y.shape[0]
+    e = w_gate.shape[0]
+    weights, topi = topk_route_fn(router_logits.astype(_F32), k)
+    combine = jnp.zeros((t, e), _F32)
+    combine = combine.at[jnp.arange(t)[:, None], topi].set(weights)
+
+    def expert_fwd(wg, wu, wd):
+        g = jnp.dot(y, wg, preferred_element_type=_F32).astype(y.dtype)
+        u = jnp.dot(y, wu, preferred_element_type=_F32).astype(y.dtype)
+        act = (jax.nn.sigmoid(g.astype(_F32)) * g.astype(_F32)
+               * u.astype(_F32)).astype(y.dtype)
+        return jnp.dot(act, wd, preferred_element_type=_F32)
+
+    per_expert = jax.vmap(expert_fwd)(w_gate, w_up, w_down)   # [E, T, H]
+    return jnp.einsum("te,eth->th", combine, per_expert)
+
+
+def use_gmm() -> bool:
+    from ..core.backend import get_backend
+    return (os.environ.get("PYGPUKIT_MOE", "") == "gmm"
+            and get_backend().platform == "tpu")

@@ -73,3 +73,18 @@ def test_pallas_gemm(rng):
     ref = np.asarray(a, np.float32) @ np.asarray(b, np.float32)
     rel = np.abs(out - ref).max() / np.abs(ref).max()
     assert rel < 2e-2, rel
+
+
+def test_moe_gmm_matches_dense(rng):
+    import jax.numpy as jnp
+    from pygpukit_tpu.ops.moe import moe_dense_fn, moe_gmm_fn
+    t, h, i, e, k = 64, 128, 256, 4, 2
+    y = jnp.asarray(rng.standard_normal((t, h)), jnp.float32)
+    wg = jnp.asarray(rng.standard_normal((e, h, i)) * 0.05, jnp.float32)
+    wu = jnp.asarray(rng.standard_normal((e, h, i)) * 0.05, jnp.float32)
+    wd = jnp.asarray(rng.standard_normal((e, i, h)) * 0.05, jnp.float32)
+    logits = jnp.asarray(rng.standard_normal((t, e)), jnp.float32)
+    dense = np.asarray(jax.jit(lambda *a: moe_dense_fn(*a, 2))(y, wg, wu, wd, logits))
+    ragged = np.asarray(jax.jit(lambda *a: moe_gmm_fn(*a, 2))(y, wg, wu, wd, logits))
+    rel = np.abs(ragged - dense).max() / (np.abs(dense).max() + 1e-9)
+    assert rel < 5e-3, rel
