@@ -3,13 +3,13 @@ from .analysis import (
     vad_hangover, vad_zcr, yin_pitch,
 )
 from .core import (
-    AudioBuffer, amplitude_to_db, db_to_amplitude, frame_signal, griffin_lim,
+    AudioBuffer, RingBuffer, amplitude_to_db, db_to_amplitude, frame_signal, griffin_lim,
     hann_window, istft, log_melspectrogram, mel_filterbank, melspectrogram,
     mfcc, preemphasis, resample, stft,
 )
 
 __all__ = [
-    "AudioBuffer", "amplitude_to_db", "db_to_amplitude", "frame_signal",
+    "AudioBuffer", "RingBuffer", "amplitude_to_db", "db_to_amplitude", "frame_signal",
     "griffin_lim", "hann_window", "istft", "log_melspectrogram",
     "mel_filterbank", "melspectrogram", "mfcc", "preemphasis", "resample",
     "stft", "chroma", "cqt", "hpss", "normalize", "pitch_shift",

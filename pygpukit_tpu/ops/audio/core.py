@@ -206,3 +206,43 @@ def db_to_amplitude(db):
 
 def amplitude_to_db(amp, eps: float = 1e-10):
     return 20.0 * jnp.log10(jnp.maximum(amp, eps))
+
+
+class RingBuffer:
+    """Streaming audio ring buffer (reference: native audio ring buffer,
+    audio.hpp — feeds realtime pipelines with fixed memory)."""
+
+    def __init__(self, capacity: int):
+        self.capacity = capacity
+        self._buf = np.zeros(capacity, np.float32)
+        self._write = 0
+        self._count = 0
+
+    def push(self, samples: np.ndarray) -> None:
+        s = np.asarray(samples, np.float32).ravel()
+        if len(s) >= self.capacity:
+            self._buf[:] = s[-self.capacity:]
+            self._write = 0
+            self._count = self.capacity
+            return
+        end = self._write + len(s)
+        if end <= self.capacity:
+            self._buf[self._write:end] = s
+        else:
+            split = self.capacity - self._write
+            self._buf[self._write:] = s[:split]
+            self._buf[:end - self.capacity] = s[split:]
+        self._write = end % self.capacity
+        self._count = min(self._count + len(s), self.capacity)
+
+    def read_latest(self, n: int) -> np.ndarray:
+        """Most recent n samples in chronological order."""
+        n = min(n, self._count)
+        start = (self._write - n) % self.capacity
+        if start + n <= self.capacity:
+            return self._buf[start:start + n].copy()
+        split = self.capacity - start
+        return np.concatenate([self._buf[start:], self._buf[:n - split]])
+
+    def __len__(self) -> int:
+        return self._count

@@ -131,3 +131,19 @@ class TestEffects:
         x, sr = sine
         y = np.asarray(audio.normalize(jnp.asarray(x), target_db=-6.0))
         assert abs(np.abs(y).max() - 10 ** (-6 / 20)) < 1e-3
+
+
+class TestRingBuffer:
+    def test_push_read_wraparound(self):
+        rb = audio.RingBuffer(8)
+        rb.push(np.arange(5, dtype=np.float32))
+        assert len(rb) == 5
+        np.testing.assert_array_equal(rb.read_latest(3), [2, 3, 4])
+        rb.push(np.arange(5, 11, dtype=np.float32))   # wraps
+        assert len(rb) == 8
+        np.testing.assert_array_equal(rb.read_latest(4), [7, 8, 9, 10])
+
+    def test_oversized_push(self):
+        rb = audio.RingBuffer(4)
+        rb.push(np.arange(10, dtype=np.float32))
+        np.testing.assert_array_equal(rb.read_latest(4), [6, 7, 8, 9])
