@@ -60,11 +60,16 @@ def sdpa_causal_fn(q, k, v, scale: float | None = None):
     return jnp.transpose(out, (1, 0, 2)).astype(q.dtype)
 
 
-def _use_pallas_attention() -> bool:
+def _attention_backend() -> str:
+    """"" | "pallas" | "jax" — env-selected flash-attention backend
+    (reference pattern: PYGPUKIT_FA3 / PYGPUKIT_FLASH_ATTENTION gates,
+    sdpa_causal.inl:37-126)."""
     import os
     from ...core.backend import get_backend
-    return (os.environ.get("PYGPUKIT_FLASH_ATTENTION", "") == "pallas"
-            and get_backend().platform == "tpu")
+    mode = os.environ.get("PYGPUKIT_FLASH_ATTENTION", "")
+    if mode in ("pallas", "jax") and get_backend().platform == "tpu":
+        return mode
+    return ""
 
 
 def flash_attention_fn(q, k, v, scale: float | None = None,
@@ -77,9 +82,21 @@ def flash_attention_fn(q, k, v, scale: float | None = None,
     """
     s, h, d = q.shape
     scale = scale if scale is not None else 1.0 / math.sqrt(d)
-    if _use_pallas_attention() and scale == 1.0 / math.sqrt(d):
-        from ...kernels.flash_attention import flash_attention as _pfa
-        return _pfa(q, k, v, causal=causal)
+    backend = _attention_backend()
+    if backend and scale == 1.0 / math.sqrt(d):
+        if backend == "pallas":
+            from ...kernels.flash_attention import flash_attention as _pfa
+            return _pfa(q, k, v, causal=causal)
+        # jax-shipped TPU flash kernel ([B,H,S,D] layout)
+        from jax.experimental.pallas.ops.tpu.flash_attention import (
+            flash_attention as _jfa,
+        )
+        kq = _gqa_expand(k, h)
+        vq = _gqa_expand(v, h)
+        out = _jfa(jnp.transpose(q, (1, 0, 2))[None],
+                   jnp.transpose(kq, (1, 0, 2))[None],
+                   jnp.transpose(vq, (1, 0, 2))[None], causal=causal)
+        return jnp.transpose(out[0], (1, 0, 2)).astype(q.dtype)
     k = _gqa_expand(k, h)
     v = _gqa_expand(v, h)
     if s <= chunk_size:

@@ -88,3 +88,19 @@ def test_moe_gmm_matches_dense(rng):
     ragged = np.asarray(jax.jit(lambda *a: moe_gmm_fn(*a, 2))(y, wg, wu, wd, logits))
     rel = np.abs(ragged - dense).max() / (np.abs(dense).max() + 1e-9)
     assert rel < 5e-3, rel
+
+
+def test_jax_flash_backend_gate(rng):
+    import os
+    import jax.numpy as jnp
+    from pygpukit_tpu.ops.nn.attention import flash_attention_fn, sdpa_causal_fn
+    s, h, d = 256, 4, 128
+    q = jnp.asarray(rng.standard_normal((s, h, d)), jnp.float32)
+    os.environ["PYGPUKIT_FLASH_ATTENTION"] = "jax"
+    try:
+        out = np.asarray(flash_attention_fn(q, q, q))
+    finally:
+        del os.environ["PYGPUKIT_FLASH_ATTENTION"]
+    ref = np.asarray(jax.jit(sdpa_causal_fn)(q, q, q))
+    rel = np.abs(out - ref).max() / (np.abs(ref).max() + 1e-9)
+    assert rel < 5e-3, rel
