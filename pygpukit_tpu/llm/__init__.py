@@ -14,7 +14,7 @@ from .decode import (
     STRATEGIES, DecodeBatch, DecodeJacobi, DecodeM1, DecodeM1Graph,
     DecodeSpeculative, DecodeStrategy,
 )
-from .model import CausalTransformerModel, KVSnapshot, init_params
+from .model import CausalTransformerModel, KVSnapshot, fuse_params, init_params
 from .quant import (
     FP8QuantConfig, QATConfig, PruningConfig, QuantizationMetadata,
     dequantize_model_params, quantize_model_params, quantize_weight,

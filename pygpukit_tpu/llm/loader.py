@@ -93,7 +93,8 @@ def _infer_config(st, spec: ModelSpec, hf_cfg: dict | None) -> TransformerConfig
 def load_model_from_safetensors(path, dtype=jnp.bfloat16,
                                 spec: ModelSpec | None = None,
                                 config: TransformerConfig | None = None,
-                                max_seq_len: int | None = None
+                                max_seq_len: int | None = None,
+                                fuse: bool = False
                                 ) -> CausalTransformerModel:
     """Load any supported checkpoint into a CausalTransformerModel
     (reference: load_model_from_safetensors, llm/loader.py:132)."""
@@ -196,6 +197,9 @@ def load_model_from_safetensors(path, dtype=jnp.bfloat16,
 
     import jax
     params["layers"] = jax.tree.map(lambda *xs: jnp.stack(xs), *layers)
+    if fuse:
+        from .model import fuse_params
+        params = fuse_params(params)
     model = CausalTransformerModel(config, params, spec=spec, dtype=dtype)
     if max_seq_len is not None:
         model.init_fixed_cache(max_seq_len)

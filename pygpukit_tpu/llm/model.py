@@ -72,8 +72,12 @@ def _mlp(cfg: TransformerConfig, lp, y):
     if cfg.is_moe:
         return _moe_mlp(cfg, lp, y)
     if cfg.activation == "silu":
-        gate = _mm(y, lp["w_gate"])
-        up = _mm(y, lp["w_up"])
+        if "w_gate_up" in lp:
+            gu = _mm(y, lp["w_gate_up"])
+            gate, up = jnp.split(gu, 2, axis=-1)
+        else:
+            gate = _mm(y, lp["w_gate"])
+            up = _mm(y, lp["w_up"])
         act = swiglu_fn(gate, up)
         return _mm(act, lp["w_down"])
     h = _mm(y, lp["w_fc1"]).astype(_F32)
@@ -104,10 +108,23 @@ def _moe_mlp(cfg: TransformerConfig, lp, y):
 def _project_qkv(cfg: TransformerConfig, lp, x):
     s = x.shape[0]
     hq, hk, d = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
-    q = _mm(x, lp["w_q"]).astype(_F32)
-    k = _mm(x, lp["w_k"]).astype(_F32)
-    v = _mm(x, lp["w_v"]).astype(_F32)
-    if "b_q" in lp:
+    if "w_qkv" in lp:
+        # fused projection: one matmul instead of three (decode is
+        # launch/bandwidth bound; fusion reads x once and fills the MXU)
+        qkv = _mm(x, lp["w_qkv"]).astype(_F32)
+        q = qkv[:, :hq * d]
+        k = qkv[:, hq * d:hq * d + hk * d]
+        v = qkv[:, hq * d + hk * d:]
+    else:
+        q = _mm(x, lp["w_q"]).astype(_F32)
+        k = _mm(x, lp["w_k"]).astype(_F32)
+        v = _mm(x, lp["w_v"]).astype(_F32)
+    if "b_qkv" in lp:
+        b = lp["b_qkv"].astype(_F32)
+        q = q + b[:hq * d]
+        k = k + b[hq * d:hq * d + hk * d]
+        v = v + b[hq * d + hk * d:]
+    elif "b_q" in lp:
         q = q + lp["b_q"].astype(_F32)
         k = k + lp["b_k"].astype(_F32)
         v = v + lp["b_v"].astype(_F32)
@@ -328,6 +345,30 @@ def generate_scan_fn(cfg: TransformerConfig, n_steps: int, temperature: float,
     (k_cache, v_cache, token, pos, key), toks = lax.scan(
         step, (k_cache, v_cache, token, pos, key), None, length=n_steps)
     return k_cache, v_cache, toks
+
+
+def fuse_params(params: dict) -> dict:
+    """Pack per-layer q/k/v and gate/up projections into fused matrices.
+
+    Decode is launch/bandwidth bound: one [E, (Hq+2Hk)D] matmul beats three,
+    and one [E, 2I] beats two. Dense (non-quantized) leaves only; biases are
+    fused likewise. The fused pytree drops the unfused leaves.
+    """
+    layers = dict(params["layers"])
+    dense = lambda k: k in layers and not isinstance(layers[k], dict)
+    if all(dense(k) for k in ("w_q", "w_k", "w_v")):
+        layers["w_qkv"] = jnp.concatenate(
+            [layers.pop("w_q"), layers.pop("w_k"), layers.pop("w_v")], axis=-1)
+        if "b_q" in layers:
+            layers["b_qkv"] = jnp.concatenate(
+                [layers.pop("b_q"), layers.pop("b_k"), layers.pop("b_v")],
+                axis=-1)
+    if all(dense(k) for k in ("w_gate", "w_up")):
+        layers["w_gate_up"] = jnp.concatenate(
+            [layers.pop("w_gate"), layers.pop("w_up")], axis=-1)
+    out = dict(params)
+    out["layers"] = layers
+    return out
 
 
 def slice_layers(params: dict, n_layers: int) -> dict:

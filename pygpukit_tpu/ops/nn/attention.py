@@ -95,7 +95,8 @@ def flash_attention_fn(q, k, v, scale: float | None = None,
         vq = _gqa_expand(v, h)
         out = _jfa(jnp.transpose(q, (1, 0, 2))[None],
                    jnp.transpose(kq, (1, 0, 2))[None],
-                   jnp.transpose(vq, (1, 0, 2))[None], causal=causal)
+                   jnp.transpose(vq, (1, 0, 2))[None],
+                   causal=causal, sm_scale=scale)
         return jnp.transpose(out[0], (1, 0, 2)).astype(q.dtype)
     k = _gqa_expand(k, h)
     v = _gqa_expand(v, h)

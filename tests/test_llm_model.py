@@ -151,3 +151,17 @@ class TestDeterminism:
         logits = model.decode_step(out_a[0]) if False else None
         out_b = model.generate([1, 7, 3], max_new_tokens=4, temperature=0.0)
         assert out_a == out_b
+
+
+class TestFusedProjections:
+    def test_fused_matches_unfused(self, llama_ckpt):
+        d, m = llama_ckpt
+        import torch
+        fused = llm.load_model_from_safetensors(d, dtype="float32", fuse=True)
+        assert "w_qkv" in fused.params["layers"]
+        assert "w_gate_up" in fused.params["layers"]
+        prompt = [1, 45, 100]
+        out = fused.generate(prompt, max_new_tokens=8, temperature=0.0)
+        ref = m.generate(torch.tensor([prompt]), max_new_tokens=8,
+                         do_sample=False)[0, len(prompt):].tolist()
+        assert out == ref
