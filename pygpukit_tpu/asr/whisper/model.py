@@ -209,7 +209,6 @@ def greedy_decode_fn(cfg: WhisperConfig, n_steps: int, max_len: int, params,
     is consumed step-by-step (writing the self-attn cache), then n_steps new
     tokens are generated — all inside ONE executable."""
     e = cfg.d_model
-    L = params["dec_ln.w"].shape[0] if False else None
     n_layers = cfg.decoder_layers
     k_self = jnp.zeros((n_layers, max_len, e), _F32)
     v_self = jnp.zeros((n_layers, max_len, e), _F32)

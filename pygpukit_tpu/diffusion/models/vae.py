@@ -96,8 +96,7 @@ def decoder_fn(cfg: VAEConfig, p, z):
         if i < n_blocks - 1:
             h = upsample2x(p, f"up.{i}.upsample", h)
     h = groupnorm_nchw(h, p["norm_out.w"], p["norm_out.b"], groups)
-    return jnp.tanh(_conv(p, "conv_out", silu(h))) if False else \
-        _conv(p, "conv_out", silu(h))
+    return _conv(p, "conv_out", silu(h))
 
 
 def encoder_fn(cfg: VAEConfig, p, x, key=None):

@@ -135,18 +135,13 @@ def flash_attention(q, k, v, causal: bool = True, bq: int = 256,
     bk = min(bk, max(128, 1 << (s - 1).bit_length()))
     sp = _cdiv(s, bq) * bq
     spk = _cdiv(s, bk) * bk
-    sp = max(sp, spk) if False else sp
     qh = jnp.transpose(q, (1, 0, 2))
     kh = jnp.transpose(k, (1, 0, 2))
     vh = jnp.transpose(v, (1, 0, 2))
     if sp != s or spk != s:
         qh = jnp.pad(qh, ((0, 0), (0, sp - s), (0, 0)))
-        kh = jnp.pad(kh, ((0, 0), (0, spk - s), (0, 0)),
-                     constant_values=0.0)
+        kh = jnp.pad(kh, ((0, 0), (0, spk - s), (0, 0)))
         vh = jnp.pad(vh, ((0, 0), (0, spk - s), (0, 0)))
-        # mask padded keys by pushing them after every query (causal handles
-        # it); for non-causal pad region contributes exp(-inf)=0 via k index
-        # masking in-kernel only when causal — guard by masking scores here:
     out = _flash_pallas(qh, kh, vh, bq=bq, bk=bk, causal=causal, true_s=s,
                         interpret=interpret_mode())
     out = out[:, :s]

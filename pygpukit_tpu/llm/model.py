@@ -49,8 +49,17 @@ def _mm(x, w):
     the traffic), the MXU computes in bf16, XLA fuses upconvert + scale.
     """
     if isinstance(w, dict):
-        acc = jnp.dot(x.astype(jnp.bfloat16), w["q"].astype(jnp.bfloat16),
-                      preferred_element_type=_F32)
+        if "q_packed" in w:
+            from .quant import unpack_int4
+            q = unpack_int4(w["q_packed"])
+            k_un = q.shape[-2]
+            xb = x.astype(jnp.bfloat16)
+            if xb.shape[-1] < k_un:   # pack padding: zero-extend activations
+                xb = jnp.pad(xb, ((0, 0), (0, k_un - xb.shape[-1])))
+        else:
+            q = w["q"]
+            xb = x.astype(jnp.bfloat16)
+        acc = jnp.dot(xb, q.astype(jnp.bfloat16), preferred_element_type=_F32)
         return (acc * w["scale"]).astype(x.dtype)
     return jnp.dot(x, w, preferred_element_type=_F32).astype(x.dtype)
 

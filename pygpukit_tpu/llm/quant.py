@@ -55,9 +55,11 @@ class QuantizationMetadata:
 # Weight quantization
 # ---------------------------------------------------------------------------
 
+# expert weights excluded by default: the MoE dispatch paths consume dense
+# leaves (quantized-MoE lands with the ragged-kernel rework)
 _QUANT_KEYS = {
-    "w_q", "w_k", "w_v", "w_o", "w_gate", "w_up", "w_down", "w_fc1", "w_fc2",
-    "w_experts_gate", "w_experts_up", "w_experts_down",
+    "w_q", "w_k", "w_v", "w_o", "w_qkv", "w_gate", "w_up", "w_gate_up",
+    "w_down", "w_fc1", "w_fc2",
 }
 
 
@@ -73,15 +75,37 @@ def quantize_weight(w: jnp.ndarray, mode: str = "fp8") -> dict:
         scale = jnp.maximum(amax / 127.0, 1e-12)
         q = jnp.clip(jnp.round(wf / scale), -127, 127).astype(jnp.int8)
     elif mode == "int4":
+        # packed storage: two 4-bit values per uint8 along the in-dim
+        # (reference: int4 packed-uint8 dtype, core/dtypes.py — jax's native
+        # S4 arrays cannot round-trip AOT executables on this runtime)
         scale = jnp.maximum(amax / 7.0, 1e-12)
-        q = jnp.clip(jnp.round(wf / scale), -7, 7).astype(jnp.int4)
+        q = jnp.clip(jnp.round(wf / scale), -7, 7).astype(jnp.int8)
+        if q.shape[-2] % 2:
+            pad = [(0, 0)] * q.ndim
+            pad[-2] = (0, 1)
+            q = jnp.pad(q, pad)
+        lo = q[..., 0::2, :] & 0xF
+        hi = q[..., 1::2, :] & 0xF
+        packed = (lo | (hi << 4)).astype(jnp.uint8)
+        return {"q_packed": packed, "scale": scale}
     else:
         raise ValueError(f"unknown quant mode {mode!r}")
     return {"q": q, "scale": scale}
 
 
+def unpack_int4(packed):
+    """[..., K/2, N] uint8 -> [..., K, N] int8 (sign-extended nibbles).
+    K includes any pack padding; callers zero-pad activations to match."""
+    lo = ((packed << 4).astype(jnp.int8) >> 4)
+    hi = packed.astype(jnp.int8) >> 4
+    stacked = jnp.stack([lo, hi], axis=-2)            # [..., K/2, 2, N]
+    shape = packed.shape[:-2] + (packed.shape[-2] * 2, packed.shape[-1])
+    return stacked.reshape(shape)
+
+
 def dequantize_weight(wq: dict, dtype=jnp.bfloat16) -> jnp.ndarray:
-    return (wq["q"].astype(jnp.float32) * wq["scale"]).astype(dtype)
+    q = unpack_int4(wq["q_packed"]) if "q_packed" in wq else wq["q"]
+    return (q.astype(jnp.float32) * wq["scale"]).astype(dtype)
 
 
 def quantize_model_params(params: dict, mode: str = "fp8",
@@ -104,7 +128,7 @@ def dequantize_model_params(params: dict, dtype=jnp.bfloat16) -> dict:
     out = dict(params)
     layers = dict(params["layers"])
     for k, v in layers.items():
-        if isinstance(v, dict) and "q" in v:
+        if isinstance(v, dict) and ("q" in v or "q_packed" in v):
             layers[k] = dequantize_weight(v, dtype)
     out["layers"] = layers
     return out
@@ -114,11 +138,11 @@ def model_quant_bytes(params: dict) -> tuple[int, int]:
     """(quantized_bytes, dense_equivalent_bytes) for the layer stack."""
     qb = db = 0
     for k, v in params["layers"].items():
-        if isinstance(v, dict) and "q" in v:
-            n = v["q"].size
-            qb += int(n * jnp.dtype(v["q"].dtype).itemsize
-                      if v["q"].dtype != jnp.int4 else n // 2)
-            db += n * 2
+        if isinstance(v, dict) and ("q" in v or "q_packed" in v):
+            q = v.get("q", v.get("q_packed"))
+            n = q.size
+            qb += int(n * jnp.dtype(q.dtype).itemsize)
+            db += (n * 2 if "q" in v else n * 4)  # packed holds 2 values/byte
         else:
             sz = int(v.size * jnp.dtype(v.dtype).itemsize)
             qb += sz

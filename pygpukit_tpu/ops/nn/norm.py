@@ -44,9 +44,7 @@ def l2norm_fn(x, eps: float = 1e-12):
 def groupnorm_fn(x, weight, bias, num_groups: int, eps: float = 1e-5):
     """GroupNorm over channel dim (NHWC layout; diffusion VAE/UNet,
     reference: native/ops/nn/diffusion group_norm)."""
-    *lead, c = x.shape
-    xf = x.astype(_F32).reshape(*lead[:-2], -1, num_groups, c // num_groups) \
-        if False else x.astype(_F32)
+    xf = x.astype(_F32)
     n, h, w, cc = xf.shape
     g = num_groups
     xg = xf.reshape(n, h * w, g, cc // g)

@@ -148,7 +148,6 @@ class TestDeterminism:
         snap = model.snapshot_kv_cache()
         out_a = model.generate([1, 7, 3], max_new_tokens=4, temperature=0.0)
         model.restore_kv_cache(snap)
-        logits = model.decode_step(out_a[0]) if False else None
         out_b = model.generate([1, 7, 3], max_new_tokens=4, temperature=0.0)
         assert out_a == out_b
 
