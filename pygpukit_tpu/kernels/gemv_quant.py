@@ -92,3 +92,87 @@ def gemv_quant(w_q, x, scale=None, bn: int = 1024, bk: int = 1024):
     out = _gemv_pallas(w_q, xr, sc, bn=bn, bk=bk,
                        interpret=interpret_mode())
     return out[0, :n]
+
+
+def _gemv_packed_kernel(w_ref, xlo_ref, xhi_ref, scale_ref, o_ref, acc_ref,
+                        *, n_k: int):
+    """Packed-int4 GEMV: w tile [bn, bk_half] uint8, nibbles unpacked to bf16
+    in-register (the reference's int4 GEMV trick, gemv/int4*). Split-half
+    layout: low nibble pairs with x[:, :K/2], high with x[:, K/2:] — two
+    dots, no sub-32-bit interleave."""
+    ki = pl.program_id(1)
+
+    @pl.when(ki == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    # nibble extraction in int32 (Mosaic cannot legalize 8-bit shifts):
+    # sign-extend low nibble via <<28>>28, high via <<24>>28
+    p32 = w_ref[:].astype(jnp.int32)             # [bn, bk_half]
+    lo = ((p32 << 28) >> 28).astype(jnp.bfloat16)
+    hi = ((p32 << 24) >> 28).astype(jnp.bfloat16)
+    xlo = xlo_ref[:].astype(jnp.bfloat16)        # [rows, bk_half]
+    xhi = xhi_ref[:].astype(jnp.bfloat16)
+    acc_ref[:] += jax.lax.dot_general(
+        xlo, lo, (((1,), (1,)), ((), ())), preferred_element_type=_F32)
+    acc_ref[:] += jax.lax.dot_general(
+        xhi, hi, (((1,), (1,)), ((), ())), preferred_element_type=_F32)
+
+    @pl.when(ki == n_k - 1)
+    def _():
+        o_ref[:] = (acc_ref[:] * scale_ref[:].astype(_F32)).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("bn", "bk_half", "interpret"))
+def _gemv_packed_pallas(w_packed, x_lo, x_hi, scale, *, bn: int,
+                        bk_half: int, interpret: bool):
+    n, k_half = w_packed.shape
+    rows = x_lo.shape[0]
+    n_k = _cdiv(k_half, bk_half)
+    kernel = functools.partial(_gemv_packed_kernel, n_k=n_k)
+    return pl.pallas_call(
+        kernel,
+        grid=(_cdiv(n, bn), n_k),
+        in_specs=[
+            pl.BlockSpec((bn, bk_half), lambda ni, ki: (ni, ki)),
+            pl.BlockSpec((rows, bk_half), lambda ni, ki: (0, ki)),
+            pl.BlockSpec((rows, bk_half), lambda ni, ki: (0, ki)),
+            pl.BlockSpec((1, bn), lambda ni, ki: (0, ni)),
+        ],
+        out_specs=pl.BlockSpec((rows, bn), lambda ni, ki: (0, ni)),
+        out_shape=jax.ShapeDtypeStruct((rows, n), jnp.bfloat16),
+        scratch_shapes=[pltpu.VMEM((rows, bn), _F32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n * k_half * 2,
+            bytes_accessed=n * k_half + k_half * 2 * 2 + n * 2,
+            transcendentals=0),
+        interpret=interpret,
+    )(w_packed, x_lo, x_hi, scale)
+
+
+@functools.partial(jax.jit, static_argnames=("bn", "bk_half"))
+def gemv_int4_packed(w_packed, x, scale=None, bn: int = 512,
+                     bk_half: int = 512):
+    """y[rows,N] = x[rows,K] @ unpack(W_packed[N, K/2]).T with per-column
+    scales. Split-half packing: low nibble = W[:, :K/2], high = W[:, K/2:]
+    (matches llm/quant.quantize_weight int4 layout transposed to [N, K/2])."""
+    n, k_half = w_packed.shape
+    bn = min(bn, n)
+    bk_half = min(bk_half, k_half)
+    npad = _cdiv(n, bn) * bn - n
+    kpad_half = _cdiv(k_half, bk_half) * bk_half - k_half
+    if npad or kpad_half:
+        w_packed = jnp.pad(w_packed, ((0, npad), (0, kpad_half)))
+    rows = x.shape[0] if x.ndim == 2 else 1
+    xr = x.reshape(rows, -1).astype(jnp.bfloat16)
+    rpad = max(8 - rows, 0)
+    x_lo = jnp.pad(xr[:, :k_half], ((0, rpad), (0, kpad_half)))
+    x_hi = jnp.pad(xr[:, k_half:], ((0, rpad), (0, kpad_half)))
+    if scale is None:
+        scale = jnp.ones((n,), _F32)
+    sc = jnp.pad(scale.reshape(1, -1).astype(_F32), ((0, 0), (0, npad)))
+    out = _gemv_packed_pallas(w_packed, x_lo, x_hi, sc, bn=bn,
+                              bk_half=bk_half, interpret=interpret_mode())
+    return out[:max(rows, 1), :n][:rows]

@@ -50,15 +50,29 @@ def _mm(x, w):
     """
     if isinstance(w, dict):
         if "q_packed" in w:
+            import os
+            from ..core.backend import get_backend
+            packed = w["q_packed"]                     # [N, K/2] transposed
+            if (os.environ.get("PYGPUKIT_INT4_GEMV", "pallas") == "pallas"
+                    and x.shape[0] <= 8 and packed.ndim == 2
+                    and get_backend().platform == "tpu"):
+                # Pallas in-register nibble unpack: streams packed uint8 from
+                # HBM (4x less traffic than bf16), unpacks in VMEM
+                from ..kernels.gemv_quant import gemv_int4_packed
+                y = gemv_int4_packed(packed, x, jnp.ravel(w["scale"]))
+                return y.astype(x.dtype)
             from .quant import unpack_int4
-            q = unpack_int4(w["q_packed"])
-            k_un = q.shape[-2]
+            q_t = unpack_int4(packed)                  # [N, K(+pad)]
+            k_un = q_t.shape[-1]
             xb = x.astype(jnp.bfloat16)
             if xb.shape[-1] < k_un:   # pack padding: zero-extend activations
                 xb = jnp.pad(xb, ((0, 0), (0, k_un - xb.shape[-1])))
-        else:
-            q = w["q"]
-            xb = x.astype(jnp.bfloat16)
+            acc = jax.lax.dot_general(
+                xb, q_t.astype(jnp.bfloat16), (((1,), (1,)), ((), ())),
+                preferred_element_type=_F32)
+            return (acc * w["scale"]).astype(x.dtype)
+        q = w["q"]
+        xb = x.astype(jnp.bfloat16)
         acc = jnp.dot(xb, q.astype(jnp.bfloat16), preferred_element_type=_F32)
         return (acc * w["scale"]).astype(x.dtype)
     return jnp.dot(x, w, preferred_element_type=_F32).astype(x.dtype)

@@ -84,9 +84,15 @@ def quantize_weight(w: jnp.ndarray, mode: str = "fp8") -> dict:
             pad = [(0, 0)] * q.ndim
             pad[-2] = (0, 1)
             q = jnp.pad(q, pad)
-        lo = q[..., 0::2, :] & 0xF
-        hi = q[..., 1::2, :] & 0xF
-        packed = (lo | (hi << 4)).astype(jnp.uint8)
+        # split-half packing in TRANSPOSED [out, in/2] layout: low nibble =
+        # first half of K, high = second half. Transposed storage feeds the
+        # Pallas GEMV directly (no per-step transpose); the unpack is free of
+        # sub-32-bit interleaves, which Mosaic rejects.
+        qt = jnp.swapaxes(q, -1, -2)                     # [..., N, K]
+        half = qt.shape[-1] // 2
+        lo = qt[..., :half] & 0xF
+        hi = qt[..., half:] & 0xF
+        packed = (lo | (hi << 4)).astype(jnp.uint8)      # [..., N, K/2]
         return {"q_packed": packed, "scale": scale}
     else:
         raise ValueError(f"unknown quant mode {mode!r}")
@@ -94,18 +100,19 @@ def quantize_weight(w: jnp.ndarray, mode: str = "fp8") -> dict:
 
 
 def unpack_int4(packed):
-    """[..., K/2, N] uint8 -> [..., K, N] int8 (sign-extended nibbles).
-    K includes any pack padding; callers zero-pad activations to match."""
+    """[..., N, K/2] uint8 -> [..., N, K] int8 (split-half nibble layout:
+    low nibble = K[:K/2], high nibble = K[K/2:]). K includes any pack
+    padding; callers zero-pad activations to match."""
     lo = ((packed << 4).astype(jnp.int8) >> 4)
     hi = packed.astype(jnp.int8) >> 4
-    stacked = jnp.stack([lo, hi], axis=-2)            # [..., K/2, 2, N]
-    shape = packed.shape[:-2] + (packed.shape[-2] * 2, packed.shape[-1])
-    return stacked.reshape(shape)
+    return jnp.concatenate([lo, hi], axis=-1)
 
 
 def dequantize_weight(wq: dict, dtype=jnp.bfloat16) -> jnp.ndarray:
-    q = unpack_int4(wq["q_packed"]) if "q_packed" in wq else wq["q"]
-    return (q.astype(jnp.float32) * wq["scale"]).astype(dtype)
+    if "q_packed" in wq:
+        q = jnp.swapaxes(unpack_int4(wq["q_packed"]), -1, -2)  # -> [..., K, N]
+        return (q.astype(jnp.float32) * wq["scale"]).astype(dtype)
+    return (wq["q"].astype(jnp.float32) * wq["scale"]).astype(dtype)
 
 
 def quantize_model_params(params: dict, mode: str = "fp8",

@@ -104,3 +104,22 @@ def test_jax_flash_backend_gate(rng):
     ref = np.asarray(jax.jit(sdpa_causal_fn)(q, q, q))
     rel = np.abs(out - ref).max() / (np.abs(ref).max() + 1e-9)
     assert rel < 5e-3, rel
+
+
+def test_gemv_int4_packed(rng):
+    import jax.numpy as jnp
+    from pygpukit_tpu.kernels.gemv_quant import gemv_int4_packed
+    n, k = 2048, 2048
+    w = rng.standard_normal((n, k)).astype(np.float32)
+    scale = (np.abs(w).max(axis=1, keepdims=True) / 7.0).astype(np.float32)
+    q = np.clip(np.round(w / scale), -7, 7).astype(np.int8)
+    # split-half packing: low nibble = K[:K/2], high = K[K/2:]
+    lo = q[:, :k // 2] & 0xF
+    hi = q[:, k // 2:] & 0xF
+    packed = jnp.asarray((lo | (hi << 4)).astype(np.uint8))
+    x = rng.standard_normal(k).astype(np.float32)
+    y = np.asarray(gemv_int4_packed(packed, jnp.asarray(x),
+                                    jnp.asarray(scale[:, 0])), np.float32)
+    ref = (q.astype(np.float32) * scale) @ x
+    rel = np.abs(y[0] - ref).max() / np.abs(ref).max()
+    assert rel < 2e-2, rel
