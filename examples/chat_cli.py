@@ -12,6 +12,11 @@ config.json, and tokenizer.json.
 
 from __future__ import annotations
 
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 import argparse
 import sys
 import time

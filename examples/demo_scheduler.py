@@ -8,6 +8,11 @@ contexts with QoS-scheduled admission.
 
 from __future__ import annotations
 
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 import threading
 import time
 
