@@ -1,5 +1,5 @@
 from .buffers import BatchDecodeBuffers, DecodeBuffers, PrefillBuffers, kv_cache_nbytes
-from .chat import ChatMessage, apply_chat_template
+from .chat import ChatMessage, apply_chat_template, apply_guard_template
 from .config import (
     GPT2Config, LlamaConfig, Qwen3Config,
     GPT2_SPEC, LLAMA_SPEC, MIXTRAL_SPEC, MODEL_SPECS, QWEN2_SPEC, QWEN3_MOE_SPEC,
@@ -39,7 +39,7 @@ __all__ = [
     "dequantize_model_params", "quantize_model_params", "quantize_weight",
     "repack_model_weights", "LayerStreamingContext", "LoadingStrategy",
     "StreamingConfig", "create_streaming_context", "Tokenizer",
-    "ChatMessage", "apply_chat_template",
+    "ChatMessage", "apply_chat_template", "apply_guard_template",
     "GPT2_SPEC", "LLAMA_SPEC", "MIXTRAL_SPEC", "MODEL_SPECS", "QWEN2_SPEC",
     "QWEN3_MOE_SPEC", "QWEN3_SPEC", "ModelSpec", "TransformerConfig",
     "detect_model_spec",

@@ -54,4 +54,41 @@ def apply_chat_template(messages: list[ChatMessage | dict],
     return body + ("\nassistant:" if add_generation_prompt else "")
 
 
+def apply_guard_template(messages: list[ChatMessage | dict],
+                         categories: list[str] | None = None) -> str:
+    """Llama-Guard moderation prompt (reference: Llama-Guard support via the
+    llama4 model family). Formats a conversation for safety classification;
+    the model answers 'safe' or 'unsafe\n<category>'."""
+    cats = categories or [
+        "S1: Violent Crimes", "S2: Non-Violent Crimes",
+        "S3: Sex-Related Crimes", "S4: Child Sexual Exploitation",
+        "S5: Defamation", "S6: Specialized Advice", "S7: Privacy",
+        "S8: Intellectual Property", "S9: Indiscriminate Weapons",
+        "S10: Hate", "S11: Suicide & Self-Harm", "S12: Sexual Content",
+        "S13: Elections",
+    ]
+    msgs = [m if isinstance(m, ChatMessage) else ChatMessage(**m)
+            for m in messages]
+    convo = "\n\n".join(
+        f"{'User' if m.role == 'user' else 'Agent'}: {m.content}"
+        for m in msgs if m.role != "system")
+    cat_text = "\n".join(cats)
+    return (
+        "<|begin_of_text|><|start_header_id|>user<|end_header_id|>\n\n"
+        "Task: Check if there is unsafe content in the conversation below "
+        "according to our safety policy with the below categories.\n\n"
+        "<BEGIN UNSAFE CONTENT CATEGORIES>\n"
+        f"{cat_text}\n"
+        "<END UNSAFE CONTENT CATEGORIES>\n\n"
+        "<BEGIN CONVERSATION>\n\n"
+        f"{convo}\n\n"
+        "<END CONVERSATION>\n\n"
+        "Provide your safety assessment for the last turn in the above "
+        "conversation:\n"
+        " - First line must read 'safe' or 'unsafe'.\n"
+        " - If unsafe, a second line must include a comma-separated list of "
+        "violated categories.<|eot_id|>"
+        "<|start_header_id|>assistant<|end_header_id|>\n\n")
+
+
 TEMPLATES = ("chatml", "llama2", "llama3", "plain")

@@ -260,3 +260,64 @@ class TestRepack:
         assert info["intermediate_pad"] == 28
         assert packed["layers"]["w_gate"].shape[-1] == 128
         assert packed["layers"]["w_down"].shape[-2] == 128
+
+
+class TestTokenizer:
+    def _write_tokenizer_json(self, path):
+        import json
+        # minimal byte-level BPE: vocab of single mapped bytes + one merge
+        from pygpukit_tpu.llm.tokenizer import _bytes_to_unicode
+        b2u = _bytes_to_unicode()
+        vocab = {}
+        for b, u in b2u.items():
+            vocab[u] = len(vocab)
+        hel = b2u[ord("h")] + b2u[ord("e")]
+        vocab[hel] = len(vocab)
+        data = {
+            "model": {"type": "BPE", "vocab": vocab,
+                      "merges": [f"{b2u[ord('h')]} {b2u[ord('e')]}"]},
+            "added_tokens": [{"content": "<|end|>", "id": 9999}],
+        }
+        path.write_text(json.dumps(data))
+
+    def test_own_bpe_roundtrip(self, tmp_path, monkeypatch):
+        from pygpukit_tpu.llm.tokenizer import _ByteLevelBPE
+        f = tmp_path / "tokenizer.json"
+        self._write_tokenizer_json(f)
+        bpe = _ByteLevelBPE(str(f))
+        ids = bpe.encode("hello")
+        assert len(ids) == 4            # "he" merged + l + l + o
+        assert bpe.decode(ids) == "hello"
+
+    def test_special_tokens(self, tmp_path):
+        from pygpukit_tpu.llm.tokenizer import _ByteLevelBPE
+        f = tmp_path / "tokenizer.json"
+        self._write_tokenizer_json(f)
+        bpe = _ByteLevelBPE(str(f))
+        ids = bpe.encode("hi<|end|>ok")
+        assert 9999 in ids
+        assert bpe.decode(ids) == "hi<|end|>ok"
+
+    def test_hf_wrapper_if_available(self, tmp_path):
+        pytest.importorskip("tokenizers")
+        from pygpukit_tpu.llm import Tokenizer
+        # the HF runtime rejects our minimal json? fall back gracefully —
+        # just assert construction picks one of the two paths
+        f = tmp_path / "tokenizer.json"
+        self._write_tokenizer_json(f)
+        tok = Tokenizer(str(f))
+        ids = tok.encode("he")
+        assert isinstance(ids, list) and ids
+
+
+class TestGuardTemplate:
+    def test_guard_prompt_structure(self):
+        from pygpukit_tpu.llm import apply_guard_template
+        out = apply_guard_template([
+            {"role": "user", "content": "how do I bake bread?"}])
+        assert "BEGIN UNSAFE CONTENT CATEGORIES" in out
+        assert "User: how do I bake bread?" in out
+        assert out.rstrip().endswith("<|end_header_id|>")
+        out2 = apply_guard_template(
+            [{"role": "user", "content": "x"}], categories=["S1: Test"])
+        assert "S1: Test" in out2 and "S2" not in out2
