@@ -22,7 +22,10 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core.executable import capture
-from .model import CausalTransformerModel, _bucket, decode_step_fn, prefill_fn
+from .model import (
+    CausalTransformerModel, _bucket, decode_step_fn, generate_scan_fn,
+    prefill_fn,
+)
 
 
 @dataclass
@@ -58,10 +61,14 @@ class ContinuousBatchingEngine:
     """Slot-based continuous batching over a CausalTransformerModel."""
 
     def __init__(self, model: CausalTransformerModel, max_batch: int = 8,
-                 max_seq_len: int = 1024):
+                 max_seq_len: int = 1024, steps_per_dispatch: int = 1):
         self.model = model
         self.max_batch = max_batch
         self.max_seq_len = max_seq_len
+        # >1 amortises dispatch latency: the whole batch advances N tokens in
+        # one device-side loop (tokens past a request's EOS are discarded —
+        # bounded overshoot traded for N-fold fewer host roundtrips)
+        self.steps_per_dispatch = steps_per_dispatch
         cfg = model.config
         shape = (max_batch, cfg.num_layers, max_seq_len, cfg.num_kv_heads,
                  cfg.head_dim)
@@ -129,13 +136,26 @@ class ContinuousBatchingEngine:
 
     def _ensure_decode_exe(self):
         if self._decode_exe is None:
-            fn = jax.vmap(functools.partial(decode_step_fn, self.model.config),
-                          in_axes=(None, 0, 0, 0, 0))
-            self._decode_exe = capture(
-                fn, self.model.params, self.k_cache, self.v_cache,
-                jnp.zeros((self.max_batch,), jnp.int32),
-                jnp.zeros((self.max_batch,), jnp.int32),
-                donate_argnums=(1, 2), name="serve_decode")
+            n = self.steps_per_dispatch
+            if n <= 1:
+                fn = jax.vmap(
+                    functools.partial(decode_step_fn, self.model.config),
+                    in_axes=(None, 0, 0, 0, 0))
+                self._decode_exe = capture(
+                    fn, self.model.params, self.k_cache, self.v_cache,
+                    jnp.zeros((self.max_batch,), jnp.int32),
+                    jnp.zeros((self.max_batch,), jnp.int32),
+                    donate_argnums=(1, 2), name="serve_decode")
+            else:
+                scan_fn = functools.partial(
+                    generate_scan_fn, self.model.config, n, 0.0, 0)
+                fn = jax.vmap(scan_fn, in_axes=(None, 0, 0, 0, 0, 0))
+                keys = jax.random.split(jax.random.PRNGKey(0), self.max_batch)
+                self._decode_exe = capture(
+                    fn, self.model.params, self.k_cache, self.v_cache,
+                    jnp.zeros((self.max_batch,), jnp.int32),
+                    jnp.zeros((self.max_batch,), jnp.int32), keys,
+                    donate_argnums=(1, 2), name=f"serve_decode_{n}")
         return self._decode_exe
 
     def _maybe_finish(self, slot: int, tok: int) -> None:
@@ -153,24 +173,40 @@ class ContinuousBatchingEngine:
     # -- engine loop -------------------------------------------------------------
 
     def step(self) -> int:
-        """Admit + advance every active slot one token. Returns #active."""
+        """Admit + advance every active slot by steps_per_dispatch tokens.
+        Returns #active."""
         self._admit()
         active = [i for i, r in enumerate(self._slots) if r is not None]
         if not active:
             return 0
         exe = self._ensure_decode_exe()
-        self.k_cache, self.v_cache, logits = exe.replay(
-            self.model.params, self.k_cache, self.v_cache,
-            jnp.asarray(self._last_tokens), jnp.asarray(self._poss))
-        toks = np.asarray(jnp.argmax(logits, axis=-1)).astype(np.int32)
+        n = self.steps_per_dispatch
+        if n <= 1:
+            self.k_cache, self.v_cache, logits = exe.replay(
+                self.model.params, self.k_cache, self.v_cache,
+                jnp.asarray(self._last_tokens), jnp.asarray(self._poss))
+            toks = np.asarray(jnp.argmax(logits, axis=-1))                 .astype(np.int32)[:, None]
+        else:
+            keys = jax.random.split(jax.random.PRNGKey(self.stats.steps),
+                                    self.max_batch)
+            self.k_cache, self.v_cache, toks_b = exe.replay(
+                self.model.params, self.k_cache, self.v_cache,
+                jnp.asarray(self._last_tokens), jnp.asarray(self._poss), keys)
+            toks = np.asarray(toks_b).astype(np.int32)     # [B, n]
         self.stats.steps += 1
         for i in active:
-            self._poss[i] += 1
-            tok = int(toks[i])
-            self._slots[i].generated.append(tok)
-            self._last_tokens[i] = tok
-            self.stats.tokens_generated += 1
-            self._maybe_finish(i, tok)
+            req = self._slots[i]
+            for j in range(toks.shape[1]):
+                if req is None or req.done:
+                    break
+                tok = int(toks[i, j])
+                self._poss[i] += 1
+                req.generated.append(tok)
+                self._last_tokens[i] = tok
+                self.stats.tokens_generated += 1
+                self._maybe_finish(i, tok)
+                if self._slots[i] is None:
+                    break
         return len(active)
 
     def run_until_complete(self, max_steps: int = 10000) -> None:

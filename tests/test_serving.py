@@ -66,3 +66,18 @@ class TestContinuousBatching:
         r = eng.submit([1, 2, 3], max_new_tokens=3)
         eng.run_until_complete()
         assert r.ttft_s is not None and r.ttft_s >= 0
+
+
+class TestChunkedServing:
+    def test_steps_per_dispatch_matches(self, model):
+        refs = {p: _single_ref(model, list(p), 9)
+                for p in ((5, 11, 42), (7, 3))}
+        eng = ContinuousBatchingEngine(model, max_batch=2, max_seq_len=128,
+                                       steps_per_dispatch=4)
+        r1 = eng.submit([5, 11, 42], max_new_tokens=9)
+        r2 = eng.submit([7, 3], max_new_tokens=9)
+        eng.run_until_complete()
+        assert r1.generated == refs[(5, 11, 42)]
+        assert r2.generated == refs[(7, 3)]
+        # 1 prefill-token + 8 more in ceil(8/4)=2 dispatches
+        assert eng.stats.steps <= 3
