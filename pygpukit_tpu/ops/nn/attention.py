@@ -158,23 +158,28 @@ def sdpa_fixed_cache_fn(q, k_cache, v_cache, ctx_len, scale: float | None = None
     Positions >= ctx_len are masked.
     """
     t, h, d = q.shape
-    max_len = k_cache.shape[0]
+    max_len, hk, _ = k_cache.shape
+    g = h // hk
     scale = scale if scale is not None else 1.0 / math.sqrt(d)
-    kh = _gqa_expand(k_cache, h)
-    vh = _gqa_expand(v_cache, h)
-    qh = jnp.transpose(q, (1, 0, 2)).astype(_F32)          # [H,T,D]
-    kk = jnp.transpose(kh, (1, 0, 2)).astype(_F32)          # [H,MAX,D]
-    vv = jnp.transpose(vh, (1, 0, 2)).astype(_F32)
-    scores = jnp.einsum("htd,hkd->htk", qh, kk) * scale
-    kv_idx = jnp.arange(max_len)[None, None, :]
+    # grouped-query einsum: no GQA head materialisation and no f32 copy of
+    # the cache — f32 accumulation happens inside the dot (this is the decode
+    # hot loop; a cache-sized f32 temp per layer per step would dominate HBM
+    # traffic at batch size > 1)
+    qh = q.reshape(t, hk, g, d).transpose(1, 2, 0, 3)       # [Hk,G,T,D]
+    kk = jnp.transpose(k_cache, (1, 0, 2))                   # [Hk,MAX,D]
+    vv = jnp.transpose(v_cache, (1, 0, 2))
+    scores = jnp.einsum("hgtd,hkd->hgtk", qh, kk,
+                        preferred_element_type=_F32) * scale
+    kv_idx = jnp.arange(max_len)[None, None, None, :]
     # query row i (0-based within the lookahead window) attends cache
     # positions < ctx_len - (t-1) + i
-    q_off = jnp.arange(t)[None, :, None]
+    q_off = jnp.arange(t)[None, None, :, None]
     limit = ctx_len - (t - 1) + q_off
     scores = jnp.where(kv_idx >= limit, _NEG_INF, scores)
     probs = jax.nn.softmax(scores, axis=-1)
-    out = jnp.einsum("htk,hkd->htd", probs, vv)
-    return jnp.transpose(out, (1, 0, 2)).astype(q.dtype)
+    out = jnp.einsum("hgtk,hkd->hgtd", probs.astype(v_cache.dtype), vv,
+                     preferred_element_type=_F32)
+    return out.transpose(2, 0, 1, 3).reshape(t, h, d).astype(q.dtype)
 
 
 def sdpa_batch_fixed_cache_fn(q, k_cache, v_cache, ctx_lens,
