@@ -21,11 +21,28 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from jax import lax
+
 from ..core.executable import capture
 from .model import (
     CausalTransformerModel, _bucket, decode_step_fn, generate_scan_fn,
     prefill_fn,
 )
+
+
+def _prefill_into_slot_fn(cfg, params, k_pool, v_pool, tokens, true_len, slot):
+    """Prefill one sequence directly into pool slot ``slot`` (traced scalar).
+
+    One donated executable per prompt bucket — replaces two eager whole-pool
+    copies per admission (the serving-throughput bottleneck at small
+    batches)."""
+    kc, vc, logits = prefill_fn(cfg, params, k_pool[slot], v_pool[slot],
+                                tokens, true_len)
+    k_pool = lax.dynamic_update_slice(
+        k_pool, kc[None], (slot, 0, 0, 0, 0))
+    v_pool = lax.dynamic_update_slice(
+        v_pool, vc[None], (slot, 0, 0, 0, 0))
+    return k_pool, v_pool, logits
 
 
 @dataclass
@@ -113,18 +130,16 @@ class ContinuousBatchingEngine:
         n = len(ids)
         bucket = min(_bucket(max(n, 8)), self.max_seq_len)
         if bucket not in self._prefill_exes:
-            fn = functools.partial(prefill_fn, model.config)
+            fn = functools.partial(_prefill_into_slot_fn, model.config)
             self._prefill_exes[bucket] = capture(
-                fn, model.params, self.k_cache[0], self.v_cache[0],
-                jnp.zeros((bucket,), jnp.int32), jnp.int32(1),
-                name=f"serve_prefill_{bucket}")
+                fn, model.params, self.k_cache, self.v_cache,
+                jnp.zeros((bucket,), jnp.int32), jnp.int32(1), jnp.int32(0),
+                donate_argnums=(1, 2), name=f"serve_prefill_{bucket}")
         padded = np.zeros((bucket,), np.int32)
         padded[:n] = ids
-        kc, vc, logits = self._prefill_exes[bucket].replay(
-            model.params, self.k_cache[slot], self.v_cache[slot],
-            jnp.asarray(padded), jnp.int32(n))
-        self.k_cache = self.k_cache.at[slot].set(kc)
-        self.v_cache = self.v_cache.at[slot].set(vc)
+        self.k_cache, self.v_cache, logits = self._prefill_exes[bucket].replay(
+            model.params, self.k_cache, self.v_cache,
+            jnp.asarray(padded), jnp.int32(n), jnp.int32(slot))
         tok = int(np.asarray(jnp.argmax(logits)))
         req.generated.append(tok)
         req.first_token_at = time.time()
