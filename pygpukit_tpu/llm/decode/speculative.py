@@ -23,11 +23,13 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..model import (
-    CausalTransformerModel, decode_step_fn, decode_window_fn, prefill_fn,
-    slice_layers,
+    CausalTransformerModel, decode_step_fn, decode_window_fn,
+    generate_scan_fn, prefill_fn, slice_layers,
 )
 from ...core.executable import capture
 from .base import DecodeStrategy
+
+import jax
 
 
 class DecodeSpeculative(DecodeStrategy):
@@ -42,6 +44,7 @@ class DecodeSpeculative(DecodeStrategy):
         self._draft_v = None
         self._draft_pos = 0
         self._draft_decode = None
+        self._draft_scans: dict[tuple, object] = {}
         self._draft_prefills: dict[int, object] = {}
 
     def bind(self, model: CausalTransformerModel) -> "DecodeSpeculative":
@@ -73,6 +76,25 @@ class DecodeSpeculative(DecodeStrategy):
             jnp.int32(token), jnp.int32(self._draft_pos))
         self._draft_pos += 1
         return np.asarray(logits)
+
+    def _draft_propose(self, token: int, gamma: int) -> list[int]:
+        """All gamma greedy draft steps in ONE device-side loop (the draft
+        analog of the chunked generation executable — one dispatch instead
+        of gamma)."""
+        key = (gamma,)
+        if key not in self._draft_scans:
+            fn = functools.partial(generate_scan_fn, self.model.config,
+                                   gamma, 0.0, 0)
+            self._draft_scans[key] = capture(
+                fn, self._draft_params, self._draft_k, self._draft_v,
+                jnp.int32(0), jnp.int32(0), jax.random.PRNGKey(0),
+                donate_argnums=(1, 2), name=f"draft_scan_{gamma}")
+        self._draft_k, self._draft_v, toks = self._draft_scans[key].replay(
+            self._draft_params, self._draft_k, self._draft_v,
+            jnp.int32(token), jnp.int32(self._draft_pos),
+            jax.random.PRNGKey(0))
+        self._draft_pos += gamma
+        return [int(t) for t in np.asarray(toks)]
 
     def _draft_prefill(self, ids: np.ndarray) -> None:
         from ..model import _bucket
@@ -127,14 +149,10 @@ class DecodeSpeculative(DecodeStrategy):
                 self.stats.steps += 1
                 continue
 
-            # 1. draft proposes gamma tokens starting from cur
+            # 1. draft proposes gamma tokens starting from cur — one
+            # device-side loop dispatch
             self._draft_pos = model.pos  # keep draft aligned with target
-            proposals = []
-            tok = cur
-            for _ in range(gamma):
-                dl = self._draft_step(tok)
-                tok = int(dl.argmax())
-                proposals.append(tok)
+            proposals = self._draft_propose(cur, gamma)
 
             # 2. target verifies window [cur, d1..dγ] in one pass
             window = [cur] + proposals

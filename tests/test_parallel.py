@@ -69,3 +69,29 @@ def test_tp_sharded_generate_matches(mesh):
     shard_model(m2, mesh)
     got = m2.generate([1, 5], max_new_tokens=5, temperature=0.0)
     assert got == ref
+
+
+def test_tp_sharded_serving_engine(mesh):
+    """Continuous-batching serving over a TP-sharded model: the batched
+    decode executable compiles as a GSPMD-partitioned program."""
+    from pygpukit_tpu.llm import CausalTransformerModel, TransformerConfig, init_params
+    from pygpukit_tpu.llm.serving import ContinuousBatchingEngine
+    cfg = TransformerConfig(
+        vocab_size=64, hidden_size=32, num_layers=2, num_heads=8,
+        num_kv_heads=4, intermediate_size=64, head_dim_override=8,
+        max_position_embeddings=128, tie_word_embeddings=True)
+    ref_model = CausalTransformerModel(cfg, init_params(cfg, 0, jnp.float32),
+                                       dtype=jnp.float32)
+    ref_model.init_fixed_cache(64)
+    ref = ref_model.generate([3, 9], max_new_tokens=6, temperature=0.0)
+
+    sharded = CausalTransformerModel(cfg, init_params(cfg, 0, jnp.float32),
+                                     dtype=jnp.float32)
+    shard_model(sharded, mesh)
+    eng = ContinuousBatchingEngine(sharded, max_batch=2, max_seq_len=64,
+                                   steps_per_dispatch=3)
+    r1 = eng.submit([3, 9], max_new_tokens=6)
+    r2 = eng.submit([5, 1], max_new_tokens=6)
+    eng.run_until_complete()
+    assert r1.generated == ref
+    assert r2.done and len(r2.generated) == 6
