@@ -119,14 +119,15 @@ class KokoroModel:
 
     # -- synthesis ------------------------------------------------------------
 
-    def synthesize(self, text: str, voice: str | None = None,
-                   speed: float = 1.0) -> SynthesisResult:
-        """Text → audio (reference: synthesize)."""
-        if voice is not None:
-            self.set_voice(voice)
-        ids = jnp.asarray(self.tokenizer.encode(text) or [1], jnp.int32)
-        style = self._style()
+    MAX_FRAMES_PER_PHONEME = 20
 
+    def _synth_core(self, ids, style, speed, total: int):
+        """Traceable synthesis core (total = static frame budget).
+
+        The dynamic duration sum becomes a static budget: alignment uses
+        ``jnp.repeat(..., total_repeat_length=total)`` and the true frame
+        count is returned so the caller trims the fixed-length audio.
+        """
         # 1. text features: PLBERT semantic + CNN/LSTM acoustic, fused
         bert = self.bert_proj(self.plbert(ids))        # [S, H]
         acoustic = self.text_encoder(ids)              # [S, H]
@@ -134,15 +135,16 @@ class KokoroModel:
 
         # 2. durations → frame alignment (monotonic hard expansion)
         dur = self.duration(feats, style) / speed      # [S]
-        frames = jnp.maximum(jnp.round(dur), 1).astype(jnp.int32)
-        total = int(jnp.sum(frames))
+        frames = jnp.clip(jnp.round(dur), 1,
+                          self.MAX_FRAMES_PER_PHONEME).astype(jnp.int32)
+        true_total = jnp.minimum(jnp.sum(frames), total)
         idx = jnp.repeat(jnp.arange(ids.shape[0]), frames,
                          total_repeat_length=total)
-        expanded = feats[idx]                          # [T, H]
+        expanded = feats[idx]                          # [total, H]
 
         # 3. prosody: F0 + noise over expanded features
-        x = expanded.T[None]                           # [1, H, T]
-        f0, noise = self.f0n(x, style[None])           # [T], [T]
+        x = expanded.T[None]                           # [1, H, total]
+        f0, noise = self.f0n(x, style[None])           # [total], [total]
 
         # 4. decoder: features + prosody, style-conditioned
         dec_in = jnp.concatenate(
@@ -151,8 +153,42 @@ class KokoroModel:
         for blk in self.dec_blocks:
             h = blk(h, style[None])
 
-        # 5. iSTFT vocoder
-        audio = np.asarray(self.vocoder(h))
+        # 5. iSTFT vocoder (fixed-length audio; trimmed by the caller)
+        audio = self.vocoder(h)
+        return audio, true_total
+
+    def _synth_jitted(self, s_len: int, total: int):
+        if not hasattr(self, "_synth_cache"):
+            self._synth_cache = {}
+        key = (s_len, total)
+        if key not in self._synth_cache:
+            import functools
+            self._synth_cache[key] = jax.jit(
+                functools.partial(self._synth_core, total=total))
+        return self._synth_cache[key]
+
+    def synthesize(self, text: str, voice: str | None = None,
+                   speed: float = 1.0) -> SynthesisResult:
+        """Text → audio (reference: synthesize).
+
+        The whole pipeline runs as ONE jitted program per text length
+        (eager per-op dispatch is unusable over remote TPU transports); the
+        frame budget is static and the audio is trimmed to the true length.
+        """
+        if voice is not None:
+            self.set_voice(voice)
+        id_list = self.tokenizer.encode(text) or [1]
+        ids = jnp.asarray(id_list, jnp.int32)
+        style = self._style()
+        total = len(id_list) * self.MAX_FRAMES_PER_PHONEME
+        fn = self._synth_jitted(len(id_list), total)
+        audio_full, true_total = fn(ids, style, jnp.float32(speed))
+        # samples per frame = hop * prod(upsamples)
+        spf = self.config.hop
+        for u in self.config.upsamples:
+            spf *= u
+        n_samples = int(true_total) * spf
+        audio = np.asarray(audio_full)[:n_samples]
         return SynthesisResult(
             audio=audio, sample_rate=self.config.sample_rate,
             duration=len(audio) / self.config.sample_rate,
