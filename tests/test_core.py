@@ -321,3 +321,62 @@ class TestGuardTemplate:
         out2 = apply_guard_template(
             [{"role": "user", "content": "x"}], categories=["S1: Test"])
         assert "S1: Test" in out2 and "S2" not in out2
+
+
+class TestBenchmarkFramework:
+    def test_bench_result_derivations(self):
+        from pygpukit_tpu.benchmark import BenchResult
+        r = BenchResult("x", ms=2.0, flops=4e9, bytes=2e9)
+        assert r.tflops == pytest.approx(2.0)
+        assert r.gbps == pytest.approx(1000.0)
+
+    def test_report_markdown(self):
+        from pygpukit_tpu.benchmark import Benchmark, BenchResult
+
+        class Fake(Benchmark):
+            title = "fake"
+
+            def run(self):
+                self.results.append(BenchResult("op", 1.0, flops=1e12))
+
+        suite = Fake()
+        suite.run()
+        md = suite.report_markdown()
+        assert "## fake" in md and "| op |" in md and "% peak |" in md
+
+    def test_time_fn_measures(self):
+        import jax, jax.numpy as jnp
+        from pygpukit_tpu.benchmark import time_fn
+        f = jax.jit(lambda x: x * 2)
+        ms = time_fn(f, jnp.ones((8,)), iters=3, warmup=1)
+        assert ms > 0
+
+
+class TestProfiler:
+    def test_record_and_summary(self):
+        import jax, jax.numpy as jnp
+        from pygpukit_tpu.profiling import Profiler
+        p = Profiler()
+        p.enable()
+        f = jax.jit(lambda x: x @ x)
+        x = jnp.ones((64, 64))
+        rec = p.profile_fn("mm64", f, x, flops=2 * 64**3, iters=3, warmup=1)
+        assert rec.tflops > 0
+        assert "mm64" in p.summary()
+        stats = p.stats()
+        assert stats["mm64"].count == 3
+
+    def test_disabled_noop(self):
+        from pygpukit_tpu.profiling import Profiler
+        p = Profiler()
+        with p.record("x"):
+            pass
+        assert not p.records
+
+    def test_memory_profiler(self):
+        from pygpukit_tpu.profiling import MemoryProfiler
+        mp = MemoryProfiler()
+        mp.snapshot("a")
+        mp.snapshot("b")
+        assert isinstance(mp.delta(), int)
+        assert "used GiB" in mp.summary()
