@@ -7,11 +7,13 @@ Euler denoise over the FluxTransformer → VAE decode → image.
 
 from __future__ import annotations
 
+import functools
 from dataclasses import dataclass
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax import lax
 
 from .models.flux import (
     FluxTransformer, make_img_ids, patchify, unpatchify,
@@ -41,6 +43,7 @@ class FluxPipeline:
         self.t5_tokenizer = t5_tokenizer
         self.scheduler = scheduler or FlowMatchingScheduler(
             shift=1.0, use_dynamic_shifting=False)
+        self._denoise_exes: dict = {}
 
     @classmethod
     def from_pretrained(cls, model_dir, dtype=jnp.bfloat16) -> "FluxPipeline":
@@ -96,11 +99,29 @@ class FluxPipeline:
 
         self.scheduler.set_timesteps(num_inference_steps)
         img = patchify(latents)
-        for i in range(num_inference_steps):
-            t = float(self.scheduler.sigmas[i])
-            v = self.transformer(img, img_ids, txt_embeds, txt_ids,
-                                 t, pooled, guidance_scale)
-            img = self.scheduler.step(v, i, img).prev_sample
+        sigmas = jnp.asarray(self.scheduler.sigmas, jnp.float32)
+        # the whole denoise loop is ONE executable (scan over sigma pairs) —
+        # the diffusion analog of the device-side decode loop
+        key_shape = (img.shape, txt_embeds.shape, num_inference_steps)
+        if key_shape not in self._denoise_exes:
+            from .models.flux import flux_forward_fn
+            cfg = self.transformer.config
+
+            def denoise(params, img, img_ids, txt, txt_ids, pooled,
+                        guidance, sigmas):
+                def step(img, sig_pair):
+                    s_cur, s_next = sig_pair
+                    v = flux_forward_fn(cfg, params, img, img_ids, txt,
+                                        txt_ids, s_cur, pooled, guidance)
+                    return img + (s_next - s_cur) * v, None
+                pairs = jnp.stack([sigmas[:-1], sigmas[1:]], axis=-1)
+                img, _ = lax.scan(step, img, pairs)
+                return img
+
+            self._denoise_exes[key_shape] = jax.jit(denoise)
+        img = self._denoise_exes[key_shape](
+            self.transformer.params, img, img_ids, txt_embeds, txt_ids,
+            pooled, jnp.float32(guidance_scale), sigmas)
         latents = unpatchify(img, lat_c, lat_h, lat_w)
         images = self.vae.decode_to_images(latents[None])
         return PipelineOutput(images=images, latents=np.asarray(latents))
