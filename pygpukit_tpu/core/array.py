@@ -145,6 +145,23 @@ class Array:
     def __getitem__(self, idx) -> "Array":
         return Array(self._buf[idx])
 
+    # -- reductions (numpy-style methods; reference GPUArray surface) ---------
+
+    def sum(self, axis=None, keepdims: bool = False) -> "Array":
+        return Array(jnp.sum(self._buf, axis=axis, keepdims=keepdims))
+
+    def mean(self, axis=None, keepdims: bool = False) -> "Array":
+        return Array(jnp.mean(self._buf, axis=axis, keepdims=keepdims))
+
+    def max(self, axis=None, keepdims: bool = False) -> "Array":
+        return Array(jnp.max(self._buf, axis=axis, keepdims=keepdims))
+
+    def min(self, axis=None, keepdims: bool = False) -> "Array":
+        return Array(jnp.min(self._buf, axis=axis, keepdims=keepdims))
+
+    def argmax(self, axis=None) -> "Array":
+        return Array(jnp.argmax(self._buf, axis=axis).astype(jnp.int32))
+
     # -- operator overloads (route through the ops layer) --------------------
 
     def _binop(self, other, fn) -> "Array":

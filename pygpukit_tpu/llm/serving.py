@@ -78,10 +78,14 @@ class ContinuousBatchingEngine:
     """Slot-based continuous batching over a CausalTransformerModel."""
 
     def __init__(self, model: CausalTransformerModel, max_batch: int = 8,
-                 max_seq_len: int = 1024, steps_per_dispatch: int = 1):
+                 max_seq_len: int = 1024, steps_per_dispatch: int = 1,
+                 temperature: float = 0.0, top_k: int = 0, seed: int = 0):
         self.model = model
         self.max_batch = max_batch
         self.max_seq_len = max_seq_len
+        self.temperature = temperature
+        self.top_k = top_k
+        self.seed = seed
         # >1 amortises dispatch latency: the whole batch advances N tokens in
         # one device-side loop (tokens past a request's EOS are discarded —
         # bounded overshoot traded for N-fold fewer host roundtrips)
@@ -140,7 +144,16 @@ class ContinuousBatchingEngine:
         self.k_cache, self.v_cache, logits = self._prefill_exes[bucket].replay(
             model.params, self.k_cache, self.v_cache,
             jnp.asarray(padded), jnp.int32(n), jnp.int32(slot))
-        tok = int(np.asarray(jnp.argmax(logits)))
+        if self.temperature > 0:
+            from ..ops.sampling import sample_temperature_fn, sample_topk_fn
+            key = jax.random.PRNGKey(self.seed + req.request_id)
+            if self.top_k > 0:
+                tok = int(sample_topk_fn(logits, key, self.top_k,
+                                         self.temperature))
+            else:
+                tok = int(sample_temperature_fn(logits, key, self.temperature))
+        else:
+            tok = int(np.asarray(jnp.argmax(logits)))
         req.generated.append(tok)
         req.first_token_at = time.time()
         self._last_tokens[slot] = tok
@@ -163,7 +176,8 @@ class ContinuousBatchingEngine:
                     donate_argnums=(1, 2), name="serve_decode")
             else:
                 scan_fn = functools.partial(
-                    generate_scan_fn, self.model.config, n, 0.0, 0)
+                    generate_scan_fn, self.model.config, n,
+                    float(self.temperature), int(self.top_k))
                 fn = jax.vmap(scan_fn, in_axes=(None, 0, 0, 0, 0, 0))
                 keys = jax.random.split(jax.random.PRNGKey(0), self.max_batch)
                 self._decode_exe = capture(
@@ -202,8 +216,9 @@ class ContinuousBatchingEngine:
                 jnp.asarray(self._last_tokens), jnp.asarray(self._poss))
             toks = np.asarray(jnp.argmax(logits, axis=-1))                 .astype(np.int32)[:, None]
         else:
-            keys = jax.random.split(jax.random.PRNGKey(self.stats.steps),
-                                    self.max_batch)
+            keys = jax.random.split(
+                jax.random.PRNGKey(self.seed + self.stats.steps),
+                self.max_batch)
             self.k_cache, self.v_cache, toks_b = exe.replay(
                 self.model.params, self.k_cache, self.v_cache,
                 jnp.asarray(self._last_tokens), jnp.asarray(self._poss), keys)

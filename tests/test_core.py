@@ -380,3 +380,15 @@ class TestProfiler:
         mp.snapshot("b")
         assert isinstance(mp.delta(), int)
         assert "used GiB" in mp.summary()
+
+
+class TestArrayReductions:
+    def test_methods(self, rng):
+        x = rng.standard_normal((4, 6)).astype(np.float32)
+        a = gp.from_numpy(x)
+        np.testing.assert_allclose(a.sum().to_numpy(), x.sum(), rtol=1e-5)
+        np.testing.assert_allclose(a.mean(axis=0).to_numpy(), x.mean(0),
+                                   rtol=1e-5)
+        np.testing.assert_allclose(a.max().to_numpy(), x.max())
+        np.testing.assert_allclose(a.min(axis=1).to_numpy(), x.min(1))
+        assert a.argmax(axis=1).to_numpy().tolist() == x.argmax(1).tolist()

@@ -69,3 +69,19 @@ class TestMixtral:
         model = _check_parity(tmp_path, m, "mixtral")
         assert model.config.is_moe
         assert model.params["layers"]["w_experts_gate"].shape[1] == 4
+
+
+class TestQwen3Moe:
+    def test_parity(self, tmp_path):
+        cfg = transformers.Qwen3MoeConfig(
+            vocab_size=96, hidden_size=32, intermediate_size=64,
+            num_hidden_layers=2, num_attention_heads=4,
+            num_key_value_heads=2, head_dim=8, num_experts=4,
+            num_experts_per_tok=2, moe_intermediate_size=32,
+            decoder_sparse_step=1, norm_topk_prob=True,
+            max_position_embeddings=64, tie_word_embeddings=False)
+        torch.manual_seed(3)
+        m = transformers.Qwen3MoeForCausalLM(cfg).eval()
+        m.save_pretrained(tmp_path, safe_serialization=True)
+        model = _check_parity(tmp_path, m, "qwen3_moe")
+        assert model.config.is_moe and model.config.use_qk_norm

@@ -81,3 +81,25 @@ class TestChunkedServing:
         assert r2.generated == refs[(7, 3)]
         # 1 prefill-token + 8 more in ceil(8/4)=2 dispatches
         assert eng.stats.steps <= 3
+
+
+class TestSampledServing:
+    def test_seeded_sampling_deterministic(self, model):
+        a = ContinuousBatchingEngine(model, max_batch=2, max_seq_len=128,
+                                     steps_per_dispatch=4, temperature=0.8,
+                                     top_k=10, seed=42)
+        r1 = a.submit([5, 11], max_new_tokens=8)
+        a.run_until_complete()
+        b = ContinuousBatchingEngine(model, max_batch=2, max_seq_len=128,
+                                     steps_per_dispatch=4, temperature=0.8,
+                                     top_k=10, seed=42)
+        r2 = b.submit([5, 11], max_new_tokens=8)
+        b.run_until_complete()
+        assert r1.generated == r2.generated
+        # different seed -> (almost surely) different tokens
+        c = ContinuousBatchingEngine(model, max_batch=2, max_seq_len=128,
+                                     steps_per_dispatch=4, temperature=0.8,
+                                     top_k=10, seed=7)
+        r3 = c.submit([5, 11], max_new_tokens=8)
+        c.run_until_complete()
+        assert len(r3.generated) == 8
