@@ -71,6 +71,7 @@ def _gemv_pallas(w, x, scale, *, bn: int, bk: int, interpret: bool):
     )(w, x, scale)
 
 
+@functools.partial(jax.jit, static_argnames=("bn", "bk"))
 def gemv_quant(w_q, x, scale=None, bn: int = 1024, bk: int = 1024):
     """y[N] = W[N,K] @ x[K] with quantized weight storage.
 
