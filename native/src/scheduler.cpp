@@ -69,7 +69,8 @@ struct Sched {
       r.decision = PK_REJECT_MEMORY;
       return r;
     }
-    if (cfg.total_bandwidth > 0 && d.bandwidth > cfg.total_bandwidth) {
+    if (cfg.total_bandwidth > 0 &&
+        bandwidth_reserved + d.bandwidth > cfg.total_bandwidth) {
       r.decision = PK_REJECT_BANDWIDTH;
       return r;
     }

@@ -377,12 +377,17 @@ class WhisperModel:
     def transcribe_streaming(self, audio_iter, sot_sequence: list[int],
                              chunk_seconds: float = 5.0,
                              sr: int = SAMPLE_RATE):
-        """Streaming transcription: accumulate audio, emit tokens per window
-        (reference: transcribe_streaming, model.py:222)."""
+        """Streaming transcription: accumulate audio and emit tokens per
+        completed window, consuming the transcribed audio (reference:
+        transcribe_streaming, model.py:222). Windows are capped at the 30 s
+        model context; the final partial window is flushed once."""
+        window = int(sr * chunk_seconds)
+        window = min(window, SAMPLE_RATE * CHUNK_SECONDS)
         buf = np.zeros((0,), np.float32)
         for chunk in audio_iter:
             buf = np.concatenate([buf, np.asarray(chunk, np.float32)])
-            if len(buf) >= sr * chunk_seconds:
-                yield self.transcribe_tokens(buf, sot_sequence, sr=sr)
+            while len(buf) >= window:
+                yield self.transcribe_tokens(buf[:window], sot_sequence, sr=sr)
+                buf = buf[window:]
         if len(buf):
             yield self.transcribe_tokens(buf, sot_sequence, sr=sr)

@@ -168,9 +168,11 @@ def gemv_int4_packed(w_packed, x, scale=None, bn: int = 512,
         w_packed = jnp.pad(w_packed, ((0, npad), (0, kpad_half)))
     rows = x.shape[0] if x.ndim == 2 else 1
     xr = x.reshape(rows, -1).astype(jnp.bfloat16)
+    if xr.shape[-1] < 2 * k_half:   # weight pack-padded an odd in-dim
+        xr = jnp.pad(xr, ((0, 0), (0, 2 * k_half - xr.shape[-1])))
     rpad = max(8 - rows, 0)
     x_lo = jnp.pad(xr[:, :k_half], ((0, rpad), (0, kpad_half)))
-    x_hi = jnp.pad(xr[:, k_half:], ((0, rpad), (0, kpad_half)))
+    x_hi = jnp.pad(xr[:, k_half:k_half * 2], ((0, rpad), (0, kpad_half)))
     if scale is None:
         scale = jnp.ones((n,), _F32)
     sc = jnp.pad(scale.reshape(1, -1).astype(_F32), ((0, 0), (0, npad)))

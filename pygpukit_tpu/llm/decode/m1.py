@@ -15,6 +15,10 @@ class DecodeM1(DecodeStrategy):
     def generate(self, input_ids, max_new_tokens: int = 32,
                  eos_token_id: int | None = None) -> list[int]:
         model = self._require_model()
+        if model.k_cache is None:
+            from ..model import _bucket
+            n = len(np.ravel(input_ids))
+            model.init_fixed_cache(_bucket(max(n + max_new_tokens + 1, 256)))
         logits = model.prefill(input_ids)
         out: list[int] = []
         for _ in range(max_new_tokens):

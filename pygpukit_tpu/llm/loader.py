@@ -65,7 +65,13 @@ def _infer_config(st, spec: ModelSpec, hf_cfg: dict | None) -> TransformerConfig
     else:
         q_out = q_shape[0] if spec.hf_linear_layout else q_shape[1]
         k_out = st.tensor_shape(kn)[0] if spec.hf_linear_layout else st.tensor_shape(kn)[1]
-        head_dim = 64 if hidden % 64 else 64
+        # head_dim is not recoverable from projection shapes alone; q_norm
+        # weight (Qwen3-family) is exactly [head_dim] when present, else
+        # default 64 (config.json is the reliable source)
+        if spec.q_norm and spec.q_norm.format(layer=0) in st:
+            head_dim = st.tensor_shape(spec.q_norm.format(layer=0))[0]
+        else:
+            head_dim = 64
         num_heads = q_out // head_dim
         num_kv = k_out // head_dim
     inter = None
@@ -81,6 +87,7 @@ def _infer_config(st, spec: ModelSpec, hf_cfg: dict | None) -> TransformerConfig
     return TransformerConfig(
         vocab_size=vocab, hidden_size=hidden, num_layers=n_layers,
         num_heads=num_heads, num_kv_heads=num_kv, intermediate_size=inter,
+        head_dim_override=(head_dim if not spec.qkv_combined else None),
         norm_type=spec.norm_type, activation=spec.activation,
         use_rope=spec.use_rope, use_qk_norm=spec.use_qk_norm,
         use_position_embed=spec.use_position_embed,

@@ -55,6 +55,7 @@ def _mm(x, w):
             packed = w["q_packed"]                     # [N, K/2] transposed
             if (os.environ.get("PYGPUKIT_INT4_GEMV", "pallas") == "pallas"
                     and x.shape[0] <= 8 and packed.ndim == 2
+                    and x.shape[-1] == 2 * packed.shape[-1]   # no pack padding
                     and get_backend().platform == "tpu"):
                 # Pallas in-register nibble unpack: streams packed uint8 from
                 # HBM (4x less traffic than bf16), unpacks in VMEM
@@ -540,8 +541,11 @@ class CausalTransformerModel:
         self.v_cache = jnp.zeros(shape, self.dtype)
         self.max_seq_len = max_seq_len
         self.pos = 0
+        # all executables were lowered against the old cache shape
         self._decode_exe = None
         self._prefill_exes = {}
+        self._window_exes = {}
+        self._gen_exes = {}
 
     def _ensure_decode_exe(self) -> Executable:
         if self._decode_exe is None:
@@ -619,7 +623,7 @@ class CausalTransformerModel:
                      top_k: int = 0, seed: int = 0) -> np.ndarray:
         """Run ``n_steps`` decode steps in one device program; returns the
         generated tokens. One executable per (n_steps, sampling-mode)."""
-        key = (n_steps, temperature > 0, top_k if temperature > 0 else 0)
+        key = (n_steps, float(temperature), int(top_k))
         if key not in self._gen_exes:
             fn = functools.partial(generate_scan_fn, self.config, n_steps,
                                    float(temperature), int(top_k))

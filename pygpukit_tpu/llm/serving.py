@@ -108,6 +108,10 @@ class ContinuousBatchingEngine:
 
     def submit(self, prompt: list[int], max_new_tokens: int = 64,
                eos_token_id: int | None = None) -> Request:
+        if len(prompt) >= self.max_seq_len:
+            raise ValueError(
+                f"prompt ({len(prompt)} tokens) exceeds engine max_seq_len "
+                f"({self.max_seq_len})")
         req = Request(self._next_id, list(prompt), max_new_tokens,
                       eos_token_id)
         self._next_id += 1

@@ -3,9 +3,9 @@
 Rotation convention matches the reference (split-half / NeoX style):
   out[:half] = x[:half]*cos - x[half:]*sin
   out[half:] = x[half:]*cos + x[:half]*sin
-Tables are [max_seq_len, head_dim] with each half-frequency duplicated into
-even/odd columns (only the first half_dim columns are read by apply), exactly
-like the reference's table layout so loaders can interchange them.
+Tables are [max_seq_len, head_dim] with the half-dim frequencies duplicated
+across the two halves (HF convention, emb = cat(freqs, freqs)); apply reads
+the first half_dim columns.
 """
 
 from __future__ import annotations
@@ -177,7 +177,9 @@ def alibi_compute_bias(seq_len: int, num_heads: int, slopes,
 
 
 def alibi_add_bias(scores: Array, slopes) -> Array:
-    """scores [H,S,S] += causal ALiBi bias, in place (buffer rebind)."""
+    """scores [H,S,S] += distance bias -slope*(i-j), in place (buffer
+    rebind). The bias itself is NOT causal-masked — callers apply their own
+    causal mask (use alibi_compute_bias(causal=True) for a masked bias)."""
     sj = as_jax(scores)
     seq = sj.shape[-1]
     scores._set_buffer(

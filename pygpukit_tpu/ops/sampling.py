@@ -66,7 +66,7 @@ def sample_token_gpu(logits, temperature: float = 0.0, top_k: int = 0,
     reads the result (reference: sample_token_gpu)."""
     lj = as_jax(logits)
     if lj.ndim > 1:
-        lj = lj.reshape(-1)[-lj.shape[-1]:] if False else lj[-1]
+        lj = lj[-1]
     if temperature <= 0.0:
         tok = sample_greedy_fn(lj)
     elif top_k > 0:

@@ -111,6 +111,7 @@ class Scheduler:
             self._seq = 0
             self._next_id = 1
             self._reserved = 0
+            self._bandwidth_reserved = 0.0
             self._stats = SchedulerStats()
 
     @property
@@ -144,7 +145,9 @@ class Scheduler:
             if task.memory_bytes > limit:
                 self._stats.rejected += 1
                 return tid, AdmissionResult(AdmitDecision.REJECT_MEMORY, 0, avail)
-            if task.bandwidth > self.total_bandwidth:
+            if (self.total_bandwidth > 0
+                    and self._bandwidth_reserved + task.bandwidth
+                    > self.total_bandwidth):
                 self._stats.rejected += 1
                 return tid, AdmissionResult(AdmitDecision.REJECT_BANDWIDTH, 0, avail)
             if len(self._queue) >= self.max_pending:
@@ -157,6 +160,7 @@ class Scheduler:
                                 -(_QOS_PRIORITY[task.policy] + task.priority),
                                 self._seq, tid))
             self._reserved += task.memory_bytes
+            self._bandwidth_reserved += task.bandwidth
             self._stats.queued += 1
             return tid, AdmissionResult(decision, 0.0, avail)
 
@@ -183,6 +187,8 @@ class Scheduler:
             if t is None:
                 return
             self._reserved = max(0, self._reserved - t.memory_bytes)
+            self._bandwidth_reserved = max(
+                0.0, self._bandwidth_reserved - t.bandwidth)
             self._stats.running = max(0, self._stats.running - 1)
             if failed:
                 self._stats.failed += 1

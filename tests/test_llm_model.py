@@ -164,3 +164,39 @@ class TestFusedProjections:
         ref = m.generate(torch.tensor([prompt]), max_new_tokens=8,
                          do_sample=False)[0, len(prompt):].tolist()
         assert out == ref
+
+
+class TestRegressionFixes:
+    def test_sampled_temperature_not_cached_across_values(self, llama_ckpt):
+        """decode_chunk executables must key on the exact temperature."""
+        d, _ = llama_ckpt
+        model = llm.load_model_from_safetensors(d, dtype="float32")
+        a = model.generate([1, 5], max_new_tokens=6, temperature=0.7,
+                           top_k=5, seed=0)
+        keys = set(model._gen_exes.keys())
+        b = model.generate([1, 5], max_new_tokens=6, temperature=1.5,
+                           top_k=5, seed=0)
+        assert set(model._gen_exes.keys()) != keys  # new executable compiled
+
+    def test_cache_reinit_invalidates_window_and_gen_exes(self, llama_ckpt):
+        d, _ = llama_ckpt
+        model = llm.load_model_from_safetensors(d, dtype="float32")
+        model.init_fixed_cache(64)
+        model.prefill([1, 2])
+        model.decode_window([3, 4], advance=2)
+        model.decode_chunk(5, 4)
+        assert model._window_exes and model._gen_exes
+        model.init_fixed_cache(128)       # new cache shape
+        assert not model._window_exes and not model._gen_exes
+        # and decode still works at the new shape
+        model.prefill([1, 2])
+        out = model.decode_chunk(3, 4)
+        assert len(out) == 4
+
+    def test_m1_cache_sized_for_max_new_tokens(self, llama_ckpt):
+        from pygpukit_tpu.llm.decode import DecodeM1
+        d, _ = llama_ckpt
+        model = llm.load_model_from_safetensors(d, dtype="float32")
+        model.k_cache = None              # force auto-sizing
+        out = DecodeM1().bind(model).generate([1] * 10, max_new_tokens=40)
+        assert len(out) == 40             # not truncated by a small cache

@@ -189,3 +189,19 @@ class TestMultiModel:
             x = jnp.ones((4,)) + 1
         assert float(x.sum()) == 8.0
         ctrl.shutdown()
+
+
+@pytest.mark.parametrize("use_native", BACKENDS)
+class TestBandwidthReservation:
+    def test_oversubscription_rejected(self, use_native):
+        s = Scheduler(total_memory=1 << 30, total_bandwidth=100.0,
+                      use_native=use_native)
+        _, r1 = s.submit(Task(memory_bytes=1, bandwidth=60.0))
+        _, r2 = s.submit(Task(memory_bytes=1, bandwidth=60.0))
+        assert r1.decision.admitted
+        assert r2.decision == AdmitDecision.REJECT_BANDWIDTH
+        # releasing the first frees bandwidth for a new task
+        t = s.next_task()
+        s.complete(t.task_id)
+        _, r3 = s.submit(Task(memory_bytes=1, bandwidth=60.0))
+        assert r3.decision.admitted

@@ -103,3 +103,14 @@ class TestSampledServing:
         r3 = c.submit([5, 11], max_new_tokens=8)
         c.run_until_complete()
         assert len(r3.generated) == 8
+
+
+class TestPromptValidation:
+    def test_oversized_prompt_rejected_at_submit(self, model):
+        eng = ContinuousBatchingEngine(model, max_batch=2, max_seq_len=32)
+        with pytest.raises(ValueError):
+            eng.submit(list(range(40)), max_new_tokens=4)
+        # engine still serves other requests
+        r = eng.submit([1, 2], max_new_tokens=3)
+        eng.run_until_complete()
+        assert r.done
