@@ -392,3 +392,17 @@ class TestArrayReductions:
         np.testing.assert_allclose(a.max().to_numpy(), x.max())
         np.testing.assert_allclose(a.min(axis=1).to_numpy(), x.min(1))
         assert a.argmax(axis=1).to_numpy().tolist() == x.argmax(1).tolist()
+
+
+class TestExecutableDonation:
+    def test_donated_buffer_reuse(self):
+        import jax, jax.numpy as jnp
+        from pygpukit_tpu.core.executable import capture
+        # donated arg 0 is consumed; the returned buffer carries the update
+        exe = capture(lambda c, x: (c + x, jnp.sum(c)), jnp.zeros((8,)),
+                      jnp.ones((8,)), donate_argnums=(0,))
+        c = jnp.zeros((8,))
+        for i in range(3):
+            c, s = exe.replay(c, jnp.ones((8,)))
+        np.testing.assert_allclose(np.asarray(c), 3.0)
+        assert exe.stats.replays == 3

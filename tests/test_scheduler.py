@@ -205,3 +205,23 @@ class TestBandwidthReservation:
         s.complete(t.task_id)
         _, r3 = s.submit(Task(memory_bytes=1, bandwidth=60.0))
         assert r3.decision.admitted
+
+
+@pytest.mark.parametrize("use_native", BACKENDS)
+class TestHostBackedPool:
+    def test_host_ptr_lifecycle(self, use_native):
+        if not use_native:
+            pytest.skip("host-backed blocks are a native-pool feature")
+        from pygpukit_tpu._native import get_native
+        lib = get_native()
+        pool = lib.pk_pool_create(1 << 20)
+        bid = lib.pk_pool_alloc(pool, 4096, 1)       # host-backed
+        assert bid > 0
+        ptr = lib.pk_pool_host_ptr(pool, bid)
+        assert ptr                                    # real malloc'd memory
+        assert lib.pk_pool_block_size(pool, bid) == 4096
+        assert lib.pk_pool_free(pool, bid) == 0
+        # non-host-backed block has no host pointer
+        bid2 = lib.pk_pool_alloc(pool, 512, 0)
+        assert lib.pk_pool_host_ptr(pool, bid2) is None
+        lib.pk_pool_destroy(pool)
