@@ -55,12 +55,16 @@ class QuantizationMetadata:
 # Weight quantization
 # ---------------------------------------------------------------------------
 
-# expert weights excluded by default: the MoE dispatch paths consume dense
-# leaves (quantized-MoE lands with the ragged-kernel rework)
 _QUANT_KEYS = {
     "w_q", "w_k", "w_v", "w_o", "w_qkv", "w_gate", "w_up", "w_gate_up",
     "w_down", "w_fc1", "w_fc2",
 }
+
+# MoE expert stacks [L, E, in, out]: quantized as {"q","scale"} consumed by
+# ops.moe._expert_dot (scale-after-dot) / _dequant_stack (gmm path). fp8/int8
+# only — the int4 packed-transposed layout targets the decode GEMV, which the
+# grouped expert matmuls don't use.
+_MOE_QUANT_KEYS = {"w_experts_gate", "w_experts_up", "w_experts_down"}
 
 
 def quantize_weight(w: jnp.ndarray, mode: str = "fp8") -> dict:
@@ -121,7 +125,8 @@ def quantize_model_params(params: dict, mode: str = "fp8",
     their dense leaves (reference: load_fp8_weight_direct, quant.py:376 —
     here quantization happens post-load; direct-load of fp8 checkpoints
     arrives via loader dtype passthrough)."""
-    keys = keys or _QUANT_KEYS
+    if keys is None:
+        keys = _QUANT_KEYS | (_MOE_QUANT_KEYS if mode != "int4" else set())
     out = dict(params)
     layers = dict(params["layers"])
     for k in list(layers.keys()):

@@ -26,6 +26,27 @@ def topk_route_fn(router_logits, k: int):
     return jax.nn.softmax(topv, axis=-1), topi
 
 
+def _expert_dot(x, w):
+    """x [T, in] @ expert weight [in, out]; w may be a quantized
+    {"q","scale"} leaf (per-column scales) — the scale is applied AFTER the
+    dot, so the quantized bytes stream from HBM and no dequantized copy is
+    materialised (same trick as llm/model._mm)."""
+    if isinstance(w, dict):
+        acc = jnp.dot(x.astype(jnp.bfloat16), w["q"].astype(jnp.bfloat16),
+                      preferred_element_type=_F32)
+        return (acc * w["scale"]).astype(x.dtype)
+    return jnp.dot(x, w, preferred_element_type=_F32).astype(x.dtype)
+
+
+def _dequant_stack(w, dtype):
+    """Materialise a dense [E, in, out] stack from a quantized leaf (the
+    megablox gmm kernel consumes dense rhs; dequant happens once per step
+    inside jit — still halves the *resident* HBM for expert weights)."""
+    if isinstance(w, dict):
+        return (w["q"].astype(_F32) * w["scale"]).astype(dtype)
+    return w
+
+
 def moe_gmm_fn(y, w_gate, w_up, w_down, router_logits, k: int):
     """Exact ragged MoE forward via megablox grouped matmul.
 
@@ -35,6 +56,9 @@ def moe_gmm_fn(y, w_gate, w_up, w_down, router_logits, k: int):
     """
     from jax.experimental.pallas.ops.tpu.megablox import gmm
 
+    w_gate = _dequant_stack(w_gate, y.dtype)
+    w_up = _dequant_stack(w_up, y.dtype)
+    w_down = _dequant_stack(w_down, y.dtype)
     t, h = y.shape
     e = w_gate.shape[0]
     weights, topi = topk_route_fn(router_logits.astype(_F32), k)
@@ -60,19 +84,20 @@ def moe_gmm_fn(y, w_gate, w_up, w_down, router_logits, k: int):
 
 
 def moe_dense_fn(y, w_gate, w_up, w_down, router_logits, k: int):
-    """Dense one-hot formulation (always available; the CPU/parity path)."""
+    """Dense one-hot formulation (always available; the CPU/parity path).
+    Expert stacks may be quantized {"q","scale"} leaves [E, in, out]."""
     t = y.shape[0]
-    e = w_gate.shape[0]
+    e = (w_gate["q"] if isinstance(w_gate, dict) else w_gate).shape[0]
     weights, topi = topk_route_fn(router_logits.astype(_F32), k)
     combine = jnp.zeros((t, e), _F32)
     combine = combine.at[jnp.arange(t)[:, None], topi].set(weights)
 
     def expert_fwd(wg, wu, wd):
-        g = jnp.dot(y, wg, preferred_element_type=_F32).astype(y.dtype)
-        u = jnp.dot(y, wu, preferred_element_type=_F32).astype(y.dtype)
+        g = _expert_dot(y, wg)
+        u = _expert_dot(y, wu)
         act = (jax.nn.sigmoid(g.astype(_F32)) * g.astype(_F32)
                * u.astype(_F32)).astype(y.dtype)
-        return jnp.dot(act, wd, preferred_element_type=_F32)
+        return _expert_dot(act, wd).astype(_F32)
 
     per_expert = jax.vmap(expert_fwd)(w_gate, w_up, w_down)   # [E, T, H]
     return jnp.einsum("te,eth->th", combine, per_expert)

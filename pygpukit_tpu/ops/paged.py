@@ -61,6 +61,18 @@ def paged_attention_fn(q, k_pool, v_pool, block_table, ctx_len):
     return out.astype(q.dtype)
 
 
+def paged_attention_dispatch(q, k_pool, v_pool, block_table, ctx_len):
+    """Backend-gated paged attention: PYGPUKIT_PAGED_ATTENTION=pallas selects
+    the scalar-prefetch Pallas kernel (kernels/paged_attention.py); default is
+    the XLA gather formulation above."""
+    import os
+    if os.environ.get("PYGPUKIT_PAGED_ATTENTION", "").lower() == "pallas":
+        from ..kernels.paged_attention import paged_attention as _pallas
+        return _pallas(q, k_pool, v_pool, block_table, ctx_len)
+    return jax.jit(paged_attention_fn)(q, k_pool, v_pool, block_table,
+                                       jnp.asarray(ctx_len, jnp.int32))
+
+
 def paged_attention_batch_fn(q, k_pool, v_pool, block_tables, ctx_lens):
     """q [B,Hq,D], block_tables [B,max_blocks], ctx_lens [B] -> [B,Hq,D].
     Pools are shared across the batch (the whole point of paging)."""
@@ -152,7 +164,7 @@ class PagedKVCache:
         """Single-query paged attention for one sequence + layer."""
         bt = jnp.asarray(self.block_table(
             seq_id, max_blocks=max(len(self._tables[seq_id]), 1)))
-        return paged_attention_fn(
+        return paged_attention_dispatch(
             q, self.k_pool[layer], self.v_pool[layer], bt,
             jnp.int32(self._lens[seq_id]))
 

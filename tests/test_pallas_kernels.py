@@ -106,6 +106,26 @@ def test_jax_flash_backend_gate(rng):
     assert rel < 5e-3, rel
 
 
+def test_paged_attention_scalar_prefetch(rng):
+    """Pallas paged attention (scalar-prefetched block table) matches the XLA
+    gather formulation — permuted blocks, GQA, ragged ctx_len."""
+    import jax.numpy as jnp
+    from pygpukit_tpu.kernels.paged_attention import paged_attention
+    from pygpukit_tpu.ops.paged import paged_attention_fn
+    nb, bs, hq, hk, d = 32, 16, 8, 4, 128
+    kp = jnp.asarray(rng.standard_normal((nb, bs, hk, d)), jnp.float32)
+    vp = jnp.asarray(rng.standard_normal((nb, bs, hk, d)), jnp.float32)
+    q = jnp.asarray(rng.standard_normal((hq, d)), jnp.float32)
+    # deliberately scrambled physical block order
+    table = jnp.asarray(rng.permutation(nb)[:8], jnp.int32)
+    for ctx in (1, 16, 100, 128):     # ragged lengths incl. mid-block
+        out = np.asarray(paged_attention(q, kp, vp, table, ctx))
+        ref = np.asarray(jax.jit(paged_attention_fn)(
+            q, kp, vp, table, jnp.int32(ctx)))
+        rel = np.abs(out - ref).max() / (np.abs(ref).max() + 1e-9)
+        assert rel < 5e-3, (ctx, rel)
+
+
 def test_gemv_int4_packed(rng):
     import jax.numpy as jnp
     from pygpukit_tpu.kernels.gemv_quant import gemv_int4_packed

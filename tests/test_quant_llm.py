@@ -61,6 +61,54 @@ def test_fp8_generate_runs(cfg):
     assert qmodel2.generate([1, 2, 3], max_new_tokens=5, temperature=0.0) == out
 
 
+@pytest.fixture(scope="module")
+def moe_cfg():
+    return TransformerConfig(
+        vocab_size=64, hidden_size=32, num_layers=2, num_heads=4,
+        num_kv_heads=2, intermediate_size=64, head_dim_override=8,
+        norm_type="rmsnorm", activation="silu", use_rope=True,
+        max_position_embeddings=64, tie_word_embeddings=True,
+        num_experts=4, num_experts_per_tok=2, moe_intermediate_size=48)
+
+
+@pytest.mark.parametrize("mode,tol", [("fp8", 0.1), ("int8", 0.02)])
+def test_quantized_moe_experts_logits_close(moe_cfg, mode, tol):
+    """Expert stacks quantized to {"q","scale"} run through the same routed
+    forward (ops.moe._expert_dot scale-after-dot) and stay close to dense."""
+    params = init_params(moe_cfg, seed=7, dtype=jnp.float32)
+    model = CausalTransformerModel(moe_cfg, params, dtype=jnp.float32)
+    ids = [3, 9, 27, 1]
+    ref = model.get_logits(ids)
+
+    qparams = quantize_model_params(dict(model.params), mode)
+    assert isinstance(qparams["layers"]["w_experts_gate"], dict)
+    qmodel = CausalTransformerModel(moe_cfg, qparams, dtype=jnp.float32)
+    got = qmodel.get_logits(ids)
+    rel = np.abs(got - ref).max() / (np.abs(ref).max() + 1e-9)
+    assert rel < tol, f"{mode} MoE logits rel err {rel}"
+
+    qb, db = model_quant_bytes(qparams)
+    assert qb < db
+
+
+def test_quantized_moe_generate_deterministic(moe_cfg):
+    params = init_params(moe_cfg, seed=8, dtype=jnp.float32)
+    qparams = quantize_model_params(params, "int8")
+    qmodel = CausalTransformerModel(moe_cfg, qparams, dtype=jnp.float32)
+    out = qmodel.generate([1, 2, 3], max_new_tokens=5, temperature=0.0)
+    assert len(out) == 5
+    assert qmodel.generate([1, 2, 3], max_new_tokens=5,
+                           temperature=0.0) == out
+
+
+def test_int4_skips_moe_experts(moe_cfg):
+    """int4 packing targets the decode GEMV; expert stacks must stay dense."""
+    params = init_params(moe_cfg, seed=9, dtype=jnp.float32)
+    qparams = quantize_model_params(params, "int4")
+    assert not isinstance(qparams["layers"]["w_experts_gate"], dict)
+    assert isinstance(qparams["layers"]["w_o"], dict)  # attn still quantized
+
+
 def test_int8_model_runs(cfg):
     params = init_params(cfg, seed=6, dtype=jnp.float32)
     qparams = quantize_model_params(params, "int8")
