@@ -26,6 +26,11 @@ def main() -> None:
     ap.add_argument("--model", default=None)
     ap.add_argument("--max-batch", type=int, default=4)
     ap.add_argument("--requests", type=int, default=10)
+    ap.add_argument("--steps-per-dispatch", type=int, default=1)
+    ap.add_argument("--pipelined", action="store_true",
+                    help="device-resident decode state; chunk N+1 dispatches "
+                         "before chunk N's tokens are read (highest "
+                         "throughput over remote/tunneled devices)")
     args = ap.parse_args()
 
     from pygpukit_tpu.llm.serving import ContinuousBatchingEngine
@@ -45,7 +50,9 @@ def main() -> None:
                                        dtype=jnp.bfloat16)
 
     eng = ContinuousBatchingEngine(model, max_batch=args.max_batch,
-                                   max_seq_len=512)
+                                   max_seq_len=512,
+                                   steps_per_dispatch=args.steps_per_dispatch,
+                                   pipelined=args.pipelined)
     # stagger submissions to show dynamic join
     reqs = []
     t0 = time.time()

@@ -108,7 +108,10 @@ def encoder_fn(cfg: VAEConfig, p, x, key=None):
         for j in range(cfg.layers_per_block):
             h = resnet_block(p, f"enc.down.{i}.res{j}", h, groups)
         if i < n_blocks - 1:
-            h = conv2d_fn(h, p[f"enc.down.{i}.down.w"],
+            # diffusers Downsample2D: asymmetric (0,1) pad then stride-2 conv
+            # so H -> H/2 exactly (the inverse of the decoder's upsample)
+            hp = jnp.pad(h, ((0, 0), (0, 0), (0, 1), (0, 1)))
+            h = conv2d_fn(hp, p[f"enc.down.{i}.down.w"],
                           p.get(f"enc.down.{i}.down.b"), stride=2, padding=0)
     h = resnet_block(p, "enc.mid.res1", h, groups)
     h = attn_block(p, "enc.mid.attn", h, groups)
@@ -193,6 +196,23 @@ class VAE:
                 conv(f"up.{i}.upsample.conv", cur, cur)
         norm("norm_out", cur)
         conv("conv_out", cur, cfg.in_channels)
+        # encoder (consumed by encoder_fn for img2img/inpaint)
+        enc_chans = list(cfg.block_out_channels)
+        conv("enc.conv_in", cfg.in_channels, enc_chans[0])
+        cur = enc_chans[0]
+        for i, co in enumerate(enc_chans):
+            for j in range(cfg.layers_per_block):
+                res(f"enc.down.{i}.res{j}", cur, co)
+                cur = co
+            if i < len(enc_chans) - 1:
+                conv(f"enc.down.{i}.down", cur, cur)
+        res("enc.mid.res1", cur, cur)
+        norm("enc.mid.attn.norm", cur)
+        for nm in ("q", "k", "v", "proj"):
+            lin(f"enc.mid.attn.{nm}", cur)
+        res("enc.mid.res2", cur, cur)
+        norm("enc.norm_out", cur)
+        conv("enc.conv_out", cur, 2 * cfg.latent_channels)
         return cls(cfg, p)
 
     @classmethod

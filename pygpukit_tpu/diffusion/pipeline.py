@@ -128,6 +128,102 @@ class FluxPipeline:
 
     generate = __call__
 
+    # -- image-conditioned variants -------------------------------------------
+
+    def _prep_image_latents(self, image: np.ndarray):
+        """uint8 [H, W, 3] (or float in [0,1]) -> latents [Cz, H/8, W/8]."""
+        x = np.asarray(image)
+        if x.dtype == np.uint8:
+            x = x.astype(np.float32) / 255.0
+        x = x.astype(np.float32) * 2.0 - 1.0               # [-1, 1]
+        x = jnp.asarray(x.transpose(2, 0, 1))[None]        # [1, 3, H, W]
+        return self.vae.encode(x)[0]
+
+    def img2img(self, image: np.ndarray, prompt: str = "",
+                strength: float = 0.6, num_inference_steps: int = 4,
+                guidance_scale: float = 3.5, seed: int = 0,
+                txt_embeds=None, pooled=None,
+                mask: np.ndarray | None = None) -> PipelineOutput:
+        """Image-to-image (reference: flux img2img variant, pipeline.py:342):
+        VAE-encode the init image, noise it to the flow-matching point chosen
+        by ``strength`` (x_s = (1-s)*x0 + s*noise), and denoise the remaining
+        schedule. With ``mask`` (H/8 x W/8 or H x W; 1 = repaint) this is
+        inpainting: after every step the known region is re-imposed at the
+        current noise level."""
+        if not 0.0 < strength <= 1.0:
+            raise ValueError(f"strength must be in (0, 1], got {strength}")
+        cfg = self.transformer.config
+        x0 = self._prep_image_latents(image)               # [Cz, h, w]
+        lat_c, lat_h, lat_w = x0.shape
+        key = jax.random.PRNGKey(seed)
+        noise = jax.random.normal(key, x0.shape, jnp.float32)
+
+        self.scheduler.set_timesteps(num_inference_steps)
+        sigmas_full = np.asarray(self.scheduler.sigmas, np.float32)
+        i0 = min(int(round(num_inference_steps * (1.0 - strength))),
+                 num_inference_steps - 1)
+        sigmas = jnp.asarray(sigmas_full[i0:])
+        s0 = float(sigmas_full[i0])
+
+        if txt_embeds is None or pooled is None:
+            txt_embeds, pooled = self.encode_prompt(prompt)
+        txt_ids = jnp.zeros((txt_embeds.shape[0], 3), jnp.int32)
+        img_ids = make_img_ids(lat_h // 2, lat_w // 2)
+
+        x0_tok = patchify(x0)
+        noise_tok = patchify(noise)
+        img = (1.0 - s0) * x0_tok + s0 * noise_tok
+        if mask is not None:
+            m = np.asarray(mask, np.float32)
+            if m.shape != (lat_h, lat_w):   # pixel-space mask: max-pool to latent
+                m = m.reshape(lat_h, m.shape[0] // lat_h,
+                              lat_w, m.shape[1] // lat_w).max(axis=(1, 3))
+            mask_tok = patchify(jnp.broadcast_to(
+                jnp.asarray(m)[None], (lat_c, lat_h, lat_w)))
+        else:
+            mask_tok = None
+
+        key_shape = ("i2i", img.shape, txt_embeds.shape, len(sigmas_full) - i0,
+                     mask is not None)
+        if key_shape not in self._denoise_exes:
+            from .models.flux import flux_forward_fn
+            tcfg = self.transformer.config
+
+            def denoise(params, img, img_ids, txt, txt_ids, pooled, guidance,
+                        sigmas, x0_tok, noise_tok, mask_tok):
+                def step(img, sig_pair):
+                    s_cur, s_next = sig_pair
+                    v = flux_forward_fn(tcfg, params, img, img_ids, txt,
+                                        txt_ids, s_cur, pooled, guidance)
+                    img = img + (s_next - s_cur) * v
+                    if mask_tok is not None:
+                        known = (1.0 - s_next) * x0_tok + s_next * noise_tok
+                        img = mask_tok * img + (1.0 - mask_tok) * known
+                    return img, None
+                pairs = jnp.stack([sigmas[:-1], sigmas[1:]], axis=-1)
+                img, _ = lax.scan(step, img, pairs)
+                return img
+
+            self._denoise_exes[key_shape] = jax.jit(denoise)
+        img = self._denoise_exes[key_shape](
+            self.transformer.params, img, img_ids, txt_embeds, txt_ids,
+            pooled, jnp.float32(guidance_scale), sigmas, x0_tok, noise_tok,
+            mask_tok)
+        latents = unpatchify(img, lat_c, lat_h, lat_w)
+        images = self.vae.decode_to_images(latents[None])
+        return PipelineOutput(images=images, latents=np.asarray(latents))
+
+    def inpaint(self, image: np.ndarray, mask: np.ndarray, prompt: str = "",
+                num_inference_steps: int = 4, guidance_scale: float = 3.5,
+                seed: int = 0, strength: float = 1.0,
+                txt_embeds=None, pooled=None) -> PipelineOutput:
+        """Masked regeneration (mask: 1 = repaint, 0 = keep; pixel- or
+        latent-resolution)."""
+        return self.img2img(image, prompt=prompt, strength=strength,
+                            num_inference_steps=num_inference_steps,
+                            guidance_scale=guidance_scale, seed=seed,
+                            txt_embeds=txt_embeds, pooled=pooled, mask=mask)
+
 
 class Text2ImagePipeline(FluxPipeline):
     """Generic facade (reference: Text2ImagePipeline, pipeline.py:34) — the

@@ -1,9 +1,14 @@
-"""Self-speculative decode: early layers draft, full model verifies
+"""Speculative decode: a draft proposes, the full model verifies
 (reference: llm/decode/speculative.py:20 +
 decode_step_self_speculative_lookahead, causal.py:1096).
 
-The draft model is the first ``n_draft_layers`` of the target (no separate
-draft weights). Each round:
+Two draft sources:
+* self-speculative (default): the first ``n_draft_layers`` of the target
+  (no separate draft weights),
+* a SEPARATE draft model (``draft_model=``): any CausalTransformerModel
+  with the same vocabulary (e.g. a distilled 0.5B drafting for a 7B).
+
+Each round:
   1. draft greedily proposes ``gamma`` tokens (its own KV cache),
   2. the target runs ONE lookahead window over [cur, d1..dγ] producing γ+1
      logits and writing target KV,
@@ -35,11 +40,15 @@ import jax
 class DecodeSpeculative(DecodeStrategy):
     name = "speculative"
 
-    def __init__(self, n_draft_layers: int = 2, gamma: int = 4):
+    def __init__(self, n_draft_layers: int = 2, gamma: int = 4,
+                 draft_model: CausalTransformerModel | None = None):
         super().__init__()
         self.n_draft_layers = n_draft_layers
         self.gamma = gamma
+        self.draft_model = draft_model
         self._draft_params = None
+        self._draft_cfg = None
+        self._draft_layers = n_draft_layers
         self._draft_k = None
         self._draft_v = None
         self._draft_pos = 0
@@ -49,15 +58,28 @@ class DecodeSpeculative(DecodeStrategy):
 
     def bind(self, model: CausalTransformerModel) -> "DecodeSpeculative":
         super().bind(model)
-        self._draft_params = slice_layers(model.params, self.n_draft_layers)
+        if self.draft_model is not None:
+            if self.draft_model.config.vocab_size != model.config.vocab_size:
+                raise ValueError(
+                    "draft model vocabulary "
+                    f"({self.draft_model.config.vocab_size}) must match the "
+                    f"target's ({model.config.vocab_size})")
+            self._draft_params = self.draft_model.params
+            self._draft_cfg = self.draft_model.config
+            self._draft_layers = self.draft_model.config.num_layers
+        else:
+            self._draft_params = slice_layers(model.params,
+                                              self.n_draft_layers)
+            self._draft_cfg = model.config
+            self._draft_layers = self.n_draft_layers
         return self
 
     # -- draft model plumbing ------------------------------------------------
 
     def _init_draft_cache(self) -> None:
         model = self.model
-        cfg = model.config
-        shape = (self.n_draft_layers, model.max_seq_len, cfg.num_kv_heads,
+        cfg = self._draft_cfg
+        shape = (self._draft_layers, model.max_seq_len, cfg.num_kv_heads,
                  cfg.head_dim)
         self._draft_k = jnp.zeros(shape, model.dtype)
         self._draft_v = jnp.zeros(shape, model.dtype)
@@ -66,7 +88,7 @@ class DecodeSpeculative(DecodeStrategy):
     def _draft_step(self, token: int) -> np.ndarray:
         model = self.model
         if self._draft_decode is None:
-            fn = functools.partial(decode_step_fn, model.config)
+            fn = functools.partial(decode_step_fn, self._draft_cfg)
             self._draft_decode = capture(
                 fn, self._draft_params, self._draft_k, self._draft_v,
                 jnp.int32(0), jnp.int32(0), donate_argnums=(1, 2),
@@ -83,7 +105,7 @@ class DecodeSpeculative(DecodeStrategy):
         of gamma)."""
         key = (gamma,)
         if key not in self._draft_scans:
-            fn = functools.partial(generate_scan_fn, self.model.config,
+            fn = functools.partial(generate_scan_fn, self._draft_cfg,
                                    gamma, 0.0, 0)
             self._draft_scans[key] = capture(
                 fn, self._draft_params, self._draft_k, self._draft_v,
@@ -102,7 +124,7 @@ class DecodeSpeculative(DecodeStrategy):
         n = len(ids)
         bucket = min(_bucket(n), model.max_seq_len)
         if bucket not in self._draft_prefills:
-            fn = functools.partial(prefill_fn, model.config)
+            fn = functools.partial(prefill_fn, self._draft_cfg)
             self._draft_prefills[bucket] = capture(
                 fn, self._draft_params, self._draft_k, self._draft_v,
                 jnp.zeros((bucket,), jnp.int32), jnp.int32(1),

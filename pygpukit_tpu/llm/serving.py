@@ -45,6 +45,53 @@ def _prefill_into_slot_fn(cfg, params, k_pool, v_pool, tokens, true_len, slot):
     return k_pool, v_pool, logits
 
 
+def _sample_logits(logits, key, temperature: float, top_k: int):
+    if temperature <= 0.0:
+        return jnp.argmax(logits).astype(jnp.int32)
+    lf = logits.astype(jnp.float32) / temperature
+    if top_k > 0:
+        topv, _ = lax.top_k(lf, top_k)
+        lf = jnp.where(lf < topv[-1], -1e30, lf)
+    return jax.random.categorical(key, lf).astype(jnp.int32)
+
+
+def _prefill_into_slot_pl_fn(cfg, temperature, top_k, seed, params, k_pool,
+                             v_pool, last, poss, tokens, true_len, slot, rid):
+    """Pipelined-mode prefill: also samples the first token ON DEVICE and
+    writes it into the device-resident last/poss slot arrays — admission
+    becomes one async dispatch (no eager argmax, no host sync)."""
+    kc, vc, logits = prefill_fn(cfg, params, k_pool[slot], v_pool[slot],
+                                tokens, true_len)
+    k_pool = lax.dynamic_update_slice(k_pool, kc[None], (slot, 0, 0, 0, 0))
+    v_pool = lax.dynamic_update_slice(v_pool, vc[None], (slot, 0, 0, 0, 0))
+    key = jax.random.fold_in(jax.random.PRNGKey(seed), rid)
+    tok = _sample_logits(logits, key, temperature, top_k)
+    last = last.at[slot].set(tok)
+    poss = poss.at[slot].set(true_len.astype(jnp.int32))
+    return k_pool, v_pool, last, poss, tok
+
+
+def _serve_chunk_fn(cfg, n_steps, temperature, top_k, seed, max_seq_len,
+                    params, k_pool, v_pool, last, poss, step_idx):
+    """Advance every slot ``n_steps`` tokens with DEVICE-resident last/poss.
+
+    The executable chains on its own previous outputs (donated), so the host
+    can dispatch chunk N+1 before reading chunk N's tokens — the D2H sync
+    (~36 ms over a remote tunnel) overlaps chunk N+1's compute instead of
+    serialising with it. Dead slots decode garbage with positions clamped at
+    max_seq_len-1; their tokens are discarded by host bookkeeping."""
+    b = last.shape[0]
+    keys = jax.random.split(
+        jax.random.fold_in(jax.random.PRNGKey(seed), step_idx), b)
+    fn = jax.vmap(
+        functools.partial(generate_scan_fn, cfg, n_steps, temperature, top_k),
+        in_axes=(None, 0, 0, 0, 0, 0))
+    k_pool, v_pool, toks = fn(params, k_pool, v_pool, last, poss, keys)
+    last = toks[:, -1].astype(jnp.int32)
+    poss = jnp.minimum(poss + n_steps, max_seq_len - 1)
+    return k_pool, v_pool, last, poss, toks
+
+
 @dataclass
 class Request:
     request_id: int
@@ -79,7 +126,8 @@ class ContinuousBatchingEngine:
 
     def __init__(self, model: CausalTransformerModel, max_batch: int = 8,
                  max_seq_len: int = 1024, steps_per_dispatch: int = 1,
-                 temperature: float = 0.0, top_k: int = 0, seed: int = 0):
+                 temperature: float = 0.0, top_k: int = 0, seed: int = 0,
+                 pipelined: bool = False):
         self.model = model
         self.max_batch = max_batch
         self.max_seq_len = max_seq_len
@@ -90,6 +138,11 @@ class ContinuousBatchingEngine:
         # one device-side loop (tokens past a request's EOS are discarded —
         # bounded overshoot traded for N-fold fewer host roundtrips)
         self.steps_per_dispatch = steps_per_dispatch
+        # pipelined: last_tokens/poss live ON DEVICE and chunk N+1 dispatches
+        # before chunk N's tokens are read back — the D2H sync overlaps
+        # compute. Token streams are identical; bookkeeping (EOS detection,
+        # admissions, TTFT) lags one chunk behind the device.
+        self.pipelined = pipelined
         cfg = model.config
         shape = (max_batch, cfg.num_layers, max_seq_len, cfg.num_kv_heads,
                  cfg.head_dim)
@@ -103,6 +156,11 @@ class ContinuousBatchingEngine:
         self.stats = EngineStats()
         self._decode_exe = None
         self._prefill_exes: dict[int, object] = {}
+        if pipelined:
+            self._last_dev = jnp.zeros(max_batch, jnp.int32)
+            self._poss_dev = jnp.zeros(max_batch, jnp.int32)
+            self._inflight = None            # (toks_dev, [(slot, req), ...])
+            self._pending_first: list = []   # [(req, prompt_len, tok_dev)]
 
     # -- request lifecycle -----------------------------------------------------
 
@@ -133,6 +191,8 @@ class ContinuousBatchingEngine:
             self._prefill_slot(slot, req)
 
     def _prefill_slot(self, slot: int, req: Request) -> None:
+        if self.pipelined:
+            return self._prefill_slot_pl(slot, req)
         model = self.model
         ids = np.asarray(req.prompt, np.int32)
         n = len(ids)
@@ -166,6 +226,50 @@ class ContinuousBatchingEngine:
         self.stats.tokens_generated += 1
         self._maybe_finish(slot, tok)
 
+    def _prefill_slot_pl(self, slot: int, req: Request) -> None:
+        """Pipelined admission: one async dispatch; the first token is read
+        back lazily at the next chunk resolution (by then it is long
+        computed, so the D2H is a cheap buffer fetch, not a sync)."""
+        model = self.model
+        ids = np.asarray(req.prompt, np.int32)
+        n = len(ids)
+        bucket = min(_bucket(max(n, 8)), self.max_seq_len)
+        key = ("pl", bucket)
+        if key not in self._prefill_exes:
+            fn = functools.partial(_prefill_into_slot_pl_fn, model.config,
+                                   float(self.temperature), int(self.top_k),
+                                   int(self.seed))
+            self._prefill_exes[key] = capture(
+                fn, model.params, self.k_cache, self.v_cache,
+                self._last_dev, self._poss_dev,
+                jnp.zeros((bucket,), jnp.int32), jnp.int32(1), jnp.int32(0),
+                jnp.int32(0), donate_argnums=(1, 2, 3, 4),
+                name=f"serve_prefill_pl_{bucket}")
+        padded = np.zeros((bucket,), np.int32)
+        padded[:n] = ids
+        (self.k_cache, self.v_cache, self._last_dev, self._poss_dev,
+         tok_dev) = self._prefill_exes[key].replay(
+            model.params, self.k_cache, self.v_cache,
+            self._last_dev, self._poss_dev,
+            jnp.asarray(padded), jnp.int32(n), jnp.int32(slot),
+            jnp.int32(req.request_id))
+        self._poss[slot] = n                 # host shadow for finish checks
+        self._pending_first.append((req, tok_dev))
+        self.stats.prefills += 1
+
+    def _ensure_chunk_exe(self):
+        if self._decode_exe is None:
+            n = max(self.steps_per_dispatch, 1)
+            fn = functools.partial(
+                _serve_chunk_fn, self.model.config, n,
+                float(self.temperature), int(self.top_k), int(self.seed),
+                int(self.max_seq_len))
+            self._decode_exe = capture(
+                fn, self.model.params, self.k_cache, self.v_cache,
+                self._last_dev, self._poss_dev, jnp.int32(0),
+                donate_argnums=(1, 2, 3, 4), name=f"serve_chunk_pl_{n}")
+        return self._decode_exe
+
     def _ensure_decode_exe(self):
         if self._decode_exe is None:
             n = self.steps_per_dispatch
@@ -195,12 +299,20 @@ class ContinuousBatchingEngine:
         req = self._slots[slot]
         if req is None:
             return
+        self._maybe_finish_req(req, slot, tok)
+
+    def _maybe_finish_req(self, req: Request, slot: int, tok: int) -> None:
+        """Request-bound finish check — in pipelined mode resolution lags a
+        chunk behind, so ``slot`` may already host a newer request; only the
+        request identity decides completion, and the slot is freed only if
+        this request still owns it."""
         if ((req.eos_token_id is not None and tok == req.eos_token_id)
                 or len(req.generated) >= req.max_new_tokens
                 or self._poss[slot] + 1 >= self.max_seq_len):
             req.done = True
             req.finished_at = time.time()
-            self._slots[slot] = None
+            if self._slots[slot] is req:
+                self._slots[slot] = None
             self.stats.requests_completed += 1
 
     # -- engine loop -------------------------------------------------------------
@@ -208,6 +320,8 @@ class ContinuousBatchingEngine:
     def step(self) -> int:
         """Admit + advance every active slot by steps_per_dispatch tokens.
         Returns #active."""
+        if self.pipelined:
+            return self._step_pipelined()
         self._admit()
         active = [i for i, r in enumerate(self._slots) if r is not None]
         if not active:
@@ -243,12 +357,70 @@ class ContinuousBatchingEngine:
                     break
         return len(active)
 
+    def _step_pipelined(self) -> int:
+        """One pipelined engine step:
+
+        1. dispatch a chunk over the current device state (admissions from
+           the previous call are already applied on device),
+        2. resolve the PREVIOUS chunk's tokens — the np.asarray readback
+           overlaps the chunk just dispatched,
+        3. bookkeeping frees slots, then admissions prefill into them
+           (ordered after this chunk, picked up by the next one).
+        """
+        active = [(i, self._slots[i]) for i in range(self.max_batch)
+                  if self._slots[i] is not None]
+        dispatched = None
+        if active:
+            exe = self._ensure_chunk_exe()
+            (self.k_cache, self.v_cache, self._last_dev, self._poss_dev,
+             toks_dev) = exe.replay(
+                self.model.params, self.k_cache, self.v_cache,
+                self._last_dev, self._poss_dev, jnp.int32(self.stats.steps))
+            dispatched = (toks_dev, active)
+            self.stats.steps += 1
+        self._resolve_inflight()
+        self._inflight = dispatched
+        self._admit()
+        return len(active)
+
+    def _resolve_inflight(self) -> None:
+        if getattr(self, "_inflight", None) is None and not getattr(
+                self, "_pending_first", None):
+            return
+        # prefill first-tokens were dispatched BEFORE the inflight chunk —
+        # resolve them first so request.generated stays in stream order
+        for req, tok_dev in self._pending_first:
+            tok = int(np.asarray(tok_dev))
+            req.generated.append(tok)
+            req.first_token_at = time.time()
+            self._last_tokens[req.slot] = tok
+            self.stats.tokens_generated += 1
+            self._maybe_finish_req(req, req.slot, tok)
+        self._pending_first = []
+        if self._inflight is None:
+            return
+        toks_dev, snapshot = self._inflight
+        self._inflight = None
+        toks = np.asarray(toks_dev).astype(np.int32)
+        for slot, req in snapshot:
+            for j in range(toks.shape[1]):
+                if req.done:
+                    break
+                tok = int(toks[slot, j])
+                self._poss[slot] += 1
+                req.generated.append(tok)
+                self._last_tokens[slot] = tok
+                self.stats.tokens_generated += 1
+                self._maybe_finish_req(req, slot, tok)
+
     def run_until_complete(self, max_steps: int = 10000) -> None:
         for _ in range(max_steps):
-            if not self._queue and all(r is None for r in self._slots):
+            if not self.has_work:
                 return
             self.step()
 
     @property
     def has_work(self) -> bool:
-        return bool(self._queue) or any(r is not None for r in self._slots)
+        return (bool(self._queue) or any(r is not None for r in self._slots)
+                or getattr(self, "_inflight", None) is not None
+                or bool(getattr(self, "_pending_first", None)))

@@ -53,6 +53,36 @@ def test_speculative_matches(model, reference_tokens):
     assert strat.stats.tokens_generated >= N_NEW
 
 
+def test_speculative_separate_draft_matches(model, reference_tokens):
+    """A SEPARATE (smaller, differently-shaped) draft model must leave the
+    target's greedy stream unchanged — verification is exact."""
+    dcfg = TransformerConfig(
+        vocab_size=97, hidden_size=32, num_layers=1, num_heads=2,
+        num_kv_heads=1, intermediate_size=64, head_dim_override=16,
+        norm_type="rmsnorm", activation="silu", use_rope=True,
+        max_position_embeddings=128, norm_eps=1e-6, tie_word_embeddings=True)
+    draft = CausalTransformerModel(dcfg, init_params(dcfg, seed=9,
+                                                     dtype=jnp.float32),
+                                   dtype=jnp.float32)
+    model.init_fixed_cache(64)
+    strat = DecodeSpeculative(gamma=3, draft_model=draft).bind(model)
+    out = strat.generate(PROMPT, N_NEW)
+    assert out == reference_tokens
+    assert strat.stats.tokens_generated >= N_NEW
+
+
+def test_speculative_draft_vocab_mismatch_rejected(model):
+    dcfg = TransformerConfig(
+        vocab_size=50, hidden_size=32, num_layers=1, num_heads=2,
+        num_kv_heads=1, intermediate_size=64, head_dim_override=16,
+        max_position_embeddings=128, tie_word_embeddings=True)
+    draft = CausalTransformerModel(dcfg, init_params(dcfg, seed=9,
+                                                     dtype=jnp.float32),
+                                   dtype=jnp.float32)
+    with pytest.raises(ValueError):
+        DecodeSpeculative(draft_model=draft).bind(model)
+
+
 def test_jacobi_matches(model, reference_tokens):
     model.init_fixed_cache(64)
     strat = DecodeJacobi(window=4).bind(model)

@@ -173,3 +173,57 @@ class TestPipeline:
         # determinism: same seed, same image
         out2 = pipe(height=32, width=32, num_inference_steps=2)
         np.testing.assert_array_equal(out.images, out2.images)
+
+
+class TestImg2Img:
+    def _pipe(self):
+        from pygpukit_tpu.diffusion import FluxPipeline
+        fcfg = FluxConfig(in_channels=16, hidden_size=64, num_heads=4,
+                          depth=2, depth_single=2, context_dim=32,
+                          pooled_dim=24, axes_dim=(4, 6, 6))
+        vcfg = VAEConfig(block_out_channels=(16, 16), layers_per_block=1,
+                         norm_groups=4, latent_channels=4)
+        return FluxPipeline(FluxTransformer.init_random(fcfg),
+                            VAE.init_random(vcfg))
+
+    def test_img2img_runs_and_deterministic(self):
+        pipe = self._pipe()
+        rng = np.random.default_rng(0)
+        img = rng.integers(0, 255, (8, 8, 3), dtype=np.uint8)
+        out = pipe.img2img(img, strength=0.5, num_inference_steps=4)
+        assert out.images.shape == (1, 8, 8, 3)
+        out2 = pipe.img2img(img, strength=0.5, num_inference_steps=4)
+        np.testing.assert_array_equal(out.images, out2.images)
+        # higher strength diverges further from the init image
+        far = pipe.img2img(img, strength=1.0, num_inference_steps=4)
+        assert not np.array_equal(out.images, far.images)
+
+    def test_strength_validated(self):
+        pipe = self._pipe()
+        img = np.zeros((8, 8, 3), np.uint8)
+        import pytest as _pytest
+        with _pytest.raises(ValueError):
+            pipe.img2img(img, strength=0.0)
+        with _pytest.raises(ValueError):
+            pipe.img2img(img, strength=1.5)
+
+    def test_inpaint_preserves_unmasked_latents(self):
+        pipe = self._pipe()
+        rng = np.random.default_rng(1)
+        img = rng.integers(0, 255, (8, 8, 3), dtype=np.uint8)
+        x0 = np.asarray(pipe._prep_image_latents(img))      # [4, 4, 4]
+        mask = np.zeros((4, 4), np.float32)
+        mask[:, 2:] = 1.0                                    # repaint right half
+        out = pipe.inpaint(img, mask, num_inference_steps=3)
+        keep = out.latents[:, :, :2]
+        np.testing.assert_allclose(keep, x0[:, :, :2], rtol=0, atol=1e-5)
+        # repainted half actually changed
+        assert np.abs(out.latents[:, :, 2:] - x0[:, :, 2:]).max() > 1e-3
+
+    def test_pixel_space_mask_pooled(self):
+        pipe = self._pipe()
+        img = np.zeros((8, 8, 3), np.uint8)
+        mask = np.zeros((8, 8), np.float32)
+        mask[0, 4] = 1.0   # one pixel -> whole latent cell repainted
+        out = pipe.inpaint(img, mask, num_inference_steps=2)
+        assert out.images.shape == (1, 8, 8, 3)

@@ -105,6 +105,70 @@ class TestSampledServing:
         assert len(r3.generated) == 8
 
 
+class TestPipelinedServing:
+    """pipelined=True keeps last_tokens/poss on device and reads chunk N's
+    tokens only after dispatching chunk N+1 — token streams must be
+    identical to the non-pipelined engine."""
+
+    def test_matches_single_sequence(self, model):
+        refs = {p: _single_ref(model, list(p), 9)
+                for p in ((5, 11, 42), (7, 3))}
+        eng = ContinuousBatchingEngine(model, max_batch=2, max_seq_len=128,
+                                       steps_per_dispatch=4, pipelined=True)
+        r1 = eng.submit([5, 11, 42], max_new_tokens=9)
+        r2 = eng.submit([7, 3], max_new_tokens=9)
+        eng.run_until_complete()
+        assert r1.done and r2.done
+        assert r1.generated == refs[(5, 11, 42)], r1.generated
+        assert r2.generated == refs[(7, 3)]
+        assert not eng.has_work
+
+    def test_slot_reuse_overflow(self, model):
+        refs = {i: _single_ref(model, [i + 1, 2], 5) for i in range(6)}
+        eng = ContinuousBatchingEngine(model, max_batch=2, max_seq_len=128,
+                                       steps_per_dispatch=3, pipelined=True)
+        reqs = [eng.submit([i + 1, 2], max_new_tokens=5) for i in range(6)]
+        eng.run_until_complete()
+        assert all(r.done for r in reqs)
+        for i, r in enumerate(reqs):
+            assert r.generated == refs[i], f"req {i}: {r.generated}"
+        assert eng.stats.requests_completed == 6
+        assert eng.stats.prefills == 6
+
+    def test_dynamic_join_and_eos(self, model):
+        full = _single_ref(model, [9, 9, 1], 8)
+        eos = full[2]  # a token we know appears
+        expected = full[:full.index(eos) + 1]   # stop at FIRST occurrence
+        eng = ContinuousBatchingEngine(model, max_batch=2, max_seq_len=128,
+                                       steps_per_dispatch=4, pipelined=True)
+        r1 = eng.submit([5, 11, 42], max_new_tokens=6)
+        eng.step()
+        r2 = eng.submit([9, 9, 1], max_new_tokens=8, eos_token_id=eos)
+        eng.run_until_complete()
+        assert r1.done and r2.done
+        assert r2.generated == expected, (r2.generated, full)
+        assert r1.generated == _single_ref(model, [5, 11, 42], 6)
+
+    def test_seeded_sampling_deterministic(self, model):
+        outs = []
+        for _ in range(2):
+            e = ContinuousBatchingEngine(model, max_batch=2, max_seq_len=128,
+                                         steps_per_dispatch=4, pipelined=True,
+                                         temperature=0.8, top_k=10, seed=42)
+            r = e.submit([5, 11], max_new_tokens=8)
+            e.run_until_complete()
+            outs.append(r.generated)
+        assert outs[0] == outs[1] and len(outs[0]) == 8
+
+    def test_max_new_tokens_one(self, model):
+        eng = ContinuousBatchingEngine(model, max_batch=2, max_seq_len=128,
+                                       steps_per_dispatch=4, pipelined=True)
+        r = eng.submit([3, 4], max_new_tokens=1)
+        eng.run_until_complete()
+        assert r.done and len(r.generated) == 1
+        assert r.generated == _single_ref(model, [3, 4], 1)
+
+
 class TestPromptValidation:
     def test_oversized_prompt_rejected_at_submit(self, model):
         eng = ContinuousBatchingEngine(model, max_batch=2, max_seq_len=32)
