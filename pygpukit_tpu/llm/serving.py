@@ -101,6 +101,7 @@ class Request:
     generated: list[int] = field(default_factory=list)
     done: bool = False
     slot: int = -1
+    pos: int = 0                 # this request's own sequence position
     submitted_at: float = field(default_factory=time.time)
     first_token_at: float | None = None
     finished_at: float | None = None
@@ -253,8 +254,9 @@ class ContinuousBatchingEngine:
             self._last_dev, self._poss_dev,
             jnp.asarray(padded), jnp.int32(n), jnp.int32(slot),
             jnp.int32(req.request_id))
-        self._poss[slot] = n                 # host shadow for finish checks
-        self._pending_first.append((req, tok_dev))
+        self._poss[slot] = n
+        req.pos = n          # per-request (slots may be reused before the
+        self._pending_first.append((req, tok_dev))   # old request resolves)
         self.stats.prefills += 1
 
     def _ensure_chunk_exe(self):
@@ -301,14 +303,17 @@ class ContinuousBatchingEngine:
             return
         self._maybe_finish_req(req, slot, tok)
 
-    def _maybe_finish_req(self, req: Request, slot: int, tok: int) -> None:
+    def _maybe_finish_req(self, req: Request, slot: int, tok: int,
+                          pos: int | None = None) -> None:
         """Request-bound finish check — in pipelined mode resolution lags a
         chunk behind, so ``slot`` may already host a newer request; only the
         request identity decides completion, and the slot is freed only if
         this request still owns it."""
+        if pos is None:
+            pos = self._poss[slot]
         if ((req.eos_token_id is not None and tok == req.eos_token_id)
                 or len(req.generated) >= req.max_new_tokens
-                or self._poss[slot] + 1 >= self.max_seq_len):
+                or pos + 1 >= self.max_seq_len):
             req.done = True
             req.finished_at = time.time()
             if self._slots[slot] is req:
@@ -381,7 +386,28 @@ class ContinuousBatchingEngine:
         self._resolve_inflight()
         self._inflight = dispatched
         self._admit()
+        self._early_admit()
         return len(active)
+
+    def _early_admit(self) -> None:
+        """Admission lookahead: a length-bound request that is CERTAIN to
+        complete within the inflight chunk (len + chunk_size >= max_new;
+        EOS can only finish it sooner) gets its replacement prefilled NOW —
+        the prefill is device-ordered after the inflight chunk, so the slot
+        decodes useful tokens in the very next chunk instead of idling one.
+        EOS-bound finishes are unpredictable and keep the one-chunk lag."""
+        if getattr(self, "_inflight", None) is None or not self._queue:
+            return
+        n = max(self.steps_per_dispatch, 1)
+        for slot, req in self._inflight[1]:
+            if not self._queue:
+                return
+            if (self._slots[slot] is req and not req.done
+                    and len(req.generated) + n >= req.max_new_tokens):
+                nxt = self._queue.pop(0)
+                nxt.slot = slot
+                self._slots[slot] = nxt
+                self._prefill_slot(slot, nxt)
 
     def _resolve_inflight(self) -> None:
         if getattr(self, "_inflight", None) is None and not getattr(
@@ -395,7 +421,7 @@ class ContinuousBatchingEngine:
             req.first_token_at = time.time()
             self._last_tokens[req.slot] = tok
             self.stats.tokens_generated += 1
-            self._maybe_finish_req(req, req.slot, tok)
+            self._maybe_finish_req(req, req.slot, tok, pos=req.pos)
         self._pending_first = []
         if self._inflight is None:
             return
@@ -407,11 +433,13 @@ class ContinuousBatchingEngine:
                 if req.done:
                     break
                 tok = int(toks[slot, j])
-                self._poss[slot] += 1
+                req.pos += 1
+                if self._slots[slot] is req:   # slot may be early-readmitted
+                    self._poss[slot] = req.pos
                 req.generated.append(tok)
                 self._last_tokens[slot] = tok
                 self.stats.tokens_generated += 1
-                self._maybe_finish_req(req, slot, tok)
+                self._maybe_finish_req(req, slot, tok, pos=req.pos)
 
     def run_until_complete(self, max_steps: int = 10000) -> None:
         for _ in range(max_steps):

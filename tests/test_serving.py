@@ -160,6 +160,28 @@ class TestPipelinedServing:
             outs.append(r.generated)
         assert outs[0] == outs[1] and len(outs[0]) == 8
 
+    def test_early_admit_reduces_chunks(self, model):
+        """Length-bound requests get their replacement prefilled before the
+        slot frees — fewer engine chunks than the lag-one baseline, same
+        token streams."""
+        def serve(**kw):
+            eng = ContinuousBatchingEngine(model, max_batch=2,
+                                           max_seq_len=128,
+                                           steps_per_dispatch=4, **kw)
+            reqs = [eng.submit([i + 1, 2], max_new_tokens=8)
+                    for i in range(6)]
+            eng.run_until_complete()
+            return eng, reqs
+        pl, pl_reqs = serve(pipelined=True)
+        base, base_reqs = serve()
+        for a, b in zip(pl_reqs, base_reqs):
+            assert a.generated == b.generated
+        # 6 requests x (1 prefill + 7 chunk tokens) over 2 slots = 2 chunks
+        # per request, 2 slots -> 6 useful chunks; without lookahead each
+        # 2-request wave wastes a chunk on the freed-slot lag
+        assert pl.stats.steps <= base.stats.steps + 1, (
+            pl.stats.steps, base.stats.steps)
+
     def test_max_new_tokens_one(self, model):
         eng = ContinuousBatchingEngine(model, max_batch=2, max_seq_len=128,
                                        steps_per_dispatch=4, pipelined=True)
