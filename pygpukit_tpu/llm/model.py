@@ -181,14 +181,12 @@ def _logits(cfg: TransformerConfig, params, h):
 # Forward (no cache) — training/eval path and logits parity tests
 # ---------------------------------------------------------------------------
 
-def forward_fn(cfg: TransformerConfig, params, tokens):
-    """tokens [S] int32 -> logits [S, V] f32."""
-    s = tokens.shape[0]
-    h = jnp.take(params["embed"], tokens, axis=0)
-    if cfg.use_position_embed:
-        h = h + params["pos_embed"][:s]
-    rope_cos = params.get("rope_cos")
-    rope_sin = params.get("rope_sin")
+def layer_stack_fn(cfg: TransformerConfig, layers, h, rope_cos, rope_sin):
+    """Run h [S, E] through a stacked-layer pytree (any [L', ...] slice of
+    the full stack). Shared by forward_fn and the pipeline-parallel stage
+    executor (parallel/pipeline.py), where each 'pp' stage scans its local
+    contiguous layer slice."""
+    s = h.shape[0]
 
     def block(h, lp):
         x = _norm(cfg, h, lp["attn_norm_w"], lp.get("attn_norm_b"))
@@ -202,7 +200,18 @@ def forward_fn(cfg: TransformerConfig, params, tokens):
         h = h + _mlp(cfg, lp, y)
         return h, None
 
-    h, _ = lax.scan(block, h, params["layers"])
+    h, _ = lax.scan(block, h, layers)
+    return h
+
+
+def forward_fn(cfg: TransformerConfig, params, tokens):
+    """tokens [S] int32 -> logits [S, V] f32."""
+    s = tokens.shape[0]
+    h = jnp.take(params["embed"], tokens, axis=0)
+    if cfg.use_position_embed:
+        h = h + params["pos_embed"][:s]
+    h = layer_stack_fn(cfg, params["layers"], h,
+                       params.get("rope_cos"), params.get("rope_sin"))
     h = _norm(cfg, h, params["final_norm_w"], params.get("final_norm_b"))
     return _logits(cfg, params, h)
 

@@ -55,6 +55,74 @@ def test_tp_sharded_forward_matches(mesh):
     np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
 
 
+class TestPipelineParallel:
+    def _setup(self, n_layers=4):
+        from pygpukit_tpu.llm import TransformerConfig, init_params
+        from pygpukit_tpu.llm.model import forward_fn
+        cfg = TransformerConfig(
+            vocab_size=64, hidden_size=32, num_layers=n_layers, num_heads=4,
+            num_kv_heads=2, intermediate_size=64, head_dim_override=8,
+            norm_type="rmsnorm", activation="silu", use_rope=True,
+            max_position_embeddings=32, tie_word_embeddings=True)
+        params = init_params(cfg, 11, jnp.float32)
+        from pygpukit_tpu.ops.nn import rope as rope_mod
+        cos, sin = rope_mod.rope_init(cfg.max_position_embeddings,
+                                      cfg.head_dim, cfg.rope_theta)
+        params["rope_cos"], params["rope_sin"] = cos.jax, sin.jax
+        return cfg, params, forward_fn
+
+    def test_gpipe_matches_forward(self):
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 virtual devices")
+        from pygpukit_tpu.parallel import (
+            make_pp_mesh, pipeline_forward_fn, shard_params_pp,
+        )
+        cfg, params, forward_fn = self._setup(n_layers=4)
+        rng = np.random.default_rng(0)
+        tokens = jnp.asarray(rng.integers(0, 64, (3, 8)), jnp.int32)  # M=3
+        ref = np.asarray(jax.vmap(
+            lambda t: forward_fn(cfg, params, t))(tokens))
+        mesh = make_pp_mesh(4)          # 4 stages x 1 layer each
+        placed = shard_params_pp(params, mesh)
+        assert len(placed["layers"]["w_q"].sharding.device_set) == 4
+        got = np.asarray(jax.jit(
+            lambda p, t: pipeline_forward_fn(cfg, p, t, mesh))(placed, tokens))
+        np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
+
+    def test_gpipe_grads_flow(self):
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 virtual devices")
+        from pygpukit_tpu.parallel import (
+            make_pp_mesh, pipeline_forward_fn, shard_params_pp,
+        )
+        cfg, params, _ = self._setup(n_layers=2)
+        mesh = make_pp_mesh(2)
+        placed = shard_params_pp(params, mesh)
+        tokens = jnp.asarray([[1, 2, 3, 4], [5, 6, 7, 8]], jnp.int32)
+
+        def loss(p, t):
+            logits = pipeline_forward_fn(cfg, p, t, mesh)
+            lp = jax.nn.log_softmax(logits, axis=-1)
+            tgt = jnp.roll(t, -1, axis=1)
+            return jnp.mean(-jnp.take_along_axis(lp, tgt[..., None],
+                                                 axis=-1)[:, :-1])
+        l, grads = jax.jit(jax.value_and_grad(loss))(placed, tokens)
+        assert np.isfinite(float(l))
+        g = grads["layers"]["w_q"]
+        assert np.isfinite(np.asarray(g)).all()
+        assert np.abs(np.asarray(g)).max() > 0
+
+    def test_uneven_layers_rejected(self):
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 virtual devices")
+        from pygpukit_tpu.parallel import make_pp_mesh, pipeline_forward_fn
+        cfg, params, _ = self._setup(n_layers=3)
+        mesh = make_pp_mesh(2)
+        with pytest.raises(ValueError):
+            pipeline_forward_fn(cfg, params,
+                                jnp.zeros((1, 4), jnp.int32), mesh)
+
+
 def test_tp_sharded_generate_matches(mesh):
     from pygpukit_tpu.llm import CausalTransformerModel, TransformerConfig, init_params
     cfg = TransformerConfig(
