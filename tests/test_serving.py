@@ -182,6 +182,28 @@ class TestPipelinedServing:
         assert pl.stats.steps <= base.stats.steps + 1, (
             pl.stats.steps, base.stats.steps)
 
+    def test_quantized_model_serves(self, model):
+        """Quantized {'q','scale'} weights compose with the pipelined engine
+        (prefill-into-slot + chunk executables trace through model._mm)."""
+        from pygpukit_tpu.llm.quant import quantize_model_params
+        from pygpukit_tpu.llm import CausalTransformerModel
+        qp = quantize_model_params(dict(model.params), "int8")
+        qmodel = CausalTransformerModel(model.config, qp, dtype=model.dtype)
+        qmodel.params["rope_cos"] = model.params.get("rope_cos")
+        qmodel.params["rope_sin"] = model.params.get("rope_sin")
+        eng = ContinuousBatchingEngine(qmodel, max_batch=2, max_seq_len=128,
+                                       steps_per_dispatch=4, pipelined=True)
+        reqs = [eng.submit([i + 1, 2], max_new_tokens=6) for i in range(3)]
+        eng.run_until_complete()
+        assert all(r.done and len(r.generated) == 6 for r in reqs)
+        # deterministic across engines
+        eng2 = ContinuousBatchingEngine(qmodel, max_batch=2, max_seq_len=128,
+                                        steps_per_dispatch=4, pipelined=True)
+        reqs2 = [eng2.submit([i + 1, 2], max_new_tokens=6) for i in range(3)]
+        eng2.run_until_complete()
+        for a, b in zip(reqs, reqs2):
+            assert a.generated == b.generated
+
     def test_max_new_tokens_one(self, model):
         eng = ContinuousBatchingEngine(model, max_batch=2, max_seq_len=128,
                                        steps_per_dispatch=4, pipelined=True)
