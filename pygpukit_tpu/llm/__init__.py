@@ -27,7 +27,7 @@ from .streaming import (
 from .tokenizer import Tokenizer
 from .safetensors import (
     LazyModelLoader, SafeTensorsFile, ShardedSafeTensorsFile, TensorState,
-    load_safetensors,
+    load_model_params, load_safetensors, save_model_params, save_safetensors,
 )
 from .sampling import sample_token
 
@@ -37,7 +37,7 @@ __all__ = [
     "DecodeSpeculative", "DecodeStrategy", "init_params",
     "FP8QuantConfig", "QATConfig", "PruningConfig", "QuantizationMetadata",
     "dequantize_model_params", "quantize_model_params", "quantize_weight",
-    "repack_model_weights", "LayerStreamingContext", "LoadingStrategy",
+    "repack_model_weights", "save_safetensors", "save_model_params", "load_model_params", "LayerStreamingContext", "LoadingStrategy",
     "StreamingConfig", "create_streaming_context", "Tokenizer",
     "ChatMessage", "apply_chat_template", "apply_guard_template",
     "GPT2_SPEC", "LLAMA_SPEC", "MIXTRAL_SPEC", "MODEL_SPECS", "QWEN2_SPEC",

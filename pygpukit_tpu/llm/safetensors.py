@@ -14,6 +14,7 @@ from __future__ import annotations
 import json
 import mmap
 import os
+import struct
 from collections import OrderedDict
 from dataclasses import dataclass
 from pathlib import Path
@@ -267,3 +268,72 @@ class LazyModelLoader:
     def evict_all(self) -> None:
         for k in list(self._device):
             self.evict(k)
+
+
+# ---------------------------------------------------------------------------
+# Writer — checkpoint save (reference loads safetensors; saving closes the
+# checkpoint/resume loop, e.g. persisting quantized weights: SURVEY §5.4)
+# ---------------------------------------------------------------------------
+
+_NP_TO_ST = {v: k for k, v in _DTYPE_MAP.items() if v is not None}
+
+
+def save_safetensors(path: str | os.PathLike, tensors: dict) -> None:
+    """Write {name: array} to a safetensors file (JSON header + raw
+    little-endian buffers, 8-byte-aligned header as per the format spec)."""
+    header: dict = {}
+    blobs: list[bytes] = []
+    offset = 0
+    for name, arr in tensors.items():
+        a = np.ascontiguousarray(np.asarray(arr))
+        st_dtype = _NP_TO_ST.get(a.dtype)
+        if st_dtype is None:
+            raise ValueError(f"unsupported dtype {a.dtype} for {name!r}")
+        raw = a.tobytes()
+        header[name] = {"dtype": st_dtype, "shape": list(a.shape),
+                        "data_offsets": [offset, offset + len(raw)]}
+        blobs.append(raw)
+        offset += len(raw)
+    hjson = json.dumps(header, separators=(",", ":")).encode()
+    pad = (8 - (len(hjson) % 8)) % 8
+    hjson += b" " * pad
+    with open(path, "wb") as f:
+        f.write(struct.pack("<Q", len(hjson)))
+        f.write(hjson)
+        for raw in blobs:
+            f.write(raw)
+
+
+def _flatten_params(params: dict, prefix: str = "") -> dict:
+    flat: dict = {}
+    for k, v in params.items():
+        name = f"{prefix}{k}"
+        if v is None:
+            continue
+        if isinstance(v, dict):
+            flat.update(_flatten_params(v, f"{name}."))
+        else:
+            flat[name] = v
+    return flat
+
+
+def save_model_params(path: str | os.PathLike, params: dict) -> None:
+    """Persist a model param pytree (incl. quantized {"q","scale"} leaves —
+    dict nesting flattens to dotted names) as one safetensors file."""
+    save_safetensors(path, _flatten_params(params))
+
+
+def load_model_params(path: str | os.PathLike) -> dict:
+    """Inverse of save_model_params: dotted names unflatten back into the
+    nested pytree; leaves come back as jax arrays."""
+    import jax.numpy as jnp
+    st = SafeTensorsFile(path)
+    out: dict = {}
+    for name in st.keys():
+        parts = name.split(".")
+        node = out
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = jnp.asarray(np.asarray(st.tensor_numpy(name)))
+    st.close()
+    return out
