@@ -70,6 +70,27 @@ class TestPagedAttention:
         ref = self._ref_attn(q, k, v)
         np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
 
+    def test_pallas_gate_matches_gather(self, monkeypatch):
+        """PYGPUKIT_PAGED_ATTENTION=pallas routes PagedKVCache.attention
+        through the scalar-prefetch kernel; tiny shapes run in interpret
+        mode on CPU (real-Mosaic parity is TPU-gated in
+        test_pallas_kernels)."""
+        from pygpukit_tpu.ops.paged import paged_attention_fn
+        import jax
+        rng = np.random.default_rng(3)
+        nb, bs, hq, hk, d = 6, 8, 4, 2, 128
+        kp = jnp.asarray(rng.standard_normal((nb, bs, hk, d)), jnp.float32)
+        vp = jnp.asarray(rng.standard_normal((nb, bs, hk, d)), jnp.float32)
+        q = jnp.asarray(rng.standard_normal((hq, d)), jnp.float32)
+        table = jnp.asarray(rng.permutation(nb)[:3], jnp.int32)
+        ref = np.asarray(jax.jit(paged_attention_fn)(
+            q, kp, vp, table, jnp.int32(20)))
+        from pygpukit_tpu.kernels.paged_attention import paged_attention
+        monkeypatch.setenv("PYGPUKIT_PAGED_ATTENTION", "pallas")
+        got = np.asarray(paged_attention(q, kp, vp, table, 20))
+        rel = np.abs(got - ref).max() / (np.abs(ref).max() + 1e-9)
+        assert rel < 1e-5, rel
+
     def test_block_reuse_after_free(self):
         cache = PagedKVCache(num_blocks=2, block_size=4, num_kv_heads=1,
                              head_dim=4, dtype=jnp.float32)
