@@ -1,0 +1,69 @@
+"""Pallas kernel LOGIC tests in interpret mode (CPU, tiny shapes) — these
+run in the default suite so kernel regressions surface without a TPU; the
+real-Mosaic parity versions live in test_pallas_kernels.py (TPU-gated)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+
+@pytest.fixture(scope="module")
+def rng():
+    return np.random.default_rng(0)
+
+
+def test_gemv_quant_int8_interpret(rng):
+    from pygpukit_tpu.kernels.gemv_quant import gemv_quant
+    n, k = 256, 256
+    w = rng.standard_normal((n, k)).astype(np.float32)
+    scale = (np.abs(w).max(axis=1, keepdims=True) / 127.0).astype(np.float32)
+    wq = jnp.asarray(np.clip(np.round(w / scale), -127, 127), jnp.int8)
+    x = rng.standard_normal(k).astype(np.float32)
+    y = np.asarray(gemv_quant(wq, jnp.asarray(x), jnp.asarray(scale[:, 0]),
+                              bn=128, bk=128), np.float32)
+    ref = w @ x
+    rel = np.abs(y - ref).max() / np.abs(ref).max()
+    assert rel < 0.05, rel
+
+
+def test_gemv_int4_packed_interpret(rng):
+    from pygpukit_tpu.kernels.gemv_quant import gemv_int4_packed
+    n, k = 256, 256
+    w = rng.standard_normal((n, k)).astype(np.float32)
+    scale = (np.abs(w).max(axis=1, keepdims=True) / 7.0).astype(np.float32)
+    q = np.clip(np.round(w / scale), -7, 7).astype(np.int8)
+    lo = q[:, :k // 2] & 0xF
+    hi = q[:, k // 2:] & 0xF
+    packed = jnp.asarray((lo | (hi << 4)).astype(np.uint8))
+    x = rng.standard_normal(k).astype(np.float32)
+    y = np.asarray(gemv_int4_packed(packed, jnp.asarray(x),
+                                    jnp.asarray(scale[:, 0]),
+                                    bn=128, bk_half=128), np.float32)
+    ref = (q.astype(np.float32) * scale) @ x
+    rel = np.abs(y[0] - ref).max() / np.abs(ref).max()
+    assert rel < 2e-2, rel
+
+
+def test_pallas_gemm_interpret(rng):
+    from pygpukit_tpu.kernels.gemm import gemm
+    a = jnp.asarray(rng.standard_normal((256, 256)), jnp.float32)
+    b = jnp.asarray(rng.standard_normal((256, 256)), jnp.float32)
+    out = np.asarray(gemm(a, b, force="pallas"), np.float32)
+    ref = np.asarray(a) @ np.asarray(b)
+    rel = np.abs(out - ref).max() / np.abs(ref).max()
+    assert rel < 1e-4, rel
+
+
+def test_flash_decode_interpret(rng):
+    from pygpukit_tpu.kernels.flash_attention import flash_decode
+    from pygpukit_tpu.ops.nn.attention import sdpa_fixed_cache_fn
+    max_len, hq, hk, d = 256, 4, 2, 128
+    kc = jnp.asarray(rng.standard_normal((max_len, hk, d)), jnp.float32)
+    vc = jnp.asarray(rng.standard_normal((max_len, hk, d)), jnp.float32)
+    q = jnp.asarray(rng.standard_normal((1, hq, d)), jnp.float32)
+    out = np.asarray(flash_decode(q, kc, vc, 100))
+    ref = np.asarray(jax.jit(sdpa_fixed_cache_fn)(q, kc, vc, jnp.int32(100)))
+    rel = np.abs(out - ref).max() / (np.abs(ref).max() + 1e-9)
+    assert rel < 1e-4, rel
