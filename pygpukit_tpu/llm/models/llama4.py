@@ -20,8 +20,9 @@ from jax import lax
 
 from ...ops.nn.activation import swiglu_fn
 from ...ops.nn.llama4 import sdpa_irope_fn
-from ...ops.nn.norm import l2norm_fn, rmsnorm_fn
-from ...ops.nn.rope import apply_rope_fn
+from ...ops.nn.norm import qk_l2norm_fn, rmsnorm_fn
+from ...ops.matmul import _f32_precision
+from ...ops.nn.rope import apply_rope_interleaved_fn
 
 _F32 = jnp.float32
 
@@ -52,7 +53,10 @@ class Llama4Config:
         return cls(
             vocab_size=tc.get("vocab_size", 202048),
             hidden_size=tc.get("hidden_size", 5120),
-            intermediate_size=tc.get("intermediate_size", 8192),
+            # dense layers use intermediate_size_mlp in HF llama4 configs
+            # (intermediate_size is the MoE expert width)
+            intermediate_size=tc.get("intermediate_size_mlp",
+                                     tc.get("intermediate_size", 8192)),
             num_hidden_layers=tc.get("num_hidden_layers", 48),
             num_attention_heads=tc.get("num_attention_heads", 40),
             num_key_value_heads=tc.get("num_key_value_heads", 8),
@@ -66,6 +70,12 @@ class Llama4Config:
                 tc.get("max_position_embeddings", 8192), 1 << 20),
             no_rope_layers=tc.get("no_rope_layers"),
         )
+
+
+def _dot(x, w):
+    prec = (_f32_precision()
+            if x.dtype == _F32 and w.dtype == _F32 else None)
+    return jnp.dot(x, w, preferred_element_type=_F32, precision=prec)
 
 
 def llama4_forward_fn(cfg: Llama4Config, p, tokens):
@@ -83,41 +93,41 @@ def llama4_forward_fn(cfg: Llama4Config, p, tokens):
 
     def block(h, lp):
         x = rmsnorm_fn(h, lp["attn_norm_w"], cfg.rms_norm_eps)
-        q = jnp.dot(x, lp["w_q"], preferred_element_type=_F32) \
+        q = _dot(x, lp["w_q"]) \
             .astype(x.dtype).reshape(s, hq, d)
-        k = jnp.dot(x, lp["w_k"], preferred_element_type=_F32) \
+        k = _dot(x, lp["w_k"]) \
             .astype(x.dtype).reshape(s, hk, d)
-        v = jnp.dot(x, lp["w_v"], preferred_element_type=_F32) \
+        v = _dot(x, lp["w_v"]) \
             .astype(x.dtype).reshape(s, hk, d)
         use_rope = lp["use_rope"]          # traced 0/1 scalar per layer
-        q_r = apply_rope_fn(q, rope_cos, rope_sin)
-        k_r = apply_rope_fn(k, rope_cos, rope_sin)
+        # HF semantics: interleaved-pair rope on rope layers; QK L2 norm
+        # exists ONLY on rope layers (after rope); NoPE layers keep raw q/k
+        q_r = apply_rope_interleaved_fn(q, rope_cos, rope_sin)
+        k_r = apply_rope_interleaved_fn(k, rope_cos, rope_sin)
+        if cfg.use_qk_norm:
+            q_r = qk_l2norm_fn(q_r, cfg.rms_norm_eps)
+            k_r = qk_l2norm_fn(k_r, cfg.rms_norm_eps)
         q = jnp.where(use_rope > 0, q_r, q)
         k = jnp.where(use_rope > 0, k_r, k)
-        if cfg.use_qk_norm:
-            q = l2norm_fn(q, cfg.rms_norm_eps)
-            k = l2norm_fn(k, cfg.rms_norm_eps)
         # iRoPE temperature only on NoPE layers (HF semantics)
         attn_rope = sdpa_irope_fn(q, k, v, positions, 0.0, cfg.floor_scale)
         attn_nope = sdpa_irope_fn(q, k, v, positions, cfg.attn_scale,
                                   cfg.floor_scale)
         attn = jnp.where(use_rope > 0, attn_rope, attn_nope)
-        o = jnp.dot(attn.reshape(s, hq * d), lp["w_o"],
-                    preferred_element_type=_F32).astype(h.dtype)
+        o = _dot(attn.reshape(s, hq * d), lp["w_o"]).astype(h.dtype)
         h = h + o
         y = rmsnorm_fn(h, lp["mlp_norm_w"], cfg.rms_norm_eps)
-        gate = jnp.dot(y, lp["w_gate"], preferred_element_type=_F32) \
+        gate = _dot(y, lp["w_gate"]) \
             .astype(y.dtype)
-        up = jnp.dot(y, lp["w_up"], preferred_element_type=_F32) \
+        up = _dot(y, lp["w_up"]) \
             .astype(y.dtype)
-        mlp = jnp.dot(swiglu_fn(gate, up), lp["w_down"],
-                      preferred_element_type=_F32).astype(y.dtype)
+        mlp = _dot(swiglu_fn(gate, up), lp["w_down"]).astype(y.dtype)
         return h + mlp, None
 
     h, _ = lax.scan(block, h, p["layers"])
     h = rmsnorm_fn(h, p["final_norm_w"], cfg.rms_norm_eps)
     if p.get("lm_head") is not None:
-        return jnp.dot(h, p["lm_head"], preferred_element_type=_F32)
+        return _dot(h, p["lm_head"])
     return lax.dot_general(h, p["embed"], (((1,), (1,)), ((), ())),
                            preferred_element_type=_F32)
 

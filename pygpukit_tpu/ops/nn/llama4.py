@@ -11,7 +11,7 @@ import jax.numpy as jnp
 
 from ...core.array import Array
 from .._common import apply_op
-from .norm import l2norm_fn  # parameterless L2 norm (shared impl)
+from .norm import qk_l2norm_fn  # Llama-4 QK-norm (RMS-style)
 
 _F32 = jnp.float32
 
@@ -45,18 +45,23 @@ def sdpa_irope_fn(q, k, v, positions, attn_scale: float = 0.1,
     qh = jnp.transpose(q, (1, 0, 2)).astype(_F32)
     kh = jnp.transpose(k, (1, 0, 2)).astype(_F32)
     vh = jnp.transpose(v, (1, 0, 2)).astype(_F32)
-    scores = jnp.einsum("hqd,hkd->hqk", qh, kh) / math.sqrt(d)
+    from ..matmul import _f32_precision
+    prec = _f32_precision()
+    scores = jnp.einsum("hqd,hkd->hqk", qh, kh,
+                        precision=prec) / math.sqrt(d)
     i = jnp.arange(s)[:, None] + causal_offset
     j = jnp.arange(k.shape[0])[None, :]
     scores = jnp.where(j > i, -1e30, scores)
-    out = jnp.einsum("hqk,hkd->hqd", jax.nn.softmax(scores, -1), vh)
+    out = jnp.einsum("hqk,hkd->hqd", jax.nn.softmax(scores, -1), vh,
+                     precision=prec)
     return jnp.transpose(out, (1, 0, 2)).astype(q.dtype)
 
 
 # Array-facing wrappers (reference surface)
 
 def l2norm(x, eps: float = 1e-6, *, out: Array | None = None) -> Array:
-    return apply_op(lambda a: l2norm_fn(a, eps), x, out=out)
+    """Llama-4 QK-norm (HF Llama4TextL2Norm: rsqrt of MEAN of squares)."""
+    return apply_op(lambda a: qk_l2norm_fn(a, eps), x, out=out)
 
 
 def irope_scale_q(q, positions, attn_scale: float = 0.1,

@@ -34,10 +34,19 @@ def layernorm_fn(x, weight, bias=None, eps: float = 1e-5):
 
 
 def l2norm_fn(x, eps: float = 1e-12):
-    """Parameterless L2 norm over last dim (Llama-4 QK-norm,
-    reference: ops/nn/llama4.py)."""
+    """Parameterless true L2 norm over the last dim (unit-vector scaling)."""
     xf = x.astype(_F32)
     inv = lax.rsqrt(jnp.sum(xf * xf, axis=-1, keepdims=True) + eps)
+    return (xf * inv).astype(x.dtype)
+
+
+def qk_l2norm_fn(x, eps: float = 1e-6):
+    """Parameterless RMS-style "L2 norm" over the last dim — the Llama-4
+    QK-norm semantics (HF Llama4TextL2Norm divides by sqrt(MEAN of squares),
+    not the sum; reference: ops/nn/llama4.py l2norm). Verified against
+    transformers in tests/test_llm_families.py::TestLlama4."""
+    xf = x.astype(_F32)
+    inv = lax.rsqrt(jnp.mean(xf * xf, axis=-1, keepdims=True) + eps)
     return (xf * inv).astype(x.dtype)
 
 

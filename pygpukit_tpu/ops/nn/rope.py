@@ -106,6 +106,24 @@ def apply_rope_fn(x, cos, sin):
     return jnp.concatenate([r0, r1], axis=-1).astype(x.dtype)
 
 
+def apply_rope_interleaved_fn(x, cos, sin):
+    """Interleaved (even/odd complex-pair) RoPE — the Llama-4 convention
+    (HF llama4 apply_rotary_emb via view_as_complex; reference:
+    llm/models/llama4.py rope path). Most families use the split-half
+    layout (apply_rope_fn); Llama-4 rotates adjacent pairs instead.
+    Tables stay in the shared half-duplicated [S, D] layout; only the
+    first half (the unique frequencies) is read."""
+    d = x.shape[-1]
+    half = d // 2
+    c = jnp.expand_dims(cos[..., :half], -2).astype(_F32)   # [S, 1, D/2]
+    s = jnp.expand_dims(sin[..., :half], -2).astype(_F32)
+    xe = x[..., 0::2].astype(_F32)
+    xo = x[..., 1::2].astype(_F32)
+    oe = xe * c - xo * s
+    oo = xe * s + xo * c
+    return jnp.stack([oe, oo], axis=-1).reshape(x.shape).astype(x.dtype)
+
+
 def rope_inplace(q: Array, k: Array, cos, sin) -> None:
     """Apply RoPE to q [S,Hq,D] and k [S,Hk,D] in place (buffer rebind).
 

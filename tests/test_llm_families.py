@@ -85,3 +85,35 @@ class TestQwen3Moe:
         m.save_pretrained(tmp_path, safe_serialization=True)
         model = _check_parity(tmp_path, m, "qwen3_moe")
         assert model.config.is_moe and model.config.use_qk_norm
+
+
+class TestLlama4:
+    def test_parity_text(self, tmp_path):
+        """Tiny dense Llama4 text model vs transformers: exercises the
+        interleaved-pair rope, rope-layer-only QK L2 norm, and NoPE
+        temperature tuning (no_rope_layer_interval places NoPE layers)."""
+        import jax.numpy as jnp
+        from pygpukit_tpu.llm.models.llama4 import Llama4Model
+        cfg = transformers.Llama4TextConfig(
+            vocab_size=96, hidden_size=32, intermediate_size=64,
+            intermediate_size_mlp=64, num_hidden_layers=4,
+            num_attention_heads=4, num_key_value_heads=2, head_dim=8,
+            max_position_embeddings=64, tie_word_embeddings=False,
+            interleave_moe_layer_step=0, moe_layers=[],
+            no_rope_layer_interval=4,          # layer 3 = NoPE
+            use_qk_norm=True, attn_temperature_tuning=True,
+            rope_scaling=None, attention_chunk_size=64)
+        torch.manual_seed(4)
+        m = transformers.Llama4ForCausalLM(cfg).eval()
+        m.save_pretrained(tmp_path, safe_serialization=True)
+        ours = Llama4Model.from_safetensors(tmp_path, dtype=jnp.float32)
+        assert list(np.asarray(ours.params["layers"]["use_rope"])) == [1, 1, 1, 0]
+        prompt = [1, 7, 23]
+        got = np.asarray(ours.forward(prompt))
+        with torch.no_grad():
+            ref = m(torch.tensor([prompt])).logits[0].numpy()
+        np.testing.assert_allclose(got, ref, rtol=5e-3, atol=5e-3)
+        out = ours.generate(prompt, max_new_tokens=6)
+        hf_out = m.generate(torch.tensor([prompt]), max_new_tokens=6,
+                            do_sample=False, pad_token_id=0)[0, 3:].tolist()
+        assert out == hf_out, (out, hf_out)
