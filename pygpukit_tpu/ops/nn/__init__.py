@@ -9,7 +9,7 @@ from .rope import (
     alibi_add_bias, alibi_compute_bias, alibi_init_slopes,
     pope_init_encoding, pope_inplace,
     rope_init, rope_init_linear, rope_init_ntk_aware, rope_init_yarn,
-    rope_inplace, rope_inplace_f32table,
+    rope_inplace, rope_inplace_f32table, rope_inplace_interleaved,
 )
 
 __all__ = [
@@ -20,5 +20,5 @@ __all__ = [
     "alibi_add_bias", "alibi_compute_bias", "alibi_init_slopes",
     "pope_init_encoding", "pope_inplace",
     "rope_init", "rope_init_linear", "rope_init_ntk_aware", "rope_init_yarn",
-    "rope_inplace", "rope_inplace_f32table",
+    "rope_inplace", "rope_inplace_f32table", "rope_inplace_interleaved",
 ]

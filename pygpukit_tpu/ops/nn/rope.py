@@ -136,6 +136,16 @@ def rope_inplace(q: Array, k: Array, cos, sin) -> None:
     k._set_buffer(apply_rope_fn(kj, cj[:seq], sj[:seq]))
 
 
+def rope_inplace_interleaved(q: Array, k: Array, cos, sin) -> None:
+    """Interleaved-pair (Llama-4 convention) RoPE in place — the Array-
+    surface twin of rope_inplace for models that rotate adjacent pairs."""
+    cj, sj = as_jax(cos), as_jax(sin)
+    qj, kj = as_jax(q), as_jax(k)
+    seq = qj.shape[0]
+    q._set_buffer(apply_rope_interleaved_fn(qj, cj[:seq], sj[:seq]))
+    k._set_buffer(apply_rope_interleaved_fn(kj, cj[:seq], sj[:seq]))
+
+
 def rope_inplace_f32table(q: Array, k: Array, cos, sin, start_pos: int = 0) -> None:
     """Positional-offset variant for incremental decode (reference: rope.py:109)."""
     cj, sj = as_jax(cos), as_jax(sin)

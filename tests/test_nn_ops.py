@@ -212,3 +212,42 @@ class TestSampling:
             t = gp.sample_token_gpu(gp.from_numpy(logits), temperature=1.0,
                                     top_k=2).item()
             assert t in (3, 7)
+
+
+class TestInterleavedRope:
+    def test_matches_complex_reference(self):
+        """apply_rope_interleaved_fn == complex-pair rotation (the HF llama4
+        apply_rotary_emb semantics)."""
+        from pygpukit_tpu.ops.nn.rope import (
+            apply_rope_interleaved_fn, rope_init,
+        )
+        rng = np.random.default_rng(0)
+        s, h, d, theta = 6, 2, 8, 10000.0
+        x = rng.standard_normal((s, h, d)).astype(np.float32)
+        cos, sin = rope_init(16, d, theta)
+        import jax.numpy as jnp
+        got = np.asarray(apply_rope_interleaved_fn(
+            jnp.asarray(x), cos.jax[:s], sin.jax[:s]))
+        inv = theta ** (-2 * np.arange(d // 2) / d)
+        freqs = np.arange(s)[:, None] * inv[None, :]          # [S, D/2]
+        xc = x[..., 0::2] + 1j * x[..., 1::2]                 # [S, H, D/2]
+        out = xc * np.exp(1j * freqs)[:, None, :]
+        ref = np.empty_like(x)
+        ref[..., 0::2] = out.real
+        ref[..., 1::2] = out.imag
+        np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-6)
+
+    def test_inplace_wrapper(self):
+        import pygpukit_tpu as gp
+        from pygpukit_tpu.ops.nn import rope_inplace_interleaved
+        from pygpukit_tpu.ops.nn.rope import rope_init
+        rng = np.random.default_rng(1)
+        q = gp.from_numpy(rng.standard_normal((4, 2, 8)).astype(np.float32))
+        k = gp.from_numpy(rng.standard_normal((4, 1, 8)).astype(np.float32))
+        cos, sin = rope_init(8, 8)
+        before = _np(q).copy()
+        rope_inplace_interleaved(q, k, cos, sin)
+        after = _np(q)
+        assert not np.allclose(after, before)         # rotated in place
+        # position 0 is the identity rotation
+        np.testing.assert_allclose(after[0], before[0], rtol=1e-6)
