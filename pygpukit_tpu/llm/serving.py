@@ -102,6 +102,7 @@ class Request:
     done: bool = False
     slot: int = -1
     pos: int = 0                 # this request's own sequence position
+    on_token: Callable | None = None   # streaming callback(request, token)
     submitted_at: float = field(default_factory=time.time)
     first_token_at: float | None = None
     finished_at: float | None = None
@@ -166,17 +167,29 @@ class ContinuousBatchingEngine:
     # -- request lifecycle -----------------------------------------------------
 
     def submit(self, prompt: list[int], max_new_tokens: int = 64,
-               eos_token_id: int | None = None) -> Request:
+               eos_token_id: int | None = None,
+               on_token: Callable | None = None) -> Request:
         if len(prompt) >= self.max_seq_len:
             raise ValueError(
                 f"prompt ({len(prompt)} tokens) exceeds engine max_seq_len "
                 f"({self.max_seq_len})")
         req = Request(self._next_id, list(prompt), max_new_tokens,
-                      eos_token_id)
+                      eos_token_id, on_token=on_token)
         self._next_id += 1
         self._queue.append(req)
         self.stats.requests_submitted += 1
         return req
+
+    def _emit(self, req: Request, tok: int) -> None:
+        """Append a token and fire the streaming callback (a raising
+        callback is disabled, never allowed to kill the batch loop)."""
+        req.generated.append(tok)
+        self.stats.tokens_generated += 1
+        if req.on_token is not None:
+            try:
+                req.on_token(req, tok)
+            except Exception:
+                req.on_token = None
 
     def _free_slots(self) -> list[int]:
         return [i for i, r in enumerate(self._slots) if r is None]
@@ -219,12 +232,11 @@ class ContinuousBatchingEngine:
                 tok = int(sample_temperature_fn(logits, key, self.temperature))
         else:
             tok = int(np.asarray(jnp.argmax(logits)))
-        req.generated.append(tok)
+        self._emit(req, tok)
         req.first_token_at = time.time()
         self._last_tokens[slot] = tok
         self._poss[slot] = n
         self.stats.prefills += 1
-        self.stats.tokens_generated += 1
         self._maybe_finish(slot, tok)
 
     def _prefill_slot_pl(self, slot: int, req: Request) -> None:
@@ -354,9 +366,8 @@ class ContinuousBatchingEngine:
                     break
                 tok = int(toks[i, j])
                 self._poss[i] += 1
-                req.generated.append(tok)
+                self._emit(req, tok)
                 self._last_tokens[i] = tok
-                self.stats.tokens_generated += 1
                 self._maybe_finish(i, tok)
                 if self._slots[i] is None:
                     break
@@ -417,10 +428,9 @@ class ContinuousBatchingEngine:
         # resolve them first so request.generated stays in stream order
         for req, tok_dev in self._pending_first:
             tok = int(np.asarray(tok_dev))
-            req.generated.append(tok)
+            self._emit(req, tok)
             req.first_token_at = time.time()
             self._last_tokens[req.slot] = tok
-            self.stats.tokens_generated += 1
             self._maybe_finish_req(req, req.slot, tok, pos=req.pos)
         self._pending_first = []
         if self._inflight is None:
@@ -436,9 +446,8 @@ class ContinuousBatchingEngine:
                 req.pos += 1
                 if self._slots[slot] is req:   # slot may be early-readmitted
                     self._poss[slot] = req.pos
-                req.generated.append(tok)
+                self._emit(req, tok)
                 self._last_tokens[slot] = tok
-                self.stats.tokens_generated += 1
                 self._maybe_finish_req(req, slot, tok, pos=req.pos)
 
     def run_until_complete(self, max_steps: int = 10000) -> None:

@@ -213,6 +213,32 @@ class TestPipelinedServing:
         assert r.generated == _single_ref(model, [3, 4], 1)
 
 
+class TestStreamingCallback:
+    @pytest.mark.parametrize("pipelined", [False, True])
+    def test_on_token_streams_in_order(self, model, pipelined):
+        seen = []
+        eng = ContinuousBatchingEngine(model, max_batch=2, max_seq_len=128,
+                                       steps_per_dispatch=4,
+                                       pipelined=pipelined)
+        r = eng.submit([5, 11, 42], max_new_tokens=7,
+                       on_token=lambda req, t: seen.append(t))
+        eng.run_until_complete()
+        assert r.done
+        assert seen == r.generated and len(seen) == 7
+
+    def test_raising_callback_does_not_kill_engine(self, model):
+        def boom(req, tok):
+            raise RuntimeError("client went away")
+        eng = ContinuousBatchingEngine(model, max_batch=2, max_seq_len=128,
+                                       steps_per_dispatch=4, pipelined=True)
+        r1 = eng.submit([5, 11, 42], max_new_tokens=6, on_token=boom)
+        r2 = eng.submit([7, 3], max_new_tokens=6)
+        eng.run_until_complete()
+        assert r1.done and r2.done
+        assert len(r1.generated) == 6 and len(r2.generated) == 6
+        assert r1.on_token is None     # disabled after the first raise
+
+
 class TestPromptValidation:
     def test_oversized_prompt_rejected_at_submit(self, model):
         eng = ContinuousBatchingEngine(model, max_batch=2, max_seq_len=32)
