@@ -53,12 +53,15 @@ def main() -> None:
                                    max_seq_len=512,
                                    steps_per_dispatch=args.steps_per_dispatch,
                                    pipelined=args.pipelined)
-    # stagger submissions to show dynamic join
+    # stagger submissions to show dynamic join; stream request 1's tokens
     reqs = []
     t0 = time.time()
+    stream = (lambda r, t: print(f"  [stream req {r.request_id}] token {t}")
+              if r.request_id == 1 else None)
     for i in range(args.requests):
         reqs.append(eng.submit(list(range(1, 5 + i % 4)),
-                               max_new_tokens=16 + 8 * (i % 3)))
+                               max_new_tokens=16 + 8 * (i % 3),
+                               on_token=stream if i == 0 else None))
         eng.step()
         eng.step()
     eng.run_until_complete()
