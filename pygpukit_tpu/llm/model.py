@@ -117,9 +117,10 @@ def _mlp(cfg: TransformerConfig, lp, y):
 def _moe_mlp(cfg: TransformerConfig, lp, y):
     """Top-k routed expert MLP (reference: llm/layers/moe.py:29,153).
 
-    Default: dense one-hot formulation (static shapes, always available).
-    PYGPUKIT_MOE=gmm on TPU switches to the ragged megablox grouped-matmul
-    path — minimal top-k FLOPs instead of all-experts.
+    On TPU the ragged megablox grouped-matmul path is the default (minimal
+    top-k FLOPs, matching the reference's always-grouped-GEMM MoE);
+    PYGPUKIT_MOE=dense opts back into the one-hot formulation, which is also
+    the CPU/parity path.
     """
     from ..ops.moe import moe_dense_fn, moe_gmm_fn, use_gmm
     router = jnp.dot(y.astype(_F32), lp["w_router"])           # [T, E]

@@ -104,6 +104,11 @@ def moe_dense_fn(y, w_gate, w_up, w_down, router_logits, k: int):
 
 
 def use_gmm() -> bool:
+    """Ragged megablox gmm is the DEFAULT on TPU (the reference's MoE is
+    always grouped-GEMM — llm/layers/moe.py:153; the dense one-hot path pays
+    num_experts/top_k× extra FLOPs). PYGPUKIT_MOE=dense opts out; elsewhere
+    (CPU/interpret) the dense formulation is the only exact option."""
     from ..core.backend import get_backend
-    return (os.environ.get("PYGPUKIT_MOE", "") == "gmm"
-            and get_backend().platform == "tpu")
+    if os.environ.get("PYGPUKIT_MOE", "") == "dense":
+        return False
+    return get_backend().platform == "tpu"

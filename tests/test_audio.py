@@ -147,3 +147,150 @@ class TestRingBuffer:
         rb = audio.RingBuffer(4)
         rb.push(np.arange(10, dtype=np.float32))
         np.testing.assert_array_equal(rb.read_latest(4), [6, 7, 8, 9])
+
+
+class TestSpectralFeatures:
+    """Numpy-parity for the spectral feature family (reference:
+    native spectral_*_kernels + ops/audio/features.py)."""
+
+    @pytest.fixture
+    def spec(self, sine):
+        x, sr = sine
+        mag = np.abs(np.asarray(audio.stft(jnp.asarray(x), 512, 256)))
+        return mag, sr
+
+    def test_centroid_parity(self, spec):
+        mag, sr = spec
+        got = np.asarray(audio.spectral_centroid(jnp.asarray(mag), sr))
+        freqs = np.arange(mag.shape[1]) * sr / (2.0 * (mag.shape[1] - 1))
+        want = (mag * freqs).sum(-1) / np.maximum(mag.sum(-1), 1e-10)
+        np.testing.assert_allclose(got, want, rtol=1e-4)
+        # a 440 Hz sine's centroid should sit near 440
+        assert abs(np.median(got) - 440) < 60
+
+    def test_bandwidth_parity(self, spec):
+        mag, sr = spec
+        cen = audio.spectral_centroid(jnp.asarray(mag), sr)
+        got = np.asarray(audio.spectral_bandwidth(jnp.asarray(mag), cen, sr))
+        freqs = np.arange(mag.shape[1]) * sr / (2.0 * (mag.shape[1] - 1))
+        diff = np.abs(freqs[None, :] - np.asarray(cen)[:, None]) ** 2
+        want = np.sqrt((diff * mag).sum(-1) / np.maximum(mag.sum(-1), 1e-10))
+        np.testing.assert_allclose(got, want, rtol=1e-3)
+
+    def test_rolloff_parity(self, spec):
+        mag, sr = spec
+        got = np.asarray(audio.spectral_rolloff(jnp.asarray(mag), sr, 0.85))
+        bin_hz = sr / (2.0 * (mag.shape[1] - 1))
+        want = np.empty(mag.shape[0])
+        for f in range(mag.shape[0]):
+            cum = np.cumsum(mag[f])
+            want[f] = np.searchsorted(cum, cum[-1] * 0.85) * bin_hz
+        np.testing.assert_allclose(got, want, atol=bin_hz + 1e-3)
+
+    def test_flatness_range(self, spec):
+        mag, _ = spec
+        tonal = np.asarray(audio.spectral_flatness(jnp.asarray(mag)))
+        rng = np.random.default_rng(0)
+        noise = rng.uniform(0.5, 1.0, mag.shape).astype(np.float32)
+        noisy = np.asarray(audio.spectral_flatness(jnp.asarray(noise)))
+        assert tonal.mean() < 0.2          # sine = tonal
+        assert noisy.mean() > 0.8          # flat noise
+        assert (tonal >= 0).all() and (noisy <= 1.0 + 1e-5).all()
+
+    def test_contrast_shape_and_sign(self, spec):
+        mag, _ = spec
+        c = np.asarray(audio.spectral_contrast(jnp.asarray(mag), n_bands=6))
+        assert c.shape == (mag.shape[0], 6)
+        assert (c >= 0).all()              # log(peak) >= log(valley)
+
+    def test_delta_parity(self):
+        rng = np.random.default_rng(1)
+        feats = rng.normal(size=(20, 5)).astype(np.float32)
+        got = np.asarray(audio.delta(jnp.asarray(feats), order=1, width=2))
+        denom = 2.0 * (1 + 4)
+        want = np.zeros_like(feats)
+        for n in (1, 2):
+            plus = feats[np.minimum(np.arange(20) + n, 19)]
+            minus = feats[np.maximum(np.arange(20) - n, 0)]
+            want += n * (plus - minus)
+        want /= denom + 1e-10
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+        # order=2 == delta(delta)
+        dd = np.asarray(audio.delta(jnp.asarray(feats), order=2, width=2))
+        d1 = audio.delta(jnp.asarray(feats), order=1, width=2)
+        d2 = np.asarray(audio.delta(d1, order=1, width=2))
+        np.testing.assert_allclose(dd, d2, rtol=1e-5, atol=1e-6)
+
+    def test_autocorrelation_parity(self, sine):
+        x, sr = sine
+        x = x[:2000]
+        got = np.asarray(audio.autocorrelation(jnp.asarray(x), 500))
+        want = np.array([np.dot(x[: len(x) - lag], x[lag:]) for lag in range(500)])
+        np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-3)
+        # period of 440 Hz at 16 kHz ~ 36.4 samples -> acf peak near 36
+        peak = np.argmax(got[20:60]) + 20
+        assert abs(peak - sr / 440) <= 1
+
+    def test_chroma_cqt(self, sine):
+        x, sr = sine
+        c = audio.cqt(jnp.asarray(x), sr, n_bins=84, hop_length=512)
+        ch = np.asarray(audio.chroma_cqt(c, bins_per_octave=12))
+        assert ch.shape == (c.shape[0], 12)
+        assert ch.max() <= 1.0 + 1e-5
+        # A440 -> pitch class A = 9 semitones above C
+        assert np.median(ch.argmax(axis=1)) == 9
+
+
+class TestPreprocessing:
+    def test_deemphasis_inverts_preemphasis(self, sine):
+        x, _ = sine
+        x = x[:4000]
+        pre = audio.preemphasis(jnp.asarray(x), 0.97)
+        back = np.asarray(audio.deemphasis(pre, 0.97))
+        np.testing.assert_allclose(back, x, atol=1e-3)
+
+    def test_remove_dc(self):
+        x = jnp.asarray(np.random.default_rng(2).normal(1.5, 1.0, 1000).astype(np.float32))
+        y = np.asarray(audio.remove_dc(x))
+        assert abs(y.mean()) < 1e-5
+
+    def test_highpass_kills_dc_keeps_tone(self, sine):
+        x, sr = sine
+        x = x[:8000] + 0.5  # add DC
+        y = np.asarray(audio.highpass_filter(jnp.asarray(x), 20.0, sr))
+        # DC removed, 440 Hz survives
+        assert abs(y[4000:].mean()) < 0.01
+        assert y[4000:].std() > 0.3
+
+    def test_highpass_matches_sequential(self):
+        rng = np.random.default_rng(3)
+        x = rng.normal(size=500).astype(np.float32)
+        sr, fc = 16000, 100.0
+        rc = 1.0 / (2 * np.pi * fc)
+        a = rc / (rc + 1.0 / sr)
+        want = np.zeros_like(x)
+        xp = yp = 0.0
+        for i in range(len(x)):
+            yp = a * (yp + x[i] - xp)
+            xp = x[i]
+            want[i] = yp
+        got = np.asarray(audio.highpass_filter(jnp.asarray(x), fc, sr))
+        np.testing.assert_allclose(got, want, atol=1e-4)
+
+    def test_noise_gate(self):
+        x = jnp.asarray(np.array([0.005, -0.5, 0.02, -0.001], np.float32))
+        y = np.asarray(audio.noise_gate(x, 0.01))
+        np.testing.assert_allclose(y, [0.0, -0.5, 0.02, 0.0])
+
+    def test_short_term_energy(self):
+        x = jnp.asarray(np.concatenate([np.zeros(256), np.ones(256)]).astype(np.float32))
+        e = np.asarray(audio.compute_short_term_energy(x, 256))
+        np.testing.assert_allclose(e, [0.0, 1.0])
+
+    def test_spectral_gate_attenuates_quiet(self):
+        loud = np.ones(256, np.float32) * 0.5
+        quiet = np.ones(256, np.float32) * 0.01
+        x = jnp.asarray(np.concatenate([loud, quiet]))
+        y = np.asarray(audio.spectral_gate(x, threshold=0.01, attack_samples=64))
+        np.testing.assert_allclose(y[:256], loud)          # untouched
+        assert np.abs(y[256:]).max() < 0.01                # squashed by (e/t)^2
