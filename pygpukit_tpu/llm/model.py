@@ -275,12 +275,79 @@ def _prefill_attn(q, k, v, true_len):
     return jnp.transpose(out, (1, 0, 2)).astype(q.dtype)
 
 
+def use_fused_decode(cfg: TransformerConfig, params, max_seq: int) -> bool:
+    """True when the whole-model Pallas decode kernel should run: opt-in via
+    PYGPUKIT_DECODE=fused, TPU backend, eligible architecture, separate dense
+    bf16 projection leaves (kernels/fused_decode.supports)."""
+    import os
+    if os.environ.get("PYGPUKIT_DECODE", "") != "fused":
+        return False
+    from ..core.backend import get_backend
+    if get_backend().platform != "tpu":
+        return False
+    return fused_decode_eligible(cfg, params, max_seq)
+
+
+def fused_decode_eligible(cfg: TransformerConfig, params, max_seq: int) -> bool:
+    lp = params["layers"]
+    for leaf in ("w_q", "w_k", "w_v", "w_o", "w_gate", "w_up", "w_down"):
+        if leaf not in lp or isinstance(lp[leaf], dict):
+            return False
+        if lp[leaf].dtype != jnp.bfloat16:
+            return False
+    if "b_q" in lp or "b_qkv" in lp:
+        return False
+    from ..kernels.fused_decode import supports
+    return supports(
+        hidden=cfg.hidden_size, intermediate=cfg.intermediate_size,
+        n_heads=cfg.num_heads, n_kv_heads=cfg.num_kv_heads,
+        head_dim=cfg.head_dim, max_seq=max_seq, norm_type=cfg.norm_type,
+        activation=cfg.activation, use_rope=cfg.use_rope,
+        has_bias=False, use_qk_norm=cfg.use_qk_norm, is_moe=cfg.is_moe)
+
+
+def fused_decode_step_fn(cfg: TransformerConfig, params, k_cache, v_cache,
+                         token, pos, interpret: bool = False):
+    """decode_step_fn semantics via the whole-model Pallas kernel
+    (kernels/fused_decode.py): embed + LM head + cache scatter stay in XLA,
+    everything between runs as one hand-streamed kernel."""
+    from ..kernels.fused_decode import fused_decode_step
+    lp = params["layers"]
+    h = jnp.take(params["embed"], token[None], axis=0).astype(jnp.bfloat16)
+    cos = lax.dynamic_slice_in_dim(
+        params["rope_cos"], pos, 1, axis=0).astype(_F32)
+    sin = lax.dynamic_slice_in_dim(
+        params["rope_sin"], pos, 1, axis=0).astype(_F32)
+    l, max_seq, hk, d = k_cache.shape
+    kc = k_cache.reshape(l, max_seq, hk * d)
+    vc = v_cache.reshape(l, max_seq, hk * d)
+    h_out, k_new, v_new = fused_decode_step(
+        h, cos, sin, jnp.reshape(pos, (1,)).astype(jnp.int32),
+        lp["w_q"], lp["w_k"], lp["w_v"], lp["w_o"],
+        lp["w_gate"], lp["w_up"], lp["w_down"],
+        lp["attn_norm_w"].astype(_F32), lp["mlp_norm_w"].astype(_F32),
+        params["final_norm_w"].astype(_F32).reshape(1, -1),
+        kc, vc, n_heads=cfg.num_heads, n_kv_heads=cfg.num_kv_heads,
+        head_dim=cfg.head_dim, eps=cfg.norm_eps, interpret=interpret)
+    kc = lax.dynamic_update_slice(
+        kc, k_new[:, None, :].astype(kc.dtype), (0, pos, 0))
+    vc = lax.dynamic_update_slice(
+        vc, v_new[:, None, :].astype(vc.dtype), (0, pos, 0))
+    logits = _logits(cfg, params, h_out[0].astype(k_cache.dtype))
+    return (kc.reshape(l, max_seq, hk, d), vc.reshape(l, max_seq, hk, d),
+            logits)
+
+
 def decode_step_fn(cfg: TransformerConfig, params, k_cache, v_cache, token, pos):
     """One decode step: token scalar, pos scalar -> (k_cache, v_cache, logits).
 
     Caches are donated by the caller's executable — XLA updates them in place
     (the zero-alloc decode analog, reference causal.py:324).
+    PYGPUKIT_DECODE=fused routes eligible configs through the whole-model
+    Pallas kernel (fused_decode_step_fn) instead.
     """
+    if use_fused_decode(cfg, params, k_cache.shape[1]):
+        return fused_decode_step_fn(cfg, params, k_cache, v_cache, token, pos)
     h = jnp.take(params["embed"], token[None], axis=0)           # [1, E]
     if cfg.use_position_embed:
         h = h + lax.dynamic_slice_in_dim(params["pos_embed"], pos, 1, axis=0)
