@@ -1,10 +1,12 @@
-from .pipeline import FluxPipeline, PipelineOutput, Text2ImagePipeline
+from .pipeline import (
+    FluxPipeline, PipelineOutput, PixArtPipeline, Text2ImagePipeline,
+)
 from .schedulers import (
     SCHEDULERS, DDIMScheduler, EulerDiscreteScheduler, FlowMatchingScheduler,
 )
 
 __all__ = [
-    "FluxPipeline", "PipelineOutput", "Text2ImagePipeline",
+    "FluxPipeline", "PipelineOutput", "PixArtPipeline", "Text2ImagePipeline",
     "SCHEDULERS", "DDIMScheduler", "EulerDiscreteScheduler",
     "FlowMatchingScheduler",
 ]

@@ -229,3 +229,79 @@ class Text2ImagePipeline(FluxPipeline):
     """Generic facade (reference: Text2ImagePipeline, pipeline.py:34) — the
     SD3/PixArt variants share the flow-matching loop; model family selected
     by the transformer passed in."""
+
+
+class PixArtPipeline:
+    """PixArt-alpha text-to-image: T5 captions -> ada_norm_single DiT ->
+    DDIM epsilon sampling -> VAE decode (reference: Text2ImagePipeline's
+    PixArt path, pipeline.py:34; models/dit/)."""
+
+    def __init__(self, transformer, vae: VAE | None = None, t5_encoder=None,
+                 t5_tokenizer=None, scheduler=None):
+        from .schedulers import DDIMScheduler
+        self.transformer = transformer
+        self.vae = vae
+        self.t5 = t5_encoder
+        self.t5_tokenizer = t5_tokenizer
+        self.scheduler = scheduler or DDIMScheduler()
+        self._step_jit = None
+
+    @classmethod
+    def from_pretrained(cls, model_dir, config=None) -> "PixArtPipeline":
+        """diffusers PixArt snapshot layout: transformer/, vae/,
+        text_encoder/ (T5), tokenizer/."""
+        from pathlib import Path
+        from .models.pixart import PixArtTransformer
+        from .text_encoders.t5 import T5Encoder
+        d = Path(model_dir)
+        transformer = PixArtTransformer.from_safetensors(
+            d / "transformer", config)
+        vae = VAE.from_safetensors(d / "vae") if (d / "vae").exists() else None
+        t5 = (T5Encoder.from_safetensors(d / "text_encoder")
+              if (d / "text_encoder").exists() else None)
+        tok = None
+        try:
+            from transformers import AutoTokenizer
+            if (d / "tokenizer").exists():
+                tok = AutoTokenizer.from_pretrained(str(d / "tokenizer"))
+        except Exception:
+            pass
+        return cls(transformer, vae, t5, tok)
+
+    def encode_prompt(self, prompt: str, max_len: int = 120):
+        if self.t5 is None:
+            raise RuntimeError("no text encoder loaded")
+        if self.t5_tokenizer is not None:
+            ids = self.t5_tokenizer(prompt, max_length=max_len,
+                                    truncation=True)["input_ids"]
+        else:
+            ids = [ord(c) % 1000 for c in prompt][:max_len]  # offline stub
+        return self.t5(jnp.asarray(ids, jnp.int32))
+
+    def generate(self, prompt: str = "", num_steps: int = 20,
+                 guidance_scale: float = 4.5, seed: int = 0,
+                 caption_embeds=None, negative_embeds=None):
+        """-> latent [C, H, W] (and decoded image via .vae when present).
+        ``caption_embeds`` bypasses the text encoder (pre-computed T5)."""
+        cfg = self.transformer.config
+        c = caption_embeds if caption_embeds is not None else (
+            self.encode_prompt(prompt))
+        uc = negative_embeds if negative_embeds is not None else (
+            jnp.zeros_like(c))
+        self.scheduler.set_timesteps(num_steps)
+        key = jax.random.PRNGKey(seed)
+        lat = jax.random.normal(
+            key, (cfg.in_channels, cfg.sample_size, cfg.sample_size),
+            jnp.float32)
+        for i, t in enumerate(self.scheduler.timesteps):
+            eps_c = self.transformer(lat, float(t), c)[:cfg.in_channels]
+            if guidance_scale != 1.0:
+                eps_u = self.transformer(lat, float(t), uc)[:cfg.in_channels]
+                eps = eps_u + guidance_scale * (eps_c - eps_u)
+            else:
+                eps = eps_c
+            lat = jnp.asarray(self.scheduler.step(
+                np.asarray(eps), i, np.asarray(lat)).prev_sample)
+        if self.vae is not None:
+            return self.vae.decode_to_images(lat[None])
+        return lat

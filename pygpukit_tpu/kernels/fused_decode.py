@@ -89,7 +89,7 @@ def _make_kernel(dims, eps: float):
     def kernel(pos_ref, h0, cosr, sinr, attn_nw, mlp_nw, final_nw,
                wq, wk, wv, wo, wg, wu, wd, kc, vc,
                h_out, k_new, v_new,
-               x_s, qv, attnv, g_s, u_s, act_s,
+               x_s, qv, attnv, g_s, u_s, act_s, kn_s,
                bufA, bufB, kbuf, vbuf,
                semA, semB, semK, semV):
 
@@ -160,11 +160,15 @@ def _make_kernel(dims, eps: float):
                 return ((v0 * c - v1 * s).astype(_BF16),
                         (v1 * c + v0 * s).astype(_BF16))
 
+            # static-offset stores into a staging row (Mosaic rejects
+            # dynamic stores at unaligned lane offsets), then ONE aligned
+            # full-row store at the traced layer index.
             for hk_i in range(HK):
                 r0, r1 = rope_pair(kproj, hk_i * D)
-                k_new[pl.ds(l, 1), hk_i * D:hk_i * D + half] = r0.astype(_F32)
-                k_new[pl.ds(l, 1), hk_i * D + half:hk_i * D + 2 * half] = (
+                kn_s[0:1, hk_i * D:hk_i * D + half] = r0.astype(_F32)
+                kn_s[0:1, hk_i * D + half:hk_i * D + 2 * half] = (
                     r1.astype(_F32))
+            k_new[pl.ds(l, 1), :] = kn_s[:]
             v_new[pl.ds(l, 1), :] = vproj.astype(_F32)
 
             kv_mask = (jax.lax.broadcasted_iota(jnp.int32, (1, MAX), 1)
@@ -184,8 +188,8 @@ def _make_kernel(dims, eps: float):
                     q1, kh[:, half:2 * half], (((1,), (1,)), ((), ())),
                     preferred_element_type=_F32)
                 sc = (sc0 + sc1) * scale + neg                       # [1,MAX]
-                kn0 = k_new[pl.ds(l, 1), hk_i * D:hk_i * D + half].astype(_F32)
-                kn1 = k_new[pl.ds(l, 1), hk_i * D + half:hk_i * D + 2 * half].astype(_F32)
+                kn0 = kn_s[0:1, hk_i * D:hk_i * D + half]
+                kn1 = kn_s[0:1, hk_i * D + half:hk_i * D + 2 * half]
                 s_new = (jnp.sum(q0.astype(_F32) * kn0)
                          + jnp.sum(q1.astype(_F32) * kn1)) * scale
                 m = jnp.maximum(jnp.max(sc), s_new)
@@ -197,7 +201,7 @@ def _make_kernel(dims, eps: float):
                     p, vh, (((1,), (0,)), ((), ())),
                     preferred_element_type=_F32,
                     precision=jax.lax.Precision.HIGHEST)             # [1,D]
-                o = o + p_new * v_new[pl.ds(l, 1), hk_i * D:(hk_i + 1) * D].astype(_F32)
+                o = o + p_new * vproj[0:1, hk_i * D:(hk_i + 1) * D].astype(_F32)
                 attnv[0:1, hq_i * D:(hq_i + 1) * D] = (o / denom).astype(_BF16)
 
             # ---- wo tiles: x += attn @ wo (A indices NQ+2 ..) --------------
@@ -320,6 +324,7 @@ def fused_decode_step(h0, cos_p, sin_p, pos, wq, wk, wv, wo, wg, wu, wd,
             pltpu.VMEM((1, I), _BF16),            # g_s
             pltpu.VMEM((1, I), _BF16),            # u_s
             pltpu.VMEM((1, I), _BF16),            # act_s
+            pltpu.VMEM((1, KVD), _F32),           # kn_s (staging row)
             pltpu.VMEM((2, H, TN_A), _BF16),      # bufA
             pltpu.VMEM((2, I, TN_B), _BF16),      # bufB
             pltpu.VMEM((MAX, KVD), _BF16),        # kbuf

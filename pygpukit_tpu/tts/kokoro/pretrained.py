@@ -1,0 +1,179 @@
+"""Kokoro-82M pretrained model: real-checkpoint synthesis pipeline.
+
+Reference: src/pygpukit/tts/kokoro/model.py:122 (from_pretrained: weights +
+config + voices) — completed here with the full decoder/vocoder mapping the
+reference left unfinished, running as ONE jitted program per text length
+(eager per-op dispatch is unusable over remote TPU transports).
+"""
+
+from __future__ import annotations
+
+import functools
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .arch import kmodel_forward
+from .checkpoint import (
+    KokoroDims, init_random_flat, load_checkpoint_file, load_config_file,
+    load_params, load_voice_file, select_ref_s,
+)
+from .g2p import Phonemizer
+from .model import SynthesisResult
+
+SAMPLE_RATE = 24000
+
+
+class Kokoro82M:
+    """Faithful Kokoro-82M synthesis model over arch.py.
+
+    Use ``from_pretrained(dir)`` for a real checkpoint (kokoro-v1_0.pth or
+    .safetensors + config.json + voices/*.pt) or ``random_init()`` for a
+    weight-free demo/test instance.
+    """
+
+    #: frame budget per token (max_dur in the checkpoint is 50, typical
+    #: speech sits well under 20; raise for texts with long pauses)
+    max_frames_per_token = 20
+
+    def __init__(self, params: dict, dims: KokoroDims | None = None,
+                 vocab: dict[str, int] | None = None,
+                 voices: dict[str, np.ndarray] | None = None):
+        self.params = params
+        self.dims = dims or KokoroDims()
+        self.phonemizer = Phonemizer(vocab or None)
+        self.voices = dict(voices or {})
+        self._current_voice: str | None = next(iter(self.voices), None)
+        self._jit_cache: dict = {}
+
+    # ------------------------------------------------------------- loading
+
+    @classmethod
+    def from_pretrained(cls, model_path, voice: str = "af_heart",
+                        load_all_voices: bool = False) -> "Kokoro82M":
+        """Load from a Kokoro-82M snapshot directory (or a single weight
+        file). Reads config.json for dims+vocab when present; loads the
+        requested voice (or all)."""
+        path = Path(model_path)
+        if path.is_file():
+            weight_file, root = path, path.parent
+        else:
+            root = path
+            for name in ("kokoro-v1_0.pth", "kokoro-v1_0.safetensors"):
+                if (root / name).exists():
+                    weight_file = root / name
+                    break
+            else:
+                cands = (sorted(root.glob("*.pth"))
+                         + sorted(root.glob("*.safetensors")))
+                if not cands:
+                    raise FileNotFoundError(f"no checkpoint under {root}")
+                weight_file = cands[0]
+
+        dims, vocab = KokoroDims(), None
+        if (root / "config.json").exists():
+            dims, vocab = load_config_file(root / "config.json")
+            vocab = vocab or None
+
+        flat = load_checkpoint_file(weight_file)
+        params = load_params(flat, dims)
+
+        voices: dict[str, np.ndarray] = {}
+        vdir = root / "voices"
+        if vdir.exists():
+            names = ([p.stem for p in sorted(vdir.glob("*.pt"))]
+                     if load_all_voices else
+                     [voice] if (vdir / f"{voice}.pt").exists() else
+                     [p.stem for p in sorted(vdir.glob("*.pt"))[:1]])
+            for name in names:
+                f = vdir / f"{name}.pt"
+                if f.exists():
+                    voices[name] = load_voice_file(f)
+        model = cls(params, dims, vocab, voices)
+        if voice in model.voices:
+            model.set_voice(voice)
+        return model
+
+    @classmethod
+    def random_init(cls, seed: int = 0, scale: float = 0.05) -> "Kokoro82M":
+        """Architecture-exact random instance (tests, offline demos)."""
+        params = load_params(init_random_flat(seed=seed, scale=scale))
+        rng = np.random.default_rng(seed)
+        voices = {"demo": rng.standard_normal((510, 1, 256)).astype(
+            np.float32) * 0.1}
+        return cls(params, voices=voices)
+
+    # -------------------------------------------------------------- voices
+
+    def set_voice(self, name: str) -> None:
+        if name not in self.voices:
+            raise KeyError(f"unknown voice {name!r}; have "
+                           f"{list(self.voices)}")
+        self._current_voice = name
+
+    def load_voice(self, voice_path) -> str:
+        path = Path(voice_path)
+        self.voices[path.stem] = load_voice_file(path)
+        if self._current_voice is None:
+            self._current_voice = path.stem
+        return path.stem
+
+    @property
+    def available_voices(self) -> list[str]:
+        return list(self.voices)
+
+    @property
+    def current_voice(self) -> str | None:
+        return self._current_voice
+
+    # ----------------------------------------------------------- synthesis
+
+    def _fn(self, s_len: int, total: int):
+        key = (s_len, total)
+        if key not in self._jit_cache:
+            d = self.dims
+            self._jit_cache[key] = jax.jit(functools.partial(
+                kmodel_forward, total_frames=total,
+                n_albert_layers=d.albert_layers, albert_heads=d.albert_heads,
+                max_frames_per_token=self.max_frames_per_token))
+        return self._jit_cache[key]
+
+    def synthesize(self, text: str | None = None, voice: str | None = None,
+                   speed: float = 1.0, phonemes: str | None = None,
+                   seed: int = 0) -> SynthesisResult:
+        """Text (or raw IPA ``phonemes``) -> audio. One compiled program per
+        phoneme-sequence length."""
+        if voice is not None:
+            self.set_voice(voice)
+        ps = phonemes if phonemes is not None else self.phonemizer.phonemize(
+            text or "")
+        id_list = self.phonemizer.encode(phonemes=ps) or [16]
+        ids = jnp.asarray(id_list, jnp.int32)
+        if self._current_voice is not None:
+            ref = select_ref_s(self.voices[self._current_voice], len(id_list))
+        else:
+            ref = np.zeros(256, np.float32)
+        total = (len(id_list) + 2) * self.max_frames_per_token
+        audio_full, pred_dur, true_total = self._fn(len(id_list), total)(
+            ids, jnp.asarray(ref), self.params, speed=jnp.float32(speed),
+            key=jax.random.PRNGKey(seed))
+        n = int(true_total) * 600          # 2x decoder, 10*6 ups, hop 5
+        audio = np.asarray(audio_full)[:n]
+        return SynthesisResult(audio=audio, sample_rate=SAMPLE_RATE,
+                               duration=len(audio) / SAMPLE_RATE,
+                               phonemes=ps)
+
+    def synthesize_streaming(self, text: str, voice: str | None = None,
+                             chunk_chars: int = 64, speed: float = 1.0):
+        """Sentence/segment streaming (reference: generate_stream)."""
+        cur = ""
+        for ch in text:
+            cur += ch
+            if ch in ".!?" or len(cur) >= chunk_chars:
+                if cur.strip():
+                    yield self.synthesize(cur.strip(), voice, speed)
+                cur = ""
+        if cur.strip():
+            yield self.synthesize(cur.strip(), voice, speed)
