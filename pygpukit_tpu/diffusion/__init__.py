@@ -1,12 +1,13 @@
 from .pipeline import (
-    FluxPipeline, PipelineOutput, PixArtPipeline, Text2ImagePipeline,
+    FluxPipeline, PipelineOutput, PixArtPipeline, SD3Pipeline,
+    Text2ImagePipeline,
 )
 from .schedulers import (
     SCHEDULERS, DDIMScheduler, EulerDiscreteScheduler, FlowMatchingScheduler,
 )
 
 __all__ = [
-    "FluxPipeline", "PipelineOutput", "PixArtPipeline", "Text2ImagePipeline",
-    "SCHEDULERS", "DDIMScheduler", "EulerDiscreteScheduler",
-    "FlowMatchingScheduler",
+    "FluxPipeline", "PipelineOutput", "PixArtPipeline", "SD3Pipeline",
+    "Text2ImagePipeline", "SCHEDULERS", "DDIMScheduler",
+    "EulerDiscreteScheduler", "FlowMatchingScheduler",
 ]

@@ -305,3 +305,65 @@ class PixArtPipeline:
         if self.vae is not None:
             return self.vae.decode_to_images(lat[None])
         return lat
+
+
+class SD3Pipeline:
+    """Stable Diffusion 3 text-to-image: MMDiT + rectified-flow sampling
+    (reference: the SD3 path of Text2ImagePipeline, pipeline.py:34)."""
+
+    def __init__(self, transformer, vae: VAE | None = None,
+                 t5_encoder=None, clip_encoders=None, scheduler=None):
+        self.transformer = transformer
+        self.vae = vae
+        self.t5 = t5_encoder
+        self.clips = clip_encoders or []
+        self.scheduler = scheduler or FlowMatchingScheduler(
+            shift=3.0, use_dynamic_shifting=False)
+
+    @classmethod
+    def from_pretrained(cls, model_dir, config=None) -> "SD3Pipeline":
+        """diffusers SD3 snapshot layout: transformer/, vae/,
+        text_encoder{,_2}/ (CLIP-L/G), text_encoder_3/ (T5)."""
+        from pathlib import Path
+        from .models.sd3 import SD3Transformer
+        from .text_encoders.clip import CLIPTextEncoder
+        from .text_encoders.t5 import T5Encoder
+        d = Path(model_dir)
+        transformer = SD3Transformer.from_safetensors(d / "transformer",
+                                                      config)
+        vae = VAE.from_safetensors(d / "vae") if (d / "vae").exists() else None
+        clips = [CLIPTextEncoder.from_safetensors(d / n)
+                 for n in ("text_encoder", "text_encoder_2")
+                 if (d / n).exists()]
+        t5 = (T5Encoder.from_safetensors(d / "text_encoder_3")
+              if (d / "text_encoder_3").exists() else None)
+        return cls(transformer, vae, t5, clips)
+
+    def generate(self, caption_embeds, pooled_embeds, num_steps: int = 28,
+                 guidance_scale: float = 7.0, seed: int = 0,
+                 negative_embeds=None, negative_pooled=None):
+        """Pre-computed context [Tc, ctx_dim] + pooled [pooled_dim] ->
+        latent [C, H, W] (decoded via .vae when present)."""
+        cfg = self.transformer.config
+        c, pc = caption_embeds, pooled_embeds
+        uc = (negative_embeds if negative_embeds is not None
+              else jnp.zeros_like(c))
+        upc = (negative_pooled if negative_pooled is not None
+               else jnp.zeros_like(pc))
+        self.scheduler.set_timesteps(num_steps)
+        lat = jax.random.normal(
+            jax.random.PRNGKey(seed),
+            (cfg.in_channels, cfg.sample_size, cfg.sample_size), jnp.float32)
+        for i in range(num_steps):
+            t = float(self.scheduler.timesteps[i])   # sigma*1000 convention
+            v_c = self.transformer(lat, t, c, pc)
+            if guidance_scale != 1.0:
+                v_u = self.transformer(lat, t, uc, upc)
+                v = v_u + guidance_scale * (v_c - v_u)
+            else:
+                v = v_c
+            lat = jnp.asarray(self.scheduler.step(
+                np.asarray(v), i, np.asarray(lat)).prev_sample)
+        if self.vae is not None:
+            return self.vae.decode_to_images(lat[None])
+        return lat

@@ -19,9 +19,10 @@ Design:
   projection starts the FIRST tile of the next projection, and the last tile
   of the layer starts layer l+1's first tile — the stream never drains (the
   boundary bubbles are what killed the per-projection formulation).
-- Attention is unrolled PER HEAD with [1, D] lane-slices — no reshapes
-  (Mosaic relayouts avoided entirely). The current token's k/v never touch
-  the cache inside the kernel: its attention contribution is an explicit
+- Attention runs per kv-head GROUP: the G roped query heads are staged into
+  a [G, D] scratch with static row stores (no Mosaic reshapes/relayouts),
+  then each group is two MXU dots + one masked softmax. The current token's
+  k/v never touch the cache inside the kernel: its attention contribution is an explicit
   append term (score ``q·k_new`` joins the softmax), and k_new/v_new are
   kernel outputs the XLA caller scatters into the cache — cache mutation
   stays outside, mirroring the reference's graph-with-holes split
@@ -89,19 +90,25 @@ def _make_kernel(dims, eps: float):
     def kernel(pos_ref, h0, cosr, sinr, attn_nw, mlp_nw, final_nw,
                wq, wk, wv, wo, wg, wu, wd, kc, vc,
                h_out, k_new, v_new,
-               x_s, qv, attnv, g_s, u_s, act_s, kn_s,
+               x_s, qv, attnv, g_s, u_s, act_s, kn_s, qg_s,
                bufA, bufB, kbuf, vbuf,
                semA, semB, semK, semV):
 
-        def dma_a(layer, w_ref, col, ncols, slot):
+        def dma_a(layer, w_ref, tile, slot):
+            # tiled arena [L, NT, K, TN]: .at[l, t] is ONE contiguous block
+            # (column slices of row-major weights would be K separate 1-2KB
+            # strided segments — DMA bandwidth death)
             return pltpu.make_async_copy(
-                w_ref.at[layer, :, pl.ds(col, ncols)],
-                bufA.at[slot, :, 0:ncols], semA.at[slot])
+                w_ref.at[layer, tile], bufA.at[slot], semA.at[slot])
 
-        def dma_b(layer, col, slot):
+        def dma_kvw(layer, w_ref, slot):
+            # wk/wv are narrow enough to stream whole: [H, KVD] contiguous
             return pltpu.make_async_copy(
-                wd.at[layer, :, pl.ds(col, TN_B)],
-                bufB.at[slot], semB.at[slot])
+                w_ref.at[layer], bufA.at[slot, :, 0:KVD], semA.at[slot])
+
+        def dma_b(layer, tile, slot):
+            return pltpu.make_async_copy(
+                wd.at[layer, tile], bufB.at[slot], semB.at[slot])
 
         def dma_k(layer):
             return pltpu.make_async_copy(kc.at[layer], kbuf, semK)
@@ -116,7 +123,7 @@ def _make_kernel(dims, eps: float):
                     * w.astype(_F32)).astype(_BF16)
 
         # ---------------- prologue: start the first DMAs -------------------
-        dma_a(0, wq, 0, TN_A, 0).start()
+        dma_a(0, wq, 0, 0).start()
         dma_k(0).start()
         dma_v(0).start()
         x_s[:] = h0[:].astype(_BF16)
@@ -130,22 +137,22 @@ def _make_kernel(dims, eps: float):
             # ---- wq tiles -> qv (A indices 0..NQ-1) ------------------------
             for t in range(NQ):
                 if t + 1 < NQ:
-                    dma_a(l, wq, (t + 1) * TN_A, TN_A, (t + 1) % 2).start()
+                    dma_a(l, wq, t + 1, (t + 1) % 2).start()
                 else:
-                    dma_a(l, wk, 0, KVD, (t + 1) % 2).start()
-                dma_a(l, wq, t * TN_A, TN_A, t % 2).wait()
+                    dma_kvw(l, wk, (t + 1) % 2).start()
+                dma_a(l, wq, t, t % 2).wait()
                 qv[0:1, t * TN_A:(t + 1) * TN_A] = jnp.dot(
                     x1, bufA[t % 2], preferred_element_type=_F32).astype(_BF16)
 
             # ---- wk (A index NQ) -------------------------------------------
-            dma_a(l, wv, 0, KVD, (NQ + 1) % 2).start()
-            dma_a(l, wk, 0, KVD, NQ % 2).wait()
+            dma_kvw(l, wv, (NQ + 1) % 2).start()
+            dma_kvw(l, wk, NQ % 2).wait()
             kproj = jnp.dot(x1, bufA[NQ % 2, :, 0:KVD],
                             preferred_element_type=_F32).astype(_BF16)
 
             # ---- wv (A index NQ+1) -----------------------------------------
-            dma_a(l, wo, 0, TN_A, NQ % 2).start()
-            dma_a(l, wv, 0, KVD, (NQ + 1) % 2).wait()
+            dma_a(l, wo, 0, NQ % 2).start()
+            dma_kvw(l, wv, (NQ + 1) % 2).wait()
             vproj = jnp.dot(x1, bufA[(NQ + 1) % 2, :, 0:KVD],
                             preferred_element_type=_F32).astype(_BF16)
 
@@ -177,42 +184,47 @@ def _make_kernel(dims, eps: float):
             dma_k(l).wait()
             dma_v(l).wait()
 
-            for hq_i in range(HQ):
-                hk_i = hq_i // G
-                q0, q1 = rope_pair(qv, hq_i * D)
-                kh = kbuf[:, hk_i * D:(hk_i + 1) * D]                     # [MAX,D]
-                sc0 = jax.lax.dot_general(
-                    q0, kh[:, 0:half], (((1,), (1,)), ((), ())),
-                    preferred_element_type=_F32)
-                sc1 = jax.lax.dot_general(
-                    q1, kh[:, half:2 * half], (((1,), (1,)), ((), ())),
-                    preferred_element_type=_F32)
-                sc = (sc0 + sc1) * scale + neg                       # [1,MAX]
-                kn0 = kn_s[0:1, hk_i * D:hk_i * D + half]
-                kn1 = kn_s[0:1, hk_i * D + half:hk_i * D + 2 * half]
-                s_new = (jnp.sum(q0.astype(_F32) * kn0)
-                         + jnp.sum(q1.astype(_F32) * kn1)) * scale
-                m = jnp.maximum(jnp.max(sc), s_new)
-                p = jnp.exp(sc - m) * kv_mask                        # [1,MAX]
-                p_new = jnp.exp(s_new - m)
-                denom = jnp.sum(p) + p_new
-                vh = vbuf[:, hk_i * D:(hk_i + 1) * D].astype(_F32)        # [MAX,D]
+            # Batched per kv-head GROUP: G roped query heads are staged into
+            # a [G, D] scratch (static row stores), then each group costs
+            # two MXU dots + one masked softmax instead of G× narrow-lane
+            # per-head ops (the per-head formulation spent the decode budget
+            # on Mosaic sub-128-lane relayouts).
+            for hk_i in range(HK):
+                for g_i in range(G):
+                    r0, r1 = rope_pair(qv, (hk_i * G + g_i) * D)
+                    qg_s[g_i:g_i + 1, :] = jnp.concatenate([r0, r1], axis=1)
+                kh = kbuf[:, hk_i * D:(hk_i + 1) * D]                # [MAX,D]
+                sc = jax.lax.dot_general(
+                    qg_s[:], kh, (((1,), (1,)), ((), ())),
+                    preferred_element_type=_F32) * scale + neg       # [G,MAX]
+                kn_g = kn_s[0:1, hk_i * D:(hk_i + 1) * D].astype(_BF16)
+                s_new = jax.lax.dot_general(
+                    qg_s[:], kn_g, (((1,), (1,)), ((), ())),
+                    preferred_element_type=_F32) * scale             # [G,1]
+                m = jnp.maximum(jnp.max(sc, axis=-1, keepdims=True), s_new)
+                p = jnp.exp(sc - m) * kv_mask                        # [G,MAX]
+                p_new = jnp.exp(s_new - m)                           # [G,1]
+                denom = jnp.sum(p, axis=-1, keepdims=True) + p_new
+                vh = vbuf[:, hk_i * D:(hk_i + 1) * D].astype(_F32)   # [MAX,D]
                 o = jax.lax.dot_general(
                     p, vh, (((1,), (0,)), ((), ())),
                     preferred_element_type=_F32,
-                    precision=jax.lax.Precision.HIGHEST)             # [1,D]
+                    precision=jax.lax.Precision.HIGHEST)             # [G,D]
                 o = o + p_new * vproj[0:1, hk_i * D:(hk_i + 1) * D].astype(_F32)
-                attnv[0:1, hq_i * D:(hq_i + 1) * D] = (o / denom).astype(_BF16)
+                o = (o / denom).astype(_BF16)
+                for g_i in range(G):
+                    attnv[0:1, (hk_i * G + g_i) * D:(hk_i * G + g_i + 1) * D] = (
+                        o[g_i:g_i + 1, :])
 
             # ---- wo tiles: x += attn @ wo (A indices NQ+2 ..) --------------
             av = attnv[:]
             for t in range(NO):
                 idx = NQ + 2 + t
                 if t + 1 < NO:
-                    dma_a(l, wo, (t + 1) * TN_A, TN_A, (idx + 1) % 2).start()
+                    dma_a(l, wo, t + 1, (idx + 1) % 2).start()
                 else:
-                    dma_a(l, wg, 0, TN_A, (idx + 1) % 2).start()
-                dma_a(l, wo, t * TN_A, TN_A, idx % 2).wait()
+                    dma_a(l, wg, 0, (idx + 1) % 2).start()
+                dma_a(l, wo, t, idx % 2).wait()
                 delta = jnp.dot(av, bufA[idx % 2],
                                 preferred_element_type=_F32).astype(_BF16)
                 x_s[0:1, t * TN_A:(t + 1) * TN_A] = (
@@ -231,10 +243,10 @@ def _make_kernel(dims, eps: float):
             for t in range(NG):
                 idx = base + t
                 if t + 1 < NG:
-                    dma_a(l, wg, (t + 1) * TN_A, TN_A, (idx + 1) % 2).start()
+                    dma_a(l, wg, t + 1, (idx + 1) % 2).start()
                 else:
-                    dma_a(l, wu, 0, TN_A, (idx + 1) % 2).start()
-                dma_a(l, wg, t * TN_A, TN_A, idx % 2).wait()
+                    dma_a(l, wu, 0, (idx + 1) % 2).start()
+                dma_a(l, wg, t, idx % 2).wait()
                 g_s[0:1, t * TN_A:(t + 1) * TN_A] = jnp.dot(
                     x2, bufA[idx % 2],
                     preferred_element_type=_F32).astype(_BF16)
@@ -244,10 +256,10 @@ def _make_kernel(dims, eps: float):
             for t in range(NG):
                 idx = base + t
                 if t + 1 < NG:
-                    dma_a(l, wu, (t + 1) * TN_A, TN_A, (idx + 1) % 2).start()
+                    dma_a(l, wu, t + 1, (idx + 1) % 2).start()
                 else:
                     dma_b(l, 0, 0).start()
-                dma_a(l, wu, t * TN_A, TN_A, idx % 2).wait()
+                dma_a(l, wu, t, idx % 2).wait()
                 u_s[0:1, t * TN_A:(t + 1) * TN_A] = jnp.dot(
                     x2, bufA[idx % 2],
                     preferred_element_type=_F32).astype(_BF16)
@@ -260,12 +272,12 @@ def _make_kernel(dims, eps: float):
             actv = act_s[:]
             for t in range(ND):
                 if t + 1 < ND:
-                    dma_b(l, (t + 1) * TN_B, (t + 1) % 2).start()
+                    dma_b(l, t + 1, (t + 1) % 2).start()
                 else:
                     @pl.when(l + 1 < L)
                     def _():
-                        dma_a(l + 1, wq, 0, TN_A, 0).start()
-                dma_b(l, t * TN_B, t % 2).wait()
+                        dma_a(l + 1, wq, 0, 0).start()
+                dma_b(l, t, t % 2).wait()
                 delta = jnp.dot(actv, bufB[t % 2],
                                 preferred_element_type=_F32).astype(_BF16)
                 x_s[0:1, t * TN_B:(t + 1) * TN_B] = (
@@ -285,14 +297,16 @@ def fused_decode_step(h0, cos_p, sin_p, pos, wq, wk, wv, wo, wg, wu, wd,
     """Run the fused decode step.
 
     h0 [1,H] bf16 (embedded token); cos_p/sin_p [1,D] f32 (RoPE row at pos);
-    pos [1] int32; weight stacks [L, in, out] bf16; attn_norm/mlp_norm [L,H]
-    f32; final_norm [1,H] f32; caches [L, MAX, Hk*D] bf16 (kv heads
-    flattened). Returns (h_final [1,H] bf16, k_new [L,Hk*D] f32,
+    pos [1] int32; weights PRE-TILED via ``tile_weight`` — wq/wo/wg/wu
+    [L, NT, H, TN_A], wd [L, NT, I, TN_B] (each tile one contiguous DMA
+    block); wk/wv remain [L, H, KvD]; attn_norm/mlp_norm [L,H] f32;
+    final_norm [1,H] f32; caches [L, MAX, Hk*D] bf16 (kv heads flattened). Returns (h_final [1,H] bf16, k_new [L,Hk*D] f32,
     v_new [L,Hk*D] f32) — the caller scatters k_new/v_new into the caches
     at ``pos`` and runs the LM head.
     """
-    L, H, _ = wq.shape
-    I = wg.shape[-1]
+    L = wq.shape[0]
+    H = wq.shape[2]
+    I = wg.shape[1] * wg.shape[3]
     MAX = k_cache.shape[1]
     KVD = n_kv_heads * head_dim
     TN_A = _pick_tile(H)
@@ -325,6 +339,7 @@ def fused_decode_step(h0, cos_p, sin_p, pos, wq, wk, wv, wo, wg, wu, wd,
             pltpu.VMEM((1, I), _BF16),            # u_s
             pltpu.VMEM((1, I), _BF16),            # act_s
             pltpu.VMEM((1, KVD), _F32),           # kn_s (staging row)
+            pltpu.VMEM((n_heads // n_kv_heads, head_dim), _BF16),  # qg_s
             pltpu.VMEM((2, H, TN_A), _BF16),      # bufA
             pltpu.VMEM((2, I, TN_B), _BF16),      # bufB
             pltpu.VMEM((MAX, KVD), _BF16),        # kbuf
@@ -346,3 +361,17 @@ def fused_decode_step(h0, cos_p, sin_p, pos, wq, wk, wv, wo, wg, wu, wd,
     )
     return fn(pos, h0, cos_p, sin_p, attn_norm, mlp_norm, final_norm,
               wq, wk, wv, wo, wg, wu, wd, k_cache, v_cache)
+
+
+def tile_weight(w, tn: int):
+    """[L, K, N] -> [L, N//tn, K, tn] contiguous tile arena (one DMA block
+    per tile; the column-sliced row-major layout DMAs at ~1/10 bandwidth)."""
+    L, K, N = w.shape
+    # jnp arrays materialise transposes on use; force the copy eagerly so
+    # the arena is row-major contiguous in HBM
+    t = w.reshape(L, K, N // tn, tn).transpose(0, 2, 1, 3)
+    return jax.block_until_ready(t + jnp.zeros((), w.dtype))
+
+
+def tile_sizes(hidden: int):
+    return _pick_tile(hidden), _pick_tile(hidden, (256, 128))

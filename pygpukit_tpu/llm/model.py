@@ -306,11 +306,30 @@ def fused_decode_eligible(cfg: TransformerConfig, params, max_seq: int) -> bool:
         has_bias=False, use_qk_norm=cfg.use_qk_norm, is_moe=cfg.is_moe)
 
 
+def prepare_fused_decode_params(cfg: TransformerConfig, params: dict) -> dict:
+    """Add contiguous tile arenas for the fused decode kernel: w_{q,o,gate,
+    up,down}_t [L, NT, K, TN]. The originals stay (prefill and the XLA
+    fallback consume them) — decode trades ~1x weight HBM for contiguous
+    single-block DMAs (strided column slices stream at ~1/10 bandwidth)."""
+    from ..kernels.fused_decode import tile_sizes, tile_weight
+    tn_a, tn_b = tile_sizes(cfg.hidden_size)
+    layers = dict(params["layers"])
+    layers["w_q_t"] = tile_weight(layers["w_q"], tn_a)
+    layers["w_o_t"] = tile_weight(layers["w_o"], tn_a)
+    layers["w_gate_t"] = tile_weight(layers["w_gate"], tn_a)
+    layers["w_up_t"] = tile_weight(layers["w_up"], tn_a)
+    layers["w_down_t"] = tile_weight(layers["w_down"], tn_b)
+    out = dict(params)
+    out["layers"] = layers
+    return out
+
+
 def fused_decode_step_fn(cfg: TransformerConfig, params, k_cache, v_cache,
                          token, pos, interpret: bool = False):
     """decode_step_fn semantics via the whole-model Pallas kernel
     (kernels/fused_decode.py): embed + LM head + cache scatter stay in XLA,
-    everything between runs as one hand-streamed kernel."""
+    everything between runs as one hand-streamed kernel. Requires the tile
+    arenas from prepare_fused_decode_params."""
     from ..kernels.fused_decode import fused_decode_step
     lp = params["layers"]
     h = jnp.take(params["embed"], token[None], axis=0).astype(jnp.bfloat16)
@@ -323,8 +342,8 @@ def fused_decode_step_fn(cfg: TransformerConfig, params, k_cache, v_cache,
     vc = v_cache.reshape(l, max_seq, hk * d)
     h_out, k_new, v_new = fused_decode_step(
         h, cos, sin, jnp.reshape(pos, (1,)).astype(jnp.int32),
-        lp["w_q"], lp["w_k"], lp["w_v"], lp["w_o"],
-        lp["w_gate"], lp["w_up"], lp["w_down"],
+        lp["w_q_t"], lp["w_k"], lp["w_v"], lp["w_o_t"],
+        lp["w_gate_t"], lp["w_up_t"], lp["w_down_t"],
         lp["attn_norm_w"].astype(_F32), lp["mlp_norm_w"].astype(_F32),
         params["final_norm_w"].astype(_F32).reshape(1, -1),
         kc, vc, n_heads=cfg.num_heads, n_kv_heads=cfg.num_kv_heads,
@@ -623,6 +642,9 @@ class CausalTransformerModel:
         self._prefill_exes = {}
         self._window_exes = {}
         self._gen_exes = {}
+        if (use_fused_decode(cfg, self.params, max_seq_len)
+                and "w_q_t" not in self.params["layers"]):
+            self.params = prepare_fused_decode_params(cfg, self.params)
 
     def _ensure_decode_exe(self) -> Executable:
         if self._decode_exe is None:

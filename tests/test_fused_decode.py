@@ -14,6 +14,7 @@ from pygpukit_tpu.llm.config import TransformerConfig
 from pygpukit_tpu.llm.model import (
     CausalTransformerModel, decode_step_fn, fused_decode_eligible,
     fused_decode_step_fn, init_params, prefill_fn,
+    prepare_fused_decode_params,
 )
 
 
@@ -24,7 +25,7 @@ def tiny():
         num_kv_heads=2, intermediate_size=512, max_position_embeddings=128)
     params = init_params(cfg, seed=3, dtype=jnp.bfloat16)
     model = CausalTransformerModel(cfg, params, dtype=jnp.bfloat16)
-    return cfg, model.params
+    return cfg, prepare_fused_decode_params(cfg, model.params)
 
 
 class TestEligibility:
