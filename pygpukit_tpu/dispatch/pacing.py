@@ -56,6 +56,12 @@ class KernelPacingEngine:
                         > cfg.max_bytes_per_window
                         or self._window_launches + 1
                         > cfg.max_launches_per_window)
+                # a single launch larger than the whole window budget can
+                # never fit: admit it alone into an empty window (it then
+                # consumes the window) instead of spinning forever
+                if (over and self._window_launches == 0
+                        and bytes_moved > cfg.max_bytes_per_window):
+                    over = False
                 if not over:
                     self._window_bytes += bytes_moved
                     self._window_launches += 1

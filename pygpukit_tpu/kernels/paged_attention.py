@@ -143,3 +143,27 @@ def paged_attention(q, k_pool, v_pool, block_table, ctx_len):
     return _paged_wrapped(q, k_pool, v_pool, jnp.asarray(block_table),
                           jnp.asarray(ctx_len, jnp.int32),
                           interpret=interpret_mode())
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _paged_wrapped_t(q, k_pool_t, v_pool_t, block_table, ctx_len, *,
+                     interpret: bool):
+    hq, d = q.shape
+    nb, hk, bs, _ = k_pool_t.shape
+    g = hq // hk
+    rows = max(8, g)
+    qg = q.reshape(hk, g, d)
+    if rows > g:
+        qg = jnp.pad(qg, ((0, 0), (0, rows - g), (0, 0)))
+    out = _paged_pallas(block_table, ctx_len, qg, k_pool_t, v_pool_t,
+                        interpret=interpret)
+    return out[:, :g].reshape(hq, d)
+
+
+def paged_attention_pools_t(q, k_pool_t, v_pool_t, block_table, ctx_len):
+    """paged_attention for pools ALREADY stored [NB, Hk, BS, D] — the
+    serving engine's layout (no per-call whole-pool transpose)."""
+    return _paged_wrapped_t(q, k_pool_t, v_pool_t,
+                            jnp.asarray(block_table),
+                            jnp.asarray(ctx_len, jnp.int32),
+                            interpret=interpret_mode())

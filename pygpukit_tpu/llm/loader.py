@@ -23,16 +23,70 @@ from .model import CausalTransformerModel
 from .safetensors import load_safetensors
 
 
-def _to_jnp(arr: np.ndarray, dtype) -> jnp.ndarray:
-    return jnp.asarray(np.asarray(arr)).astype(dtype)
+# ---------------------------------------------------------------------------
+# H2D staging: every tensor conversion+upload routes through the async
+# transfer engine (reference: rust transfer/engine.rs:14-144 — ALL H2D goes
+# through the engine there too). Two worker threads overlap the host-side
+# mmap read/transpose/astype with the device upload of the previous tensor —
+# double-buffering the 20 MB/s tunnel. PYGPUKIT_ASYNC_LOAD=0 opts out.
+# ---------------------------------------------------------------------------
+
+_stager_local = None
 
 
-def _linear(st, name: str, dtype, transpose: bool) -> jnp.ndarray:
-    w = st.tensor_numpy(name)
-    w = np.asarray(w)
-    if transpose:
-        w = w.T
-    return _to_jnp(np.ascontiguousarray(w), dtype)
+def _stage(produce):
+    if _stager_local is None:
+        return produce()
+    return _stager_local._submit(produce, _stager_local.NORMAL)
+
+
+def _resolve(tree):
+    import jax
+    from ..transfer.engine import TransferFuture
+    is_fut = lambda x: isinstance(x, TransferFuture)
+    return jax.tree.map(lambda x: x.result() if is_fut(x) else x, tree,
+                        is_leaf=is_fut)
+
+
+class _staging:
+    """Context manager activating the loader's transfer engine.
+
+    ``min_bytes``: below this checkpoint size the engine overhead (worker
+    startup + per-tensor handoff) exceeds the overlap win — stay inline."""
+
+    def __init__(self, total_bytes: int = 1 << 62):
+        self.total_bytes = total_bytes
+
+    def __enter__(self):
+        global _stager_local
+        min_bytes = int(os.environ.get("PYGPUKIT_ASYNC_LOAD_MIN_BYTES",
+                                       str(256 << 20)))
+        if (os.environ.get("PYGPUKIT_ASYNC_LOAD", "1") != "0"
+                and self.total_bytes >= min_bytes):
+            from ..transfer.engine import AsyncTransferEngine
+            _stager_local = AsyncTransferEngine(num_workers=2)
+        return self
+
+    def __exit__(self, *exc):
+        global _stager_local
+        if _stager_local is not None:
+            eng = _stager_local
+            _stager_local = None
+            eng.synchronize()
+            eng.shutdown()
+
+
+def _to_jnp(arr, dtype):
+    return _stage(lambda: jnp.asarray(np.asarray(arr)).astype(dtype))
+
+
+def _linear(st, name: str, dtype, transpose: bool):
+    def produce():
+        w = np.asarray(st.tensor_numpy(name))
+        if transpose:
+            w = np.ascontiguousarray(w.T)
+        return jnp.asarray(w).astype(dtype)
+    return _stage(produce)
 
 
 def _find_config_json(path) -> dict | None:
@@ -111,9 +165,26 @@ def load_model_from_safetensors(path, dtype=jnp.bfloat16,
     hf_cfg = _find_config_json(path)
     if config is None:
         config = _infer_config(st, spec, hf_cfg)
+
+    try:
+        total = sum(st.info(k).nbytes for k in st.keys())
+    except Exception:
+        total = 1 << 62
+    with _staging(total):
+        params = _build_params(st, spec, config, dtype)
+    if fuse:
+        from .model import fuse_params
+        params = fuse_params(params)
+    model = CausalTransformerModel(config, params, spec=spec, dtype=dtype)
+    if max_seq_len is not None:
+        model.init_fixed_cache(max_seq_len)
+    return model
+
+
+def _build_params(st, spec, config, dtype) -> dict:
     norm_dtype = jnp.float32
     tr = spec.hf_linear_layout
-
+    hq, hk, d = config.num_heads, config.num_kv_heads, config.head_dim
     params: dict = {}
     params["embed"] = _to_jnp(st.tensor_numpy(spec.embed_tokens), dtype)
     if spec.use_position_embed and spec.position_embed:
@@ -128,7 +199,6 @@ def load_model_from_safetensors(path, dtype=jnp.bfloat16,
     else:
         params["lm_head"] = None
 
-    hq, hk, d = config.num_heads, config.num_kv_heads, config.head_dim
     layers = []
     for l in range(config.num_layers):
         lp: dict = {}
@@ -185,9 +255,9 @@ def load_model_from_safetensors(path, dtype=jnp.bfloat16,
                     st, spec.expert_up_proj.format(layer=l, expert=e_i), dtype, tr))
                 downs.append(_linear(
                     st, spec.expert_down_proj.format(layer=l, expert=e_i), dtype, tr))
-            lp["w_experts_gate"] = jnp.stack(gates)
-            lp["w_experts_up"] = jnp.stack(ups)
-            lp["w_experts_down"] = jnp.stack(downs)
+            lp["w_experts_gate"] = jnp.stack(_resolve(gates))
+            lp["w_experts_up"] = jnp.stack(_resolve(ups))
+            lp["w_experts_down"] = jnp.stack(_resolve(downs))
         elif spec.gate_proj:
             lp["w_gate"] = _linear(st, spec.gate_proj.format(layer=l), dtype, tr)
             lp["w_up"] = _linear(st, spec.up_proj.format(layer=l), dtype, tr)
@@ -203,14 +273,10 @@ def load_model_from_safetensors(path, dtype=jnp.bfloat16,
         layers.append(lp)
 
     import jax
+    layers = _resolve(layers)
+    params = _resolve(params)
     params["layers"] = jax.tree.map(lambda *xs: jnp.stack(xs), *layers)
-    if fuse:
-        from .model import fuse_params
-        params = fuse_params(params)
-    model = CausalTransformerModel(config, params, spec=spec, dtype=dtype)
-    if max_seq_len is not None:
-        model.init_fixed_cache(max_seq_len)
-    return model
+    return params
 
 
 # per-arch convenience loaders (reference: loader.py:63-111)

@@ -311,14 +311,14 @@ def prepare_fused_decode_params(cfg: TransformerConfig, params: dict) -> dict:
     up,down}_t [L, NT, K, TN]. The originals stay (prefill and the XLA
     fallback consume them) — decode trades ~1x weight HBM for contiguous
     single-block DMAs (strided column slices stream at ~1/10 bandwidth)."""
-    from ..kernels.fused_decode import tile_sizes, tile_weight
-    tn_a, tn_b = tile_sizes(cfg.hidden_size)
+    from ..kernels.fused_decode import plan_tiles, tile_weight
+    plans = plan_tiles(cfg.hidden_size, cfg.intermediate_size)
     layers = dict(params["layers"])
-    layers["w_q_t"] = tile_weight(layers["w_q"], tn_a)
-    layers["w_o_t"] = tile_weight(layers["w_o"], tn_a)
-    layers["w_gate_t"] = tile_weight(layers["w_gate"], tn_a)
-    layers["w_up_t"] = tile_weight(layers["w_up"], tn_a)
-    layers["w_down_t"] = tile_weight(layers["w_down"], tn_b)
+    layers["w_q_t"] = tile_weight(layers["w_q"], plans["q"][1])
+    layers["w_o_t"] = tile_weight(layers["w_o"], plans["o"][1])
+    layers["w_gate_t"] = tile_weight(layers["w_gate"], plans["g"][1])
+    layers["w_up_t"] = tile_weight(layers["w_up"], plans["u"][1])
+    layers["w_down_t"] = tile_weight(layers["w_down"], plans["d"][1])
     out = dict(params)
     out["layers"] = layers
     return out

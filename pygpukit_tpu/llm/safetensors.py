@@ -14,6 +14,7 @@ from __future__ import annotations
 import json
 import mmap
 import os
+import threading
 import struct
 from collections import OrderedDict
 from dataclasses import dataclass
@@ -225,6 +226,7 @@ class LazyModelLoader:
         self.target_dtype = to_dtype(dtype) if dtype is not None else None
         self._device: OrderedDict[str, object] = OrderedDict()
         self._device_bytes = 0
+        self._lock = threading.RLock()   # async prefetch workers call get()
         self.stats = {"loads": 0, "hits": 0, "evictions": 0}
 
     def keys(self) -> list[str]:
@@ -234,7 +236,13 @@ class LazyModelLoader:
         return TensorState.LOADED if name in self._device else TensorState.UNLOADED
 
     def get(self, name: str):
-        """Device tensor for ``name``, loading + possibly LRU-evicting."""
+        """Device tensor for ``name``, loading + possibly LRU-evicting.
+        Thread-safe: the streaming context's engine prefetches from worker
+        threads."""
+        with self._lock:
+            return self._get_locked(name)
+
+    def _get_locked(self, name: str):
         import jax
         from ..core.backend import get_backend
         if name in self._device:
@@ -260,6 +268,10 @@ class LazyModelLoader:
     get_array = get
 
     def evict(self, name: str) -> None:
+        with self._lock:
+            self._evict_locked(name)
+
+    def _evict_locked(self, name: str) -> None:
         if name in self._device:
             _, nbytes = self._device.pop(name)
             self._device_bytes -= nbytes

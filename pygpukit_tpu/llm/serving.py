@@ -71,6 +71,24 @@ def _prefill_into_slot_pl_fn(cfg, temperature, top_k, seed, params, k_pool,
     return k_pool, v_pool, last, poss, tok
 
 
+def _prefill_wave_pl_fn(cfg, temperature, top_k, seed, n_wave, params,
+                        k_pool, v_pool, last, poss, tokens_w, lens_w,
+                        slots_w, rids_w):
+    """Pipelined admission WAVE: prefill ``n_wave`` same-bucket requests in
+    ONE dispatch (VERDICT: prefill wave stagger was ~a quarter of the gap to
+    the chunk ceiling — one executable replaces n_wave dispatches)."""
+    def body(i, carry):
+        k_pool, v_pool, last, poss, toks = carry
+        k_pool, v_pool, last, poss, tok = _prefill_into_slot_pl_fn(
+            cfg, temperature, top_k, seed, params, k_pool, v_pool, last,
+            poss, tokens_w[i], lens_w[i], slots_w[i], rids_w[i])
+        return k_pool, v_pool, last, poss, toks.at[i].set(tok)
+
+    toks0 = jnp.zeros((n_wave,), jnp.int32)
+    return lax.fori_loop(0, n_wave, body,
+                         (k_pool, v_pool, last, poss, toks0))
+
+
 def _serve_chunk_fn(cfg, n_steps, temperature, top_k, seed, max_seq_len,
                     params, k_pool, v_pool, last, poss, step_idx):
     """Advance every slot ``n_steps`` tokens with DEVICE-resident last/poss.
@@ -129,7 +147,8 @@ class ContinuousBatchingEngine:
     def __init__(self, model: CausalTransformerModel, max_batch: int = 8,
                  max_seq_len: int = 1024, steps_per_dispatch: int = 1,
                  temperature: float = 0.0, top_k: int = 0, seed: int = 0,
-                 pipelined: bool = False):
+                 pipelined: bool = False, paged: bool = False,
+                 block_size: int = 16, num_blocks: int | None = None):
         self.model = model
         self.max_batch = max_batch
         self.max_seq_len = max_seq_len
@@ -146,10 +165,33 @@ class ContinuousBatchingEngine:
         # admissions, TTFT) lags one chunk behind the device.
         self.pipelined = pipelined
         cfg = model.config
-        shape = (max_batch, cfg.num_layers, max_seq_len, cfg.num_kv_heads,
-                 cfg.head_dim)
-        self.k_cache = jnp.zeros(shape, model.dtype)
-        self.v_cache = jnp.zeros(shape, model.dtype)
+        self.paged = paged
+        if paged:
+            # paged mode: ONE shared block pool + per-slot block tables —
+            # KV HBM scales with allocated blocks, not max_batch*max_seq
+            # (reference: paged_attention.cuh block tables, never wired
+            # there; serving_paged.py). Block 0 = trash for dead slots.
+            from .serving_paged import BlockAllocator
+            if pipelined:
+                raise NotImplementedError(
+                    "paged serving: pipelined mode lands after the paged "
+                    "path is profiled; use pipelined=False with paged=True")
+            self.block_size = block_size
+            self.max_blocks = -(-max_seq_len // block_size)
+            nb = num_blocks or (max_batch * self.max_blocks // 2 + 2)
+            pool_shape = (cfg.num_layers, nb, cfg.num_kv_heads, block_size,
+                          cfg.head_dim)
+            self.k_cache = jnp.zeros(pool_shape, model.dtype)
+            self.v_cache = jnp.zeros(pool_shape, model.dtype)
+            self._alloc = BlockAllocator(nb, block_size)
+            self._tables_np = np.zeros((max_batch, self.max_blocks), np.int32)
+            self._tables_dev = jnp.asarray(self._tables_np)
+            self._tables_dirty = False
+        else:
+            shape = (max_batch, cfg.num_layers, max_seq_len,
+                     cfg.num_kv_heads, cfg.head_dim)
+            self.k_cache = jnp.zeros(shape, model.dtype)
+            self.v_cache = jnp.zeros(shape, model.dtype)
         self._slots: list[Request | None] = [None] * max_batch
         self._queue: list[Request] = []
         self._next_id = 1
@@ -195,18 +237,73 @@ class ContinuousBatchingEngine:
         return [i for i, r in enumerate(self._slots) if r is None]
 
     def _admit(self) -> None:
-        """Move queued requests into free slots, running their prefills."""
+        """Move queued requests into free slots, running their prefills.
+        Pipelined mode batches same-bucket admissions into one wave
+        dispatch (_prefill_wave_pl_fn)."""
+        pairs = []
         for slot in self._free_slots():
             if not self._queue:
-                return
+                break
             req = self._queue.pop(0)
             req.slot = slot
             self._slots[slot] = req
+            pairs.append((slot, req))
+        if not pairs:
+            return
+        if self.pipelined and len(pairs) >= 2:
+            by_bucket: dict[int, list] = {}
+            for slot, req in pairs:
+                b = min(_bucket(max(len(req.prompt), 8)), self.max_seq_len)
+                by_bucket.setdefault(b, []).append((slot, req))
+            for bucket, group in by_bucket.items():
+                if len(group) >= 2:
+                    self._prefill_wave_pl(bucket, group)
+                else:
+                    self._prefill_slot(*group[0][::-1]) if False else                         self._prefill_slot(group[0][0], group[0][1])
+            return
+        for slot, req in pairs:
             self._prefill_slot(slot, req)
+
+    def _prefill_wave_pl(self, bucket: int, group: list) -> None:
+        w = len(group)
+        key = ("plw", w, bucket)
+        if key not in self._prefill_exes:
+            fn = functools.partial(_prefill_wave_pl_fn, self.model.config,
+                                   float(self.temperature), int(self.top_k),
+                                   int(self.seed), w)
+            self._prefill_exes[key] = capture(
+                fn, self.model.params, self.k_cache, self.v_cache,
+                self._last_dev, self._poss_dev,
+                jnp.zeros((w, bucket), jnp.int32),
+                jnp.ones((w,), jnp.int32), jnp.zeros((w,), jnp.int32),
+                jnp.zeros((w,), jnp.int32), donate_argnums=(1, 2, 3, 4),
+                name=f"serve_prefill_wave_{w}_{bucket}")
+        padded = np.zeros((w, bucket), np.int32)
+        lens = np.zeros((w,), np.int32)
+        slots = np.zeros((w,), np.int32)
+        rids = np.zeros((w,), np.int32)
+        for i, (slot, req) in enumerate(group):
+            ids = np.asarray(req.prompt, np.int32)
+            padded[i, :len(ids)] = ids
+            lens[i] = len(ids)
+            slots[i] = slot
+            rids[i] = req.request_id
+        (self.k_cache, self.v_cache, self._last_dev, self._poss_dev,
+         toks_dev) = self._prefill_exes[key].replay(
+            self.model.params, self.k_cache, self.v_cache,
+            self._last_dev, self._poss_dev, jnp.asarray(padded),
+            jnp.asarray(lens), jnp.asarray(slots), jnp.asarray(rids))
+        for i, (slot, req) in enumerate(group):
+            self._poss[slot] = int(lens[i])
+            req.pos = int(lens[i])
+            self._pending_first.append((req, toks_dev[i]))
+            self.stats.prefills += 1
 
     def _prefill_slot(self, slot: int, req: Request) -> None:
         if self.pipelined:
             return self._prefill_slot_pl(slot, req)
+        if self.paged:
+            return self._prefill_slot_paged(slot, req)
         model = self.model
         ids = np.asarray(req.prompt, np.int32)
         n = len(ids)
@@ -271,6 +368,102 @@ class ContinuousBatchingEngine:
         self._pending_first.append((req, tok_dev))   # old request resolves)
         self.stats.prefills += 1
 
+    # -- paged mode --------------------------------------------------------------
+
+    def _sync_tables(self) -> None:
+        if self._tables_dirty:
+            self._tables_dev = jnp.asarray(self._tables_np)
+            self._tables_dirty = False
+
+    def _ensure_blocks(self, req: Request, slot: int, n_tokens: int) -> None:
+        blocks = self._alloc.alloc_for(req.request_id, n_tokens)
+        row = self._tables_np[slot]
+        if not np.array_equal(row[:len(blocks)], blocks):
+            row[:] = 0
+            row[:len(blocks)] = blocks
+            self._tables_dirty = True
+
+    def _release_paged(self, req: Request, slot: int) -> None:
+        self._alloc.free(req.request_id)
+        self._tables_np[slot] = 0          # clamped writes land in trash
+        self._tables_dirty = True
+
+    def _prefill_slot_paged(self, slot: int, req: Request) -> None:
+        from .serving_paged import paged_prefill_fn
+        model = self.model
+        ids = np.asarray(req.prompt, np.int32)
+        n = len(ids)
+        # blocks for the prompt plus the first decode chunk
+        self._ensure_blocks(req, slot, n + self.steps_per_dispatch + 1)
+        self._sync_tables()
+        bucket = min(_bucket(max(n, 8)), self.max_seq_len)
+        key = ("paged", bucket)
+        if key not in self._prefill_exes:
+            fn = functools.partial(paged_prefill_fn, model.config)
+            self._prefill_exes[key] = capture(
+                fn, model.params, self.k_cache, self.v_cache,
+                self._tables_dev[0], jnp.zeros((bucket,), jnp.int32),
+                jnp.int32(1), donate_argnums=(1, 2),
+                name=f"serve_prefill_paged_{bucket}")
+        padded = np.zeros((bucket,), np.int32)
+        padded[:n] = ids
+        self.k_cache, self.v_cache, logits = self._prefill_exes[key].replay(
+            model.params, self.k_cache, self.v_cache,
+            self._tables_dev[slot], jnp.asarray(padded), jnp.int32(n))
+        tok = int(np.asarray(jnp.argmax(logits)))
+        self._emit(req, tok)
+        req.first_token_at = time.time()
+        self._last_tokens[slot] = tok
+        self._poss[slot] = n
+        self.stats.prefills += 1
+        self._maybe_finish(slot, tok)
+
+    def _ensure_paged_chunk_exe(self):
+        if self._decode_exe is None:
+            from .serving_paged import paged_serve_chunk_fn
+            n = max(self.steps_per_dispatch, 1)
+            fn = functools.partial(
+                paged_serve_chunk_fn, self.model.config, n,
+                float(self.temperature), int(self.top_k), int(self.seed),
+                int(self.max_seq_len))
+            self._decode_exe = capture(
+                fn, self.model.params, self.k_cache, self.v_cache,
+                self._tables_dev,
+                jnp.zeros((self.max_batch,), jnp.int32),
+                jnp.zeros((self.max_batch,), jnp.int32), jnp.int32(0),
+                donate_argnums=(1, 2), name=f"serve_chunk_paged_{n}")
+        return self._decode_exe
+
+    def _step_paged(self) -> int:
+        self._admit()
+        active = [i for i, r in enumerate(self._slots) if r is not None]
+        if not active:
+            return 0
+        n = max(self.steps_per_dispatch, 1)
+        for i in active:
+            self._ensure_blocks(self._slots[i], i, int(self._poss[i]) + n + 1)
+        self._sync_tables()
+        exe = self._ensure_paged_chunk_exe()
+        (self.k_cache, self.v_cache, last_d, _poss_d, toks_b) = exe.replay(
+            self.model.params, self.k_cache, self.v_cache, self._tables_dev,
+            jnp.asarray(self._last_tokens), jnp.asarray(self._poss),
+            jnp.int32(self.stats.steps))
+        toks = np.asarray(toks_b).astype(np.int32)       # [B, n]
+        self.stats.steps += 1
+        for i in active:
+            req = self._slots[i]
+            for j in range(toks.shape[1]):
+                if req is None or req.done:
+                    break
+                tok = int(toks[i, j])
+                self._poss[i] += 1
+                self._emit(req, tok)
+                self._last_tokens[i] = tok
+                self._maybe_finish(i, tok)
+                if self._slots[i] is None:
+                    break
+        return len(active)
+
     def _ensure_chunk_exe(self):
         if self._decode_exe is None:
             n = max(self.steps_per_dispatch, 1)
@@ -330,6 +523,8 @@ class ContinuousBatchingEngine:
             req.finished_at = time.time()
             if self._slots[slot] is req:
                 self._slots[slot] = None
+                if self.paged:
+                    self._release_paged(req, slot)
             self.stats.requests_completed += 1
 
     # -- engine loop -------------------------------------------------------------
@@ -339,6 +534,8 @@ class ContinuousBatchingEngine:
         Returns #active."""
         if self.pipelined:
             return self._step_pipelined()
+        if self.paged:
+            return self._step_paged()
         self._admit()
         active = [i for i, r in enumerate(self._slots) if r is not None]
         if not active:
@@ -383,6 +580,13 @@ class ContinuousBatchingEngine:
         3. bookkeeping frees slots, then admissions prefill into them
            (ordered after this chunk, picked up by the next one).
         """
+        if self._queue:
+            # loaded system: resolve the inflight chunk BEFORE dispatching —
+            # freed slots get their replacements prefilled now (device-
+            # ordered ahead of the next chunk), saving a whole idle chunk
+            # per EOS-bound finish at the cost of one readback sync
+            self._resolve_inflight()
+            self._admit()
         active = [(i, self._slots[i]) for i in range(self.max_batch)
                   if self._slots[i] is not None]
         dispatched = None

@@ -1,0 +1,234 @@
+"""Paged-KV serving path: block-pool caches + per-slot block tables for the
+continuous-batching engine.
+
+Reference: native/ops/attention/paged_attention.cuh:1-283 (vLLM-style block
+tables + reshape_and_cache — shipped but never wired into the reference's
+model; wiring it into a live serving engine is where this rebuild goes past
+the reference) and PAPERS.md "Ragged Paged Attention for TPU".
+
+Design:
+- ONE shared pool per cache side, stored pre-transposed
+  ``[L, NB, Hk, BS, D]`` (the layout the Pallas scalar-prefetch kernel
+  consumes — no per-step transposes on the opt-in fast path).
+- Block 0 is the TRASH block: dead slots' tables point at it, so their
+  clamped decode writes land in a sacrificial block instead of corrupting
+  blocks that were freed and re-allocated to live requests.
+- HBM scales with #allocated blocks, not max_batch * max_seq_len: the
+  dense engine pins B*L*MAX rows; the pool pins NB*BS rows total.
+- All shapes static: the serve-chunk executable is one donated program
+  (same chunked, device-resident-sampling design as the dense path).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from .config import TransformerConfig
+from .model import _logits, _mlp, _norm, _out_proj, _project_qkv
+from ..ops.nn.rope import apply_rope_fn
+
+_F32 = jnp.float32
+
+
+def _use_pallas_paged() -> bool:
+    import os
+    from ..core.backend import get_backend
+    return (os.environ.get("PYGPUKIT_PAGED_ATTENTION", "") == "pallas"
+            and get_backend().platform == "tpu")
+
+
+# ------------------------------------------------------------------ compute --
+
+def _paged_write(pool_l, k_rows, blocks, offs):
+    """Scatter [B, Hk, D] rows into pool_l [NB, Hk, BS, D] at
+    (blocks[b], :, offs[b], :)."""
+    return pool_l.at[blocks, :, offs, :].set(
+        k_rows.transpose(0, 1, 2).astype(pool_l.dtype))
+
+
+def _paged_attn_one(q, k_pool_l, v_pool_l, table, ctx_len, scale):
+    """q [Hq, D]; pools [NB, Hk, BS, D]; table [MB] -> [Hq, D]."""
+    hq, d = q.shape
+    nb, hk, bs, _ = k_pool_l.shape
+    g = hq // hk
+    mb = table.shape[0]
+    kseq = k_pool_l[table].transpose(1, 0, 2, 3).reshape(hk, mb * bs, d)
+    vseq = v_pool_l[table].transpose(1, 0, 2, 3).reshape(hk, mb * bs, d)
+    qh = q.reshape(hk, g, d)
+    scores = jnp.einsum("hgd,hkd->hgk", qh, kseq,
+                        preferred_element_type=_F32) * scale
+    mask = jnp.arange(mb * bs)[None, None, :] < ctx_len
+    scores = jnp.where(mask, scores, -1e30)
+    p = jax.nn.softmax(scores, axis=-1)
+    o = jnp.einsum("hgk,hkd->hgd", p, vseq.astype(_F32),
+                   preferred_element_type=_F32)
+    return o.reshape(hq, d).astype(q.dtype)
+
+
+def paged_decode_step_fn(cfg: TransformerConfig, params, k_pool, v_pool,
+                         tables, tokens, poss):
+    """One batched decode step over the shared paged pool.
+
+    k_pool/v_pool [L, NB, Hk, BS, D]; tables [B, MB] int32; tokens [B];
+    poss [B] -> (k_pool, v_pool, logits [B, V]).
+    """
+    import math
+    bs = k_pool.shape[3]
+    scale = 1.0 / math.sqrt(cfg.head_dim)
+    b = tokens.shape[0]
+    h = jnp.take(params["embed"], tokens, axis=0)            # [B, E]
+    rope_cos = params.get("rope_cos")
+    rope_sin = params.get("rope_sin")
+    blocks = tables[jnp.arange(b), poss // bs]               # [B]
+    offs = poss % bs
+
+    def block_fn(h, xs):
+        lp, kp_l, vp_l = xs
+        x = _norm(cfg, h, lp["attn_norm_w"], lp.get("attn_norm_b"))
+        q, k, v = _project_qkv(cfg, lp, x)                   # [B, H*, D]
+        if cfg.use_rope:
+            q = _rope_rows(q, rope_cos, rope_sin, poss)
+            k = _rope_rows(k, rope_cos, rope_sin, poss)
+        kp_l = kp_l.at[blocks, :, offs, :].set(k.astype(kp_l.dtype))
+        vp_l = vp_l.at[blocks, :, offs, :].set(v.astype(vp_l.dtype))
+        if _use_pallas_paged():
+            # scalar-prefetch Pallas kernel (PYGPUKIT_PAGED_ATTENTION=pallas):
+            # per-slot calls — the kernel's block-table prefetch DMAs only
+            # the sequence's blocks, never a gathered max_seq copy
+            from ..kernels.paged_attention import paged_attention_pools_t
+            attn = jnp.stack([
+                paged_attention_pools_t(q[b_], kp_l, vp_l, tables[b_],
+                                        poss[b_] + 1)
+                for b_ in range(b)])                          # [B, Hq, D]
+        else:
+            attn = jax.vmap(
+                _paged_attn_one, in_axes=(0, None, None, 0, 0, None))(
+                q, kp_l, vp_l, tables, poss + 1, scale)       # [B, Hq, D]
+        h = h + _out_proj(lp, attn.reshape(b, -1), b, h.dtype)
+        y = _norm(cfg, h, lp["mlp_norm_w"], lp.get("mlp_norm_b"))
+        h = h + _mlp(cfg, lp, y)
+        return h, (kp_l, vp_l)
+
+    h, (k_pool, v_pool) = lax.scan(
+        block_fn, h, (params["layers"], k_pool, v_pool))
+    h = _norm(cfg, h, params["final_norm_w"], params.get("final_norm_b"))
+    return k_pool, v_pool, _logits(cfg, params, h)
+
+
+def _rope_rows(x, cos, sin, poss):
+    """x [B, Hx, D] roped at per-row positions poss [B]."""
+    c = cos[poss]                                            # [B, D]
+    s = sin[poss]
+    return jax.vmap(lambda xv, cv, sv: apply_rope_fn(
+        xv[None], cv[None], sv[None])[0])(x, c, s)
+
+
+def paged_serve_chunk_fn(cfg: TransformerConfig, n_steps: int,
+                         temperature: float, top_k: int, seed: int,
+                         max_seq_len: int, params, k_pool, v_pool, tables,
+                         last, poss, step_idx):
+    """Advance all slots ``n_steps`` tokens over the paged pool (device-
+    resident sampling; same chunked executable contract as the dense
+    _serve_chunk_fn)."""
+    b = last.shape[0]
+
+    def step(carry, i):
+        kp, vp, tok, ps, key = carry
+        kp, vp, logits = paged_decode_step_fn(cfg, params, kp, vp, tables,
+                                              tok, ps)
+        if temperature <= 0.0:
+            nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        else:
+            key, sub = jax.random.split(key)
+            lf = logits.astype(_F32) / temperature
+            if top_k > 0:
+                topv = lax.top_k(lf, top_k)[0][:, -1:]
+                lf = jnp.where(lf < topv, -1e30, lf)
+            nxt = jax.random.categorical(sub, lf, axis=-1).astype(jnp.int32)
+        ps = jnp.minimum(ps + 1, max_seq_len - 1)
+        return (kp, vp, nxt, ps, key), nxt
+
+    key = jax.random.fold_in(jax.random.PRNGKey(seed), step_idx)
+    (k_pool, v_pool, last, poss, _), toks = lax.scan(
+        step, (k_pool, v_pool, last, poss, key), jnp.arange(n_steps))
+    return k_pool, v_pool, last, poss, toks.T    # [B, n_steps]
+
+
+def paged_prefill_fn(cfg: TransformerConfig, params, k_pool, v_pool,
+                     table, tokens, true_len):
+    """Prefill one sequence into its blocks (table [MB]); returns last-pos
+    logits. Padded rows scatter into the trash block (block 0)."""
+    s = tokens.shape[0]
+    bs = k_pool.shape[3]
+    h = jnp.take(params["embed"], tokens, axis=0)
+    rope_cos = params.get("rope_cos")
+    rope_sin = params.get("rope_sin")
+    idx = jnp.arange(s)
+    valid = idx < true_len
+    blocks = jnp.where(valid, table[idx // bs], 0)
+    offs = jnp.where(valid, idx % bs, 0)
+
+    def block_fn(h, xs):
+        lp, kp_l, vp_l = xs
+        x = _norm(cfg, h, lp["attn_norm_w"], lp.get("attn_norm_b"))
+        q, k, v = _project_qkv(cfg, lp, x)
+        if cfg.use_rope:
+            q = apply_rope_fn(q, rope_cos[:s], rope_sin[:s])
+            k = apply_rope_fn(k, rope_cos[:s], rope_sin[:s])
+        kp_l = kp_l.at[blocks, :, offs, :].set(
+            jnp.where(valid[:, None, None], k, 0).astype(kp_l.dtype))
+        vp_l = vp_l.at[blocks, :, offs, :].set(
+            jnp.where(valid[:, None, None], v, 0).astype(vp_l.dtype))
+        from .model import _prefill_attn
+        attn = _prefill_attn(q, k, v, true_len)
+        h = h + _out_proj(lp, attn, s, h.dtype)
+        y = _norm(cfg, h, lp["mlp_norm_w"], lp.get("mlp_norm_b"))
+        h = h + _mlp(cfg, lp, y)
+        return h, (kp_l, vp_l)
+
+    h, (k_pool, v_pool) = lax.scan(
+        block_fn, h, (params["layers"], k_pool, v_pool))
+    h = _norm(cfg, h, params["final_norm_w"], params.get("final_norm_b"))
+    last = jnp.take(h, true_len - 1, axis=0)
+    return k_pool, v_pool, _logits(cfg, params, last)
+
+
+# ---------------------------------------------------------------- allocator --
+
+class BlockAllocator:
+    """Host-side free-list allocator; block 0 is the permanent trash block."""
+
+    def __init__(self, num_blocks: int, block_size: int):
+        self.num_blocks = num_blocks
+        self.block_size = block_size
+        self._free = list(range(num_blocks - 1, 0, -1))   # 0 reserved
+        self.allocated: dict[int, list[int]] = {}
+
+    def alloc_for(self, request_id: int, n_tokens: int) -> list[int]:
+        """Ensure request has blocks covering n_tokens; returns full list."""
+        blocks = self.allocated.setdefault(request_id, [])
+        need = -(-n_tokens // self.block_size)            # ceil
+        while len(blocks) < need:
+            if not self._free:
+                raise MemoryError("paged KV pool exhausted")
+            blocks.append(self._free.pop())
+        return blocks
+
+    def free(self, request_id: int) -> None:
+        for b in self.allocated.pop(request_id, []):
+            self._free.append(b)
+
+    @property
+    def free_blocks(self) -> int:
+        return len(self._free)
+
+    def stats(self) -> dict:
+        used = sum(len(v) for v in self.allocated.values())
+        return {"num_blocks": self.num_blocks, "used_blocks": used,
+                "free_blocks": len(self._free),
+                "block_size": self.block_size}

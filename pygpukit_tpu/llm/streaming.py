@@ -39,6 +39,19 @@ class LayerStreamingContext:
         self.loader = loader
         self.layer_names = layer_names
         self.config = config or StreamingConfig()
+        self._engine = None
+
+    def _prefetch(self, names) -> None:
+        """Stage the next layer's H2D through the async transfer engine so
+        the uploads overlap the consumer's compute on the current layer
+        (reference: rust transfer/engine.rs double-buffered streaming;
+        the loader's internal lock makes worker-thread get() safe)."""
+        from ..transfer.engine import AsyncTransferEngine
+        if self._engine is None:
+            self._engine = AsyncTransferEngine(num_workers=1)
+        for name in names:
+            self._engine._submit(lambda n=name: self.loader.get(n),
+                                 AsyncTransferEngine.LOW)
 
     def __iter__(self):
         n = len(self.layer_names)
@@ -46,8 +59,7 @@ class LayerStreamingContext:
         for i, names in enumerate(self.layer_names):
             tensors = {name: self.loader.get(name) for name in names}
             if strat == LoadingStrategy.SLIDING_WINDOW and i + 1 < n:
-                for name in self.layer_names[i + 1]:   # prefetch next layer
-                    self.loader.get(name)
+                self._prefetch(self.layer_names[i + 1])
             yield i, tensors
             if strat == LoadingStrategy.SIMPLE:
                 for name in names:

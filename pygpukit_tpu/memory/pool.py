@@ -71,6 +71,7 @@ class MemoryPool:
             self._next = 1
             self._blocks: dict[int, int] = {}            # id -> class size
             self._free: OrderedDict[int, int] = OrderedDict()  # id -> class (LRU)
+            self._host: dict[int, "np.ndarray"] = {}     # host-backed buffers
             self._stats = PoolStats(quota_bytes=quota_bytes)
 
     @property
@@ -99,6 +100,7 @@ class MemoryPool:
                 bid, c = self._free.popitem(last=False)
                 self._free_bytes -= c
                 self._blocks.pop(bid, None)
+                self._host.pop(bid, None)
                 self._stats.evictions += 1
             if self._used + cls > self._quota:
                 self._stats.failures += 1
@@ -106,6 +108,9 @@ class MemoryPool:
             bid = self._next
             self._next += 1
             self._blocks[bid] = cls
+            if host_backed:
+                import numpy as np
+                self._host[bid] = np.zeros(cls, np.uint8)
             self._used += cls
             self._stats.allocations += 1
             self._bump()
@@ -123,6 +128,22 @@ class MemoryPool:
             self._free_bytes += cls
             self._free[block.block_id] = cls
             self._stats.frees += 1
+
+    def host_buffer(self, block_id: int):
+        """uint8 numpy view of a host-backed block's staging memory (the
+        reference's pinned-pool access path, rust pinned.rs:150); None for
+        device-only blocks. Works on both backends."""
+        import numpy as np
+        if self._handle is not None:
+            ptr = self._native.pk_pool_host_ptr(self._handle, block_id)
+            if not ptr:
+                return None
+            size = self._native.pk_pool_block_size(self._handle, block_id)
+            import ctypes
+            buf = (ctypes.c_ubyte * size).from_address(ptr)
+            return np.frombuffer(buf, np.uint8)
+        with self._lock:
+            return self._host.get(block_id)
 
     def trim(self, bytes_target: int) -> int:
         if self._handle is not None:

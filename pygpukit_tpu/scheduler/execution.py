@@ -41,7 +41,13 @@ class ContextStats:
 
 @dataclass
 class ExecutionContext:
-    """Per-model context (reference: execution_context.rs:20-320)."""
+    """Per-model context (reference: execution_context.rs:20-320).
+
+    When created with a bandwidth budget, every ``run`` passes through the
+    context's KernelPacingEngine (reference: pacing.rs:125 — one model's
+    kernel storm can't starve another); ``run_sliced`` splits large rowwise
+    work through the SliceScheduler with a yield point between slices
+    (reference: slicing.rs:202)."""
     name: str
     max_memory: int
     partition_id: int
@@ -49,6 +55,8 @@ class ExecutionContext:
     controller: "MultiModelController"
     state: ContextState = ContextState.CREATED
     stats: ContextStats = field(default_factory=ContextStats)
+    pacing: object | None = None          # KernelPacingEngine
+    slicer: object | None = None          # SliceScheduler
     _lock: threading.Lock = field(default_factory=threading.Lock)
 
     @property
@@ -68,6 +76,8 @@ class ExecutionContext:
             with self._lock:
                 self.state = ContextState.ACTIVE
                 self.stats.executions += 1
+            if self.pacing is not None:
+                self.pacing.admit(bytes_moved=mem)
             with jax.default_device(self.device):
                 return fn(*args, **kwargs)
         finally:
@@ -80,6 +90,20 @@ class ExecutionContext:
         return await loop.run_in_executor(
             self.controller._executor,
             lambda: self.run(fn, *args, memory_bytes=memory_bytes, **kwargs))
+
+    def run_sliced(self, fn, x, *args, axis: int = 0, memory_bytes: int = 0):
+        """Row-sliced execution with inter-slice yields; paced per slice."""
+        if self.slicer is None:
+            from ..dispatch.slicing import SliceConfig, SliceScheduler
+            self.slicer = SliceScheduler(SliceConfig(yield_fn=lambda: None))
+
+        def paced(chunk, *a):
+            if self.pacing is not None:
+                self.pacing.admit(bytes_moved=memory_bytes)
+            with jax.default_device(self.device):
+                return fn(chunk, *a)
+
+        return self.slicer.run_sliced(paced, x, *args, axis=axis)
 
     @contextlib.contextmanager
     def session(self):
@@ -119,8 +143,13 @@ class MultiModelController:
 
     def create_context(self, name: str, max_memory: int,
                        max_streams: int = 2,
-                       device_index: int | None = None) -> ExecutionContext:
-        """reference: create_context, scheduler/execution.py:97."""
+                       device_index: int | None = None,
+                       bandwidth_bytes_per_s: float | None = None,
+                       slice_rows: int | None = None) -> ExecutionContext:
+        """reference: create_context, scheduler/execution.py:97.
+        ``bandwidth_bytes_per_s`` attaches a pacing engine enforcing the
+        context's QoS bandwidth share; ``slice_rows`` configures
+        run_sliced's tile size."""
         with self._lock:
             if name in self.contexts:
                 raise ValueError(f"context {name!r} already exists")
@@ -133,10 +162,23 @@ class MultiModelController:
             if device_index is None:
                 device_index = self._next_device
                 self._next_device += 1
+            pacing = None
+            if bandwidth_bytes_per_s is not None:
+                from ..dispatch.pacing import KernelPacingEngine, PacingConfig
+                window = 0.05
+                pacing = KernelPacingEngine(PacingConfig(
+                    window_s=window,
+                    max_bytes_per_window=int(bandwidth_bytes_per_s * window)))
+            slicer = None
+            if slice_rows is not None:
+                from ..dispatch.slicing import SliceConfig, SliceScheduler
+                slicer = SliceScheduler(SliceConfig(slice_rows=slice_rows,
+                                                    yield_fn=lambda: None))
             ctx = ExecutionContext(name=name, max_memory=max_memory,
                                    partition_id=pid,
                                    device_index=device_index,
-                                   controller=self)
+                                   controller=self, pacing=pacing,
+                                   slicer=slicer)
             self.contexts[name] = ctx
             self.allocated += max_memory
             return ctx

@@ -248,3 +248,65 @@ class TestPromptValidation:
         r = eng.submit([1, 2], max_new_tokens=3)
         eng.run_until_complete()
         assert r.done
+
+
+class TestPagedServing:
+    """Paged-KV serving (serving_paged.py): block pool + tables wired into
+    the engine — greedy parity with the dense engine, block lifecycle,
+    trash-block protection, HBM footprint."""
+
+    def _engine(self, model, **kw):
+        return ContinuousBatchingEngine(
+            model, max_batch=3, max_seq_len=64, steps_per_dispatch=4,
+            paged=True, block_size=8, **kw)
+
+    def test_matches_dense_engine(self, model):
+        dense = ContinuousBatchingEngine(model, max_batch=3, max_seq_len=64,
+                                         steps_per_dispatch=4)
+        paged = self._engine(model)
+        prompts = [[5, 11, 42], [7, 3], [1, 2, 3, 4, 5]]
+        reqs_d = [dense.submit(p, max_new_tokens=10) for p in prompts]
+        reqs_p = [paged.submit(p, max_new_tokens=10) for p in prompts]
+        dense.run_until_complete()
+        paged.run_until_complete()
+        for rd, rp in zip(reqs_d, reqs_p):
+            assert rp.generated == rd.generated
+
+    def test_dynamic_join_and_block_recycling(self, model):
+        eng = self._engine(model, num_blocks=20)
+        r1 = eng.submit([5, 6, 7], max_new_tokens=6)
+        eng.step()
+        r2 = eng.submit([9, 10], max_new_tokens=6)
+        eng.run_until_complete()
+        assert r1.done and r2.done
+        assert len(r1.generated) == 6 and len(r2.generated) == 6
+        # all blocks returned to the free list
+        assert eng._alloc.free_blocks == 19          # 20 minus trash block
+        assert (eng._tables_np == 0).all()           # rows point at trash
+
+    def test_parity_with_dense_after_slot_reuse(self, model):
+        """More requests than slots: finished slots recycle blocks; outputs
+        still match the dense engine."""
+        dense = ContinuousBatchingEngine(model, max_batch=2, max_seq_len=64,
+                                         steps_per_dispatch=4)
+        paged = ContinuousBatchingEngine(
+            model, max_batch=2, max_seq_len=64, steps_per_dispatch=4,
+            paged=True, block_size=8)
+        prompts = [[5, 11], [7, 3, 9], [13, 1], [2, 4, 6, 8]]
+        rd = [dense.submit(p, max_new_tokens=6) for p in prompts]
+        rp = [paged.submit(p, max_new_tokens=6) for p in prompts]
+        dense.run_until_complete()
+        paged.run_until_complete()
+        for a, b in zip(rd, rp):
+            assert b.generated == a.generated
+
+    def test_hbm_footprint_smaller(self, model):
+        dense = ContinuousBatchingEngine(model, max_batch=3, max_seq_len=64)
+        paged = self._engine(model)
+        assert paged.k_cache.size < dense.k_cache.size / 1.5
+
+    def test_pool_exhaustion_raises(self, model):
+        eng = self._engine(model, num_blocks=3)   # 2 usable blocks = 16 toks
+        eng.submit(list(range(1, 14)), max_new_tokens=20)
+        with pytest.raises(MemoryError):
+            eng.run_until_complete()
