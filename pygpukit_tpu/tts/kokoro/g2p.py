@@ -178,17 +178,11 @@ def word_to_ipa(word: str) -> str:
                 continue
             rest = word[i + len(graph):]
             if right:
-                if right.endswith("$"):
-                    if not re.fullmatch(right[:-1] + ".*", rest) or (
-                            right[:-1] and not re.match(right[:-1], rest)):
-                        if not (right == "$" and rest == ""):
-                            if right != "$" or rest != "":
-                                continue
-                    if right == "$" and rest != "":
-                        continue
-                    if right[:-1] and not re.fullmatch(right[:-1], rest):
-                        continue
-                elif not re.match(right, rest):
+                # "$"-suffixed contexts must match the ENTIRE remainder;
+                # others match at the start of it
+                ok = (re.fullmatch(right[:-1], rest) if right.endswith("$")
+                      else re.match(right, rest))
+                if not ok and not (right == "$" and rest == ""):
                     continue
             out.append(phon)
             i += len(graph)
