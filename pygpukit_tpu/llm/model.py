@@ -117,14 +117,15 @@ def _mlp(cfg: TransformerConfig, lp, y):
 def _moe_mlp(cfg: TransformerConfig, lp, y):
     """Top-k routed expert MLP (reference: llm/layers/moe.py:29,153).
 
-    On TPU the ragged megablox grouped-matmul path is the default (minimal
-    top-k FLOPs, matching the reference's always-grouped-GEMM MoE);
-    PYGPUKIT_MOE=dense opts back into the one-hot formulation, which is also
-    the CPU/parity path.
+    Path selection by token count (ops/moe.select_moe_fn): megablox gmm on
+    TPU at prefill scale (>=128 replicated rows — its tiling minimum),
+    bandwidth-minimal expert-gather for decode-sized T (reads ONLY the
+    top-k experts' weights), dense one-hot otherwise (also the CPU/parity
+    path; PYGPUKIT_MOE=dense forces it).
     """
-    from ..ops.moe import moe_dense_fn, moe_gmm_fn, use_gmm
+    from ..ops.moe import select_moe_fn
     router = jnp.dot(y.astype(_F32), lp["w_router"])           # [T, E]
-    fn = moe_gmm_fn if use_gmm() else moe_dense_fn
+    fn = select_moe_fn(y.shape[0], cfg.num_experts_per_tok)
     out = fn(y, lp["w_experts_gate"], lp["w_experts_up"],
              lp["w_experts_down"], router, cfg.num_experts_per_tok)
     return out.astype(y.dtype)

@@ -1,13 +1,16 @@
 """MoE dispatch ops (reference: native/ops/moe/* — top-k routing, permute,
 grouped GEMM with per-row expert IDs; llm/layers/moe.py:29,153).
 
-Two exact (no token dropping) formulations:
+Three exact (no token dropping) formulations, routed by token count
+(``select_moe_fn``):
 
-* dense one-hot: every expert processes every token, combined by the routing
-  weights — simple, always available, cost E× the minimal FLOPs.
 * ragged gmm: tokens sorted by expert, grouped matmul over contiguous expert
-  segments via the Mosaic ``megablox.gmm`` kernel (TPU only) — cost is the
-  minimal top-k× FLOPs. Gated by PYGPUKIT_MOE=gmm.
+  segments via the Mosaic ``megablox.gmm`` kernel (TPU only, needs >=128
+  replicated rows) — minimal top-k× FLOPs; the prefill path.
+* expert-gather: k dynamic expert-weight slices per matrix — minimal HBM
+  traffic at decode-sized T (reads only the selected experts).
+* dense one-hot: every expert processes every token — always available,
+  the CPU/parity path (PYGPUKIT_MOE=dense forces it).
 """
 
 from __future__ import annotations
@@ -83,6 +86,45 @@ def moe_gmm_fn(y, w_gate, w_up, w_down, router_logits, k: int):
     return out
 
 
+def moe_gather_fn(y, w_gate, w_up, w_down, router_logits, k: int):
+    """Bandwidth-minimal small-T formulation (decode): gather ONLY the
+    selected experts' weights (k dynamic slices per matrix instead of
+    streaming all E experts). For T=1 this reads exactly the top-k experts
+    — the minimal HBM traffic; use for T <= ~4 (the gather materialises T
+    copies). Exact (same math as dense)."""
+    t = y.shape[0]
+    weights, topi = topk_route_fn(router_logits.astype(_F32), k)   # [T,k]
+
+    def leaf(w):
+        return w["q"] if isinstance(w, dict) else w
+
+    def dot_gathered(x_rows, w_stack, eids):
+        """x_rows [T, in]; gathered expert mats [T, in, out] -> [T, out]."""
+        if isinstance(w_stack, dict):
+            q = w_stack["q"][eids]                        # [T, in, out]
+            acc = jnp.einsum("ti,tio->to", x_rows.astype(jnp.bfloat16),
+                             q.astype(jnp.bfloat16),
+                             preferred_element_type=_F32)
+            scale = w_stack["scale"]
+            per_expert = (getattr(scale, "ndim", 0) >= 1
+                          and scale.shape[0] == leaf(w_stack).shape[0])
+            sc = scale[eids] if per_expert else scale
+            return acc * jnp.squeeze(jnp.asarray(sc))
+        wg = w_stack[eids]                                # [T, in, out]
+        return jnp.einsum("ti,tio->to", x_rows, wg,
+                          preferred_element_type=_F32)
+
+    out = jnp.zeros((t, leaf(w_down).shape[-1]), _F32)
+    for j in range(k):
+        eids = topi[:, j]                                 # [T]
+        g = dot_gathered(y, w_gate, eids)
+        u = dot_gathered(y, w_up, eids)
+        act = (jax.nn.sigmoid(g) * g * u).astype(y.dtype)
+        d = dot_gathered(act, w_down, eids)
+        out = out + d * weights[:, j:j + 1]
+    return out
+
+
 def moe_dense_fn(y, w_gate, w_up, w_down, router_logits, k: int):
     """Dense one-hot formulation (always available; the CPU/parity path).
     Expert stacks may be quantized {"q","scale"} leaves [E, in, out]."""
@@ -104,11 +146,24 @@ def moe_dense_fn(y, w_gate, w_up, w_down, router_logits, k: int):
 
 
 def use_gmm() -> bool:
-    """Ragged megablox gmm is the DEFAULT on TPU (the reference's MoE is
-    always grouped-GEMM — llm/layers/moe.py:153; the dense one-hot path pays
-    num_experts/top_k× extra FLOPs). PYGPUKIT_MOE=dense opts out; elsewhere
-    (CPU/interpret) the dense formulation is the only exact option."""
+    """Ragged megablox gmm is the DEFAULT on TPU for prefill-scale token
+    counts (the reference's MoE is always grouped-GEMM —
+    llm/layers/moe.py:153; the dense one-hot path pays num_experts/top_k×
+    extra FLOPs). PYGPUKIT_MOE=dense opts out; elsewhere (CPU/interpret)
+    the dense formulation is the only exact option. NOTE: megablox tiling
+    needs >=128 replicated-token rows — callers must route small T to
+    moe_gather_fn/moe_dense_fn (see select_moe_fn)."""
     from ..core.backend import get_backend
     if os.environ.get("PYGPUKIT_MOE", "") == "dense":
         return False
     return get_backend().platform == "tpu"
+
+
+def select_moe_fn(n_tokens: int, top_k: int):
+    """Route by token count: gmm (TPU, >=128 rows after top-k replication),
+    expert-gather (decode-sized T), dense one-hot otherwise."""
+    if use_gmm() and n_tokens * top_k >= 128:
+        return moe_gmm_fn
+    if n_tokens <= 4:
+        return moe_gather_fn
+    return moe_dense_fn

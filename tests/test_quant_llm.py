@@ -115,3 +115,51 @@ def test_int8_model_runs(cfg):
     qmodel = CausalTransformerModel(cfg, qparams, dtype=jnp.float32)
     out = qmodel.generate([4, 5], max_new_tokens=4, temperature=0.0)
     assert len(out) == 4
+
+
+class TestMoEGatherPath:
+    """Decode-sized MoE routing: the expert-gather formulation must match
+    the dense one-hot path exactly (ops/moe.select_moe_fn)."""
+
+    def test_gather_matches_dense(self):
+        import jax
+        import jax.numpy as jnp
+        from pygpukit_tpu.ops.moe import moe_dense_fn, moe_gather_fn
+        rng = np.random.default_rng(0)
+        t, h, i, e, k = 2, 16, 32, 4, 2
+        y = jnp.asarray(rng.standard_normal((t, h)).astype(np.float32))
+        wg = jnp.asarray(rng.standard_normal((e, h, i)).astype(np.float32))
+        wu = jnp.asarray(rng.standard_normal((e, h, i)).astype(np.float32))
+        wd = jnp.asarray(rng.standard_normal((e, i, h)).astype(np.float32))
+        logits = jnp.asarray(rng.standard_normal((t, e)).astype(np.float32))
+        dense = np.asarray(moe_dense_fn(y, wg, wu, wd, logits, k))
+        gathered = np.asarray(moe_gather_fn(y, wg, wu, wd, logits, k))
+        np.testing.assert_allclose(gathered, dense, rtol=1e-4, atol=1e-5)
+
+    def test_gather_quantized_leaves(self):
+        import jax.numpy as jnp
+        from pygpukit_tpu.ops.moe import moe_dense_fn, moe_gather_fn
+        rng = np.random.default_rng(1)
+        t, h, i, e, k = 1, 16, 32, 4, 2
+        y = jnp.asarray(rng.standard_normal((t, h)).astype(np.float32))
+        def qleaf(shape):
+            w = rng.standard_normal(shape).astype(np.float32)
+            # per-expert, per-column scales as llm/quant.py produces
+            scale = np.full((shape[0], 1, shape[-1]), 0.1, np.float32)
+            return {"q": jnp.asarray((w * 10).astype(np.int8)),
+                    "scale": jnp.asarray(scale)}
+        wg, wu = qleaf((e, h, i)), qleaf((e, h, i))
+        wd = qleaf((e, i, h))
+        logits = jnp.asarray(rng.standard_normal((t, e)).astype(np.float32))
+        dense = np.asarray(moe_dense_fn(y, wg, wu, wd, logits, k))
+        gathered = np.asarray(moe_gather_fn(y, wg, wu, wd, logits, k))
+        np.testing.assert_allclose(gathered, dense, rtol=2e-2, atol=1e-2)
+
+    def test_select_routing(self, monkeypatch):
+        from pygpukit_tpu.ops import moe
+        monkeypatch.setattr(moe, "use_gmm", lambda: True)
+        assert moe.select_moe_fn(1, 2) is moe.moe_gather_fn
+        assert moe.select_moe_fn(256, 2) is moe.moe_gmm_fn
+        assert moe.select_moe_fn(32, 2) is moe.moe_dense_fn
+        monkeypatch.setattr(moe, "use_gmm", lambda: False)
+        assert moe.select_moe_fn(256, 2) is moe.moe_dense_fn
