@@ -61,56 +61,57 @@ def bench_gemm_fp8(m: int = 8192, k: int = 4096, n: int = 14336,
     aq, asc = quantize_fp8(a)
     bq, bsc = quantize_fp8(b)
     y = matmul_fp8(aq, bq, asc, bsc)
-    _sync(y.jax())
+    _sync(y.jax)
     # repeated-call throughput: per-call compute (~ms) dominates dispatch,
     # so tunnel pipelining only hides latency — legitimate for GEMM
     t0 = time.perf_counter()
     for _ in range(iters):
         y = matmul_fp8(aq, bq, asc, bsc)
-    _sync(y.jax())
+    _sync(y.jax)
     dt = (time.perf_counter() - t0) / iters
     return 2.0 * m * k * n / dt / 1e12
 
 
-def bench_gemv(dtype: str, k: int = 4096, n: int = 14336,
-               chain: int = 50, reps: int = 4) -> float:
-    """Decode-shape matvec streaming bandwidth in GB/s.
-
-    Per-call host dispatch over the tunnel is ~5 ms vs ~143 us of device
-    time, and lax.scan'ed matvecs hit an XLA lowering cliff (CLAUDE.md) —
-    so the measurement is ONE jit containing an UNROLLED chain of ``chain``
-    dependent matvecs (each sliced+recast from the previous output)."""
+def bench_gemv(dtype: str, layers: int = 22, k: int = 2048, n: int = 8192,
+               reps: int = 8) -> float:
+    """Decode weight-streaming bandwidth in GB/s, measured the way decode
+    actually runs: a ``lax.scan`` over a stacked [L, K, N] weight pytree
+    with a carried activation — the formulation the model uses (CLAUDE.md:
+    per-projection micro-GEMVs and unrolled chains both mis-measure; only
+    the stacked-layer scan is trustworthy — an unrolled 50-chain measured
+    392 GB/s where the model's own scan streams ~590)."""
     import jax
     import jax.numpy as jnp
 
     kw, kx = jax.random.split(jax.random.PRNGKey(1))
-    x = jax.random.normal(kx, (1, k), jnp.bfloat16)
     if dtype == "bf16":
-        w = jax.random.normal(kw, (k, n), jnp.bfloat16)
-        bytes_per = k * n * 2
+        w = jax.random.normal(kw, (layers, k, n), jnp.bfloat16)
+        bytes_total = layers * k * n * 2
     elif dtype == "int8":
-        w = jax.random.randint(kw, (k, n), -127, 127, jnp.int8)
-        bytes_per = k * n
+        w = jax.random.randint(kw, (layers, k, n), -127, 127, jnp.int8)
+        bytes_total = layers * k * n
     else:  # fp8
-        w = jax.random.normal(kw, (k, n), jnp.bfloat16).astype(
+        w = jax.random.normal(kw, (layers, k, n), jnp.bfloat16).astype(
             jnp.float8_e4m3fn)
-        bytes_per = k * n
+        bytes_total = layers * k * n
+    x = jax.random.normal(kx, (1, k), jnp.bfloat16)
 
     @jax.jit
-    def chained(x, w):
-        for _ in range(chain):
-            y = jnp.dot(x, w.astype(jnp.bfloat16),
+    def sweep(x, w):
+        def body(xc, wl):
+            y = jnp.dot(xc, wl.astype(jnp.bfloat16),
                         preferred_element_type=jnp.float32)
-            x = y[:, :k].astype(jnp.bfloat16)
-        return x
+            return y[:, :k].astype(jnp.bfloat16), None
+        xc, _ = jax.lax.scan(body, x, w)
+        return xc
 
-    _sync(chained(x, w))
+    _sync(sweep(x, w))
     t0 = time.perf_counter()
     for _ in range(reps):
-        x = chained(x, w)
+        x = sweep(x, w)
     _sync(x)
-    dt = (time.perf_counter() - t0) / (chain * reps)
-    return bytes_per / dt / 1e9
+    dt = (time.perf_counter() - t0) / reps
+    return bytes_total / dt / 1e9
 
 
 def main() -> None:
