@@ -72,43 +72,62 @@ def bench_gemm_fp8(m: int = 8192, k: int = 4096, n: int = 14336,
     return 2.0 * m * k * n / dt / 1e12
 
 
-def bench_gemv(dtype: str, layers: int = 22, k: int = 2048, n: int = 8192,
-               reps: int = 8) -> float:
-    """Decode weight-streaming bandwidth in GB/s, measured the way decode
-    actually runs: a ``lax.scan`` over a stacked [L, K, N] weight pytree
-    with a carried activation — the formulation the model uses (CLAUDE.md:
-    per-projection micro-GEMVs and unrolled chains both mis-measure; only
-    the stacked-layer scan is trustworthy — an unrolled 50-chain measured
-    392 GB/s where the model's own scan streams ~590)."""
+def bench_gemv(dtype: str, layers: int = 22, h: int = 2048, kv: int = 256,
+               inter: int = 5632, reps: int = 16) -> float:
+    """Decode weight-streaming bandwidth in GB/s via the SEVEN-projection
+    per-layer scan — the exact roofline ablation from docs/performance.md
+    ("Decode": weights-only floor 3.49 ms/tok = ~590 GB/s on bf16).
+
+    Every simpler formulation mis-measures on this chip (CLAUDE.md):
+    per-projection micro-GEMVs are dispatch-bound, an unrolled dependent
+    chain measured 371-392 GB/s, and a single-matvec lax.scan hits an XLA
+    lowering cliff at 119 GB/s. Only the model's own stacked-layer
+    multi-projection scan streams at the rate decode actually achieves."""
     import jax
     import jax.numpy as jnp
 
-    kw, kx = jax.random.split(jax.random.PRNGKey(1))
-    if dtype == "bf16":
-        w = jax.random.normal(kw, (layers, k, n), jnp.bfloat16)
-        bytes_total = layers * k * n * 2
-    elif dtype == "int8":
-        w = jax.random.randint(kw, (layers, k, n), -127, 127, jnp.int8)
-        bytes_total = layers * k * n
-    else:  # fp8
-        w = jax.random.normal(kw, (layers, k, n), jnp.bfloat16).astype(
+    def mk(key, *shape):
+        if dtype == "bf16":
+            return jax.random.normal(key, shape, jnp.bfloat16)
+        if dtype == "int8":
+            return jax.random.randint(key, shape, -127, 127, jnp.int8)
+        return jax.random.normal(key, shape, jnp.bfloat16).astype(
             jnp.float8_e4m3fn)
-        bytes_total = layers * k * n
-    x = jax.random.normal(kx, (1, k), jnp.bfloat16)
+
+    ks = jax.random.split(jax.random.PRNGKey(1), 8)
+    lp = {"q": mk(ks[0], layers, h, h), "k": mk(ks[1], layers, h, kv),
+          "v": mk(ks[2], layers, h, kv), "o": mk(ks[3], layers, h, h),
+          "g": mk(ks[4], layers, h, inter), "u": mk(ks[5], layers, h, inter),
+          "d": mk(ks[6], layers, inter, h)}
+    elt = 2 if dtype == "bf16" else 1
+    bytes_total = sum(int(w.size) for w in lp.values()) * elt
+    x = jax.random.normal(ks[7], (1, h), jnp.bfloat16)
 
     @jax.jit
-    def sweep(x, w):
-        def body(xc, wl):
-            y = jnp.dot(xc, wl.astype(jnp.bfloat16),
-                        preferred_element_type=jnp.float32)
-            return y[:, :k].astype(jnp.bfloat16), None
-        xc, _ = jax.lax.scan(body, x, w)
-        return xc
+    def sweep(x, lp):
+        def body(hc, wl):
+            f32 = jnp.float32
 
-    _sync(sweep(x, w))
+            def dot(a, w):
+                return jnp.dot(a, w.astype(jnp.bfloat16),
+                               preferred_element_type=f32
+                               ).astype(jnp.bfloat16)
+            a = dot(hc, wl["q"])
+            _k = dot(hc, wl["k"])
+            _v = dot(hc, wl["v"])
+            hc = hc + dot(a, wl["o"])
+            g = dot(hc, wl["g"])
+            u = dot(hc, wl["u"])
+            hc = hc + dot(g * u, wl["d"])
+            return hc + jnp.sum(_k) + jnp.sum(_v), None
+        hc, _ = jax.lax.scan(body, x, lp)
+        return hc
+
+    _sync(sweep(x, lp))
     t0 = time.perf_counter()
     for _ in range(reps):
-        x = sweep(x, w)
+        x = sweep(x, lp)
+        x = x[:, :h]
     _sync(x)
     dt = (time.perf_counter() - t0) / reps
     return bytes_total / dt / 1e9

@@ -220,7 +220,24 @@ class VAE:
         """Load a diffusers AutoencoderKL checkpoint (decoder + encoder)."""
         from ...llm.safetensors import load_safetensors
         st = load_safetensors(path)
-        cfg = config or VAEConfig()
+        if config is None:
+            # infer latent channels from the checkpoint (SD/Flux: 4,
+            # SD3: 16) — decoder conv_in input channels — and read the
+            # scaling/shift factors from the sibling config.json when present
+            zc = int(st.tensor_shape("decoder.conv_in.weight")[1])
+            kw = {"latent_channels": zc}
+            import json
+            from pathlib import Path
+            base = Path(path)
+            cj = (base if base.is_dir() else base.parent) / "config.json"
+            if cj.exists():
+                hf = json.loads(cj.read_text())
+                kw["scaling_factor"] = hf.get("scaling_factor", 0.18215)
+                kw["shift_factor"] = hf.get("shift_factor", 0.0) or 0.0
+                if "block_out_channels" in hf:
+                    kw["block_out_channels"] = tuple(hf["block_out_channels"])
+            config = VAEConfig(**kw)
+        cfg = config
         p: dict = {}
 
         def t(name):
