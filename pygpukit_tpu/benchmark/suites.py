@@ -135,9 +135,78 @@ class DecodeBenchmark(Benchmark):
             extra={"tokens_per_s": tps}))
 
 
+class MoEBenchmark(Benchmark):
+    """Mixtral-arch decode through the token-count-routed MoE dispatch
+    (ops/moe.select_moe_fn: expert-gather at decode)."""
+    title = "MoE decode (Mixtral-arch, 8 experts top-2)"
+
+    def run(self) -> None:
+        import time as _t
+        from ..llm.config import TransformerConfig
+        from ..llm.model import CausalTransformerModel, init_params
+        cfg = TransformerConfig(
+            vocab_size=32000, hidden_size=1024, num_layers=8, num_heads=16,
+            num_kv_heads=8, intermediate_size=3584,
+            max_position_embeddings=2048, num_experts=8,
+            num_experts_per_tok=2, moe_intermediate_size=1792)
+        params = init_params(cfg, seed=0, dtype=jnp.bfloat16)
+        model = CausalTransformerModel(cfg, params, dtype=jnp.bfloat16)
+        model.init_fixed_cache(512)
+        model.generate(list(range(1, 9)), max_new_tokens=33, chunk_size=32)
+        n = 128
+        model.init_fixed_cache(512)
+        t0 = _t.perf_counter()
+        out = model.generate(list(range(1, 9)), max_new_tokens=n + 1,
+                             chunk_size=32)
+        dt = _t.perf_counter() - t0
+        tps = len(out) / dt
+        self.results.append(BenchResult(
+            f"moe decode tok/s={tps:.1f}", dt * 1e3 / len(out),
+            extra={"tokens_per_s": tps}))
+
+
+class ServingBenchmark(Benchmark):
+    """Continuous-batching aggregate throughput: pipelined+waves vs paged
+    vs dense (llm/serving.py; reference shipped only the primitives)."""
+    title = "Continuous-batching serving (batch 8, 128-tok requests)"
+
+    def run(self) -> None:
+        import time as _t
+        from ..llm.config import TransformerConfig
+        from ..llm.model import CausalTransformerModel, fuse_params, init_params
+        from ..llm.serving import ContinuousBatchingEngine
+        cfg = TransformerConfig(
+            vocab_size=32000, hidden_size=1024, num_layers=8, num_heads=16,
+            num_kv_heads=8, intermediate_size=2816,
+            max_position_embeddings=2048)
+        params = fuse_params(init_params(cfg, seed=0, dtype=jnp.bfloat16))
+        model = CausalTransformerModel(cfg, params, dtype=jnp.bfloat16)
+        prompt = list(range(1, 17))
+        for label, kw in (("pipelined", {"pipelined": True}),
+                          ("paged", {"paged": True, "block_size": 16}),
+                          ("dense", {})):
+            eng = ContinuousBatchingEngine(
+                model, max_batch=8, max_seq_len=1024,
+                steps_per_dispatch=16, **kw)
+            for _ in range(2):                       # warm incl. wave exes
+                [eng.submit(prompt, max_new_tokens=32) for _ in range(9)]
+                eng.run_until_complete()
+            reqs = [eng.submit(prompt, max_new_tokens=128)
+                    for _ in range(16)]
+            t0 = _t.perf_counter()
+            eng.run_until_complete()
+            dt = _t.perf_counter() - t0
+            toks = sum(len(r.generated) for r in reqs)
+            self.results.append(BenchResult(
+                f"serving {label} tok/s={toks / dt:.1f}", dt * 1e3,
+                extra={"tokens_per_s": toks / dt}))
+
+
 SUITES = {
     "gemm": GemmBenchmark,
     "gemv": GemvBenchmark,
     "attention": AttentionBenchmark,
     "decode": DecodeBenchmark,
+    "moe": MoEBenchmark,
+    "serving": ServingBenchmark,
 }

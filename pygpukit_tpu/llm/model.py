@@ -472,21 +472,42 @@ def fuse_params(params: dict) -> dict:
     """Pack per-layer q/k/v and gate/up projections into fused matrices.
 
     Decode is launch/bandwidth bound: one [E, (Hq+2Hk)D] matmul beats three,
-    and one [E, 2I] beats two. Dense (non-quantized) leaves only; biases are
-    fused likewise. The fused pytree drops the unfused leaves.
+    and one [E, 2I] beats two. Dense leaves concatenate directly; quantized
+    {"q","scale"} leaves fuse too (per-column scales concatenate along the
+    out dim — _mm applies the scale after the dot, so the fused scale row
+    stays exact). int4 ``q_packed`` leaves keep their transposed packed
+    layout and are left unfused. Biases are fused likewise.
     """
     layers = dict(params["layers"])
-    dense = lambda k: k in layers and not isinstance(layers[k], dict)
-    if all(dense(k) for k in ("w_q", "w_k", "w_v")):
-        layers["w_qkv"] = jnp.concatenate(
-            [layers.pop("w_q"), layers.pop("w_k"), layers.pop("w_v")], axis=-1)
+
+    def fusable(keys):
+        if not all(k in layers for k in keys):
+            return False
+        leaves = [layers[k] for k in keys]
+        if all(not isinstance(v, dict) for v in leaves):
+            return True
+        return (all(isinstance(v, dict) and "q" in v for v in leaves)
+                and len({v["q"].dtype for v in leaves}) == 1)
+
+    def cat(keys):
+        leaves = [layers.pop(k) for k in keys]
+        if isinstance(leaves[0], dict):
+            out_dims = [v["q"].shape[-1] for v in leaves]
+            scales = [jnp.broadcast_to(
+                v["scale"], v["q"].shape[:-2] + (1, d)).astype(jnp.float32)
+                for v, d in zip(leaves, out_dims)]
+            return {"q": jnp.concatenate([v["q"] for v in leaves], axis=-1),
+                    "scale": jnp.concatenate(scales, axis=-1)}
+        return jnp.concatenate(leaves, axis=-1)
+
+    if fusable(("w_q", "w_k", "w_v")):
+        layers["w_qkv"] = cat(("w_q", "w_k", "w_v"))
         if "b_q" in layers:
             layers["b_qkv"] = jnp.concatenate(
                 [layers.pop("b_q"), layers.pop("b_k"), layers.pop("b_v")],
                 axis=-1)
-    if all(dense(k) for k in ("w_gate", "w_up")):
-        layers["w_gate_up"] = jnp.concatenate(
-            [layers.pop("w_gate"), layers.pop("w_up")], axis=-1)
+    if fusable(("w_gate", "w_up")):
+        layers["w_gate_up"] = cat(("w_gate", "w_up"))
     out = dict(params)
     out["layers"] = layers
     return out

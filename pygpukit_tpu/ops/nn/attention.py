@@ -60,15 +60,29 @@ def sdpa_causal_fn(q, k, v, scale: float | None = None):
     return jnp.transpose(out, (1, 0, 2)).astype(q.dtype)
 
 
-def _attention_backend() -> str:
-    """"" | "pallas" | "jax" — env-selected flash-attention backend
+#: sequence length from which the Pallas flash kernel beats XLA chunked
+#: flash for bf16 on v5e (measured: S=4096 15.9 vs 16.9 ms, S=8192 19.2 vs
+#: 30.7 — the f32/short regime still favours XLA 13x, docs/performance.md)
+PALLAS_FLASH_MIN_SEQ = 8192
+
+
+def _attention_backend(q=None) -> str:
+    """"" | "pallas" | "jax" — flash-attention backend: env-forced
     (reference pattern: PYGPUKIT_FA3 / PYGPUKIT_FLASH_ATTENTION gates,
-    sdpa_causal.inl:37-126)."""
+    sdpa_causal.inl:37-126), else AUTO-selects the Pallas kernel in its
+    measured winning regime (long-sequence bf16). PYGPUKIT_FLASH_ATTENTION=
+    xla disables auto-selection."""
     import os
     from ...core.backend import get_backend
     mode = os.environ.get("PYGPUKIT_FLASH_ATTENTION", "")
-    if mode in ("pallas", "jax") and get_backend().platform == "tpu":
+    if get_backend().platform != "tpu":
+        return ""
+    if mode in ("pallas", "jax"):
         return mode
+    if (mode != "xla" and q is not None and q.dtype == jnp.bfloat16
+            and q.shape[0] >= PALLAS_FLASH_MIN_SEQ
+            and q.shape[0] % 256 == 0 and q.shape[-1] % 128 == 0):
+        return "pallas"
     return ""
 
 
@@ -82,7 +96,7 @@ def flash_attention_fn(q, k, v, scale: float | None = None,
     """
     s, h, d = q.shape
     scale = scale if scale is not None else 1.0 / math.sqrt(d)
-    backend = _attention_backend()
+    backend = _attention_backend(q)
     if backend and scale == 1.0 / math.sqrt(d):
         if backend == "pallas":
             from ...kernels.flash_attention import flash_attention as _pfa

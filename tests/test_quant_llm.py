@@ -163,3 +163,47 @@ class TestMoEGatherPath:
         assert moe.select_moe_fn(32, 2) is moe.moe_dense_fn
         monkeypatch.setattr(moe, "use_gmm", lambda: False)
         assert moe.select_moe_fn(256, 2) is moe.moe_dense_fn
+
+
+class TestQuantizedFusion:
+    """fuse_params now fuses quantized {q,scale} leaves (per-column scales
+    concatenate exactly); fused quantized logits == unfused."""
+
+    def test_fp8_fused_matches_unfused(self):
+        import jax.numpy as jnp
+        from pygpukit_tpu.llm.config import TransformerConfig
+        from pygpukit_tpu.llm.model import (CausalTransformerModel,
+                                            fuse_params, init_params)
+        from pygpukit_tpu.llm.quant import quantize_model_params
+        cfg = TransformerConfig(
+            vocab_size=97, hidden_size=64, num_layers=2, num_heads=4,
+            num_kv_heads=2, intermediate_size=128,
+            max_position_embeddings=128)
+        qp = quantize_model_params(
+            init_params(cfg, seed=2, dtype=jnp.bfloat16), "fp8")
+        m_unf = CausalTransformerModel(cfg, qp, dtype=jnp.bfloat16)
+        fused = fuse_params(m_unf.params)
+        assert "w_qkv" in fused["layers"] and isinstance(
+            fused["layers"]["w_qkv"], dict)
+        assert "w_gate_up" in fused["layers"]
+        m_f = CausalTransformerModel(cfg, fused, dtype=jnp.bfloat16)
+        ids = [3, 17, 42, 7]
+        lu = np.asarray(m_unf(ids), np.float32)
+        lf = np.asarray(m_f(ids), np.float32)
+        np.testing.assert_allclose(lf, lu, rtol=2e-2, atol=2e-2)
+        assert (np.argmax(lu, -1) == np.argmax(lf, -1)).all()
+
+    def test_int4_packed_not_fused(self):
+        import jax.numpy as jnp
+        from pygpukit_tpu.llm.config import TransformerConfig
+        from pygpukit_tpu.llm.model import fuse_params, init_params
+        from pygpukit_tpu.llm.quant import quantize_model_params
+        cfg = TransformerConfig(
+            vocab_size=97, hidden_size=64, num_layers=2, num_heads=4,
+            num_kv_heads=2, intermediate_size=128,
+            max_position_embeddings=128)
+        qp = quantize_model_params(
+            init_params(cfg, seed=2, dtype=jnp.bfloat16), "int4")
+        fused = fuse_params(qp)
+        assert "w_qkv" not in fused["layers"]      # packed layout unfusable
+        assert "w_q" in fused["layers"]
