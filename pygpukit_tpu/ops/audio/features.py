@@ -214,3 +214,33 @@ def spectral_gate(x, threshold: float = 0.01, attack_samples: int = 64,
     ratio = e / threshold
     gain = jnp.where(e < threshold, ratio * ratio, 1.0)
     return x * gain
+
+
+@functools.partial(jax.jit, static_argnames=("frame_size", "hop_size"))
+def zero_crossing_rate(x, frame_size: int = 512, hop_size: int = 256):
+    """Per-frame zero-crossing fraction (reference:
+    zero_crossing_rate_kernel)."""
+    from .core import frame_signal
+    frames = frame_signal(x.astype(_F32), frame_size, hop_size, center=False)
+    signs = jnp.sign(frames)
+    return jnp.mean(jnp.abs(jnp.diff(signs, axis=-1)) > 0, axis=-1)
+
+
+@functools.partial(jax.jit, static_argnames=("sample_rate", "n_chroma", "tuning"))
+def chroma_stft(spectrum, sample_rate: int = 16000, n_chroma: int = 12,
+                tuning: float = 0.0):
+    """Chromagram from an STFT magnitude spectrum [F, n_freq]: fold each FFT
+    bin's energy into its pitch class, per-frame max-normalised (reference:
+    audio_chroma_stft)."""
+    spectrum = spectrum.astype(_F32)
+    n_freq = spectrum.shape[-1]
+    freqs = jnp.arange(n_freq, dtype=_F32) * (
+        sample_rate / (2.0 * (n_freq - 1)))
+    midi = 12.0 * jnp.log2(jnp.maximum(freqs, 1e-6) / 440.0) + 69.0 - tuning
+    pc = jnp.mod(jnp.round(midi), n_chroma).astype(jnp.int32)    # [n_freq]
+    valid = (freqs > 20.0).astype(_F32)
+    onehot = (jax.nn.one_hot(pc, n_chroma, dtype=_F32)
+              * valid[:, None])                                  # [n_freq, C]
+    folded = spectrum @ onehot                                   # [F, C]
+    mx = jnp.max(folded, axis=-1, keepdims=True)
+    return jnp.where(mx > 1e-10, folded / jnp.maximum(mx, 1e-10), folded)

@@ -294,3 +294,69 @@ class TestPreprocessing:
         y = np.asarray(audio.spectral_gate(x, threshold=0.01, attack_samples=64))
         np.testing.assert_allclose(y[:256], loud)          # untouched
         assert np.abs(y[256:]).max() < 0.01                # squashed by (e/t)^2
+
+
+class TestStreamingVAD:
+    """VAD/SpeechSegment/AudioStream objects (reference: vad.py:32-150,
+    buffer.py:299)."""
+
+    def test_vad_detects_speech_segment(self, sine):
+        x, sr = sine
+        sig = np.zeros(sr, np.float32)
+        sig[4000:12000] = x[:8000]          # speech burst in silence
+        sig += np.random.default_rng(0).normal(0, 1e-4, sr).astype(np.float32)
+        segs = audio.VAD(sample_rate=sr).detect(sig)
+        assert len(segs) == 1
+        assert abs(segs[0].start_sample - 4000) < 1000
+        assert abs(segs[0].end_sample - 12000) < 3000
+        assert segs[0].start_time == pytest.approx(
+            segs[0].start_sample / sr)
+
+    def test_vad_silence_empty(self):
+        sig = np.random.default_rng(1).normal(0, 1e-5, 16000).astype(np.float32)
+        assert audio.VAD(sample_rate=16000).detect(sig) == []
+
+    def test_audio_stream_chunking(self):
+        st = audio.AudioStream(chunk_size=480, hop_size=240)
+        st.push(np.ones(500, np.float32))
+        assert st.has_chunk()
+        c1 = st.pop_chunk()
+        assert c1.shape == (480,)
+        assert not st.has_chunk()
+        st.push(np.ones(300, np.float32))
+        assert st.has_chunk()               # 260 pending + 300 >= 480
+        assert st.latest(0.01).shape == (160,)
+
+
+class TestReferenceAliases:
+    def test_alias_surface(self, sine):
+        x, sr = sine
+        import jax
+        spec = jax.jit(lambda v: audio.magnitude_spectrum(
+            audio.stft(v, 512, 256)))(jnp.asarray(x))
+        assert np.asarray(spec).min() >= 0
+        ps = audio.power_spectrum(spec.astype(np.complex64) * 0 + spec)
+        fb = audio.create_mel_filterbank(sr, 512, 40)
+        mel = audio.apply_mel_filterbank(spec, fb)
+        assert mel.shape[-1] == 40
+        lm = audio.log_mel(mel)
+        db = audio.to_decibels(spec)
+        assert np.isfinite(np.asarray(lm)).all()
+        h = audio.harmonic(jnp.asarray(x[:4000]))
+        assert h.shape[0] == 4000
+        assert audio.AudioRingBuffer is audio.RingBuffer
+        assert audio.mel_spectrogram is audio.melspectrogram
+
+    def test_zero_crossing_rate(self, sine):
+        x, sr = sine
+        z = np.asarray(audio.zero_crossing_rate(jnp.asarray(x), 512, 256))
+        # 440 Hz sine crosses ~2*440 times/s -> rate ~ 880/16000 = 0.055
+        np.testing.assert_allclose(z.mean(), 2 * 440 / sr, rtol=0.1)
+
+    def test_chroma_stft_pitch_class(self, sine):
+        x, sr = sine
+        import jax
+        ch = np.asarray(jax.jit(lambda v: audio.chroma_stft(
+            jnp.abs(audio.stft(v, 2048, 512)), sr))(jnp.asarray(x)))
+        assert ch.shape[-1] == 12
+        assert np.median(ch.argmax(axis=1)) == 9    # A pitch class
