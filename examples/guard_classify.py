@@ -58,10 +58,12 @@ def classify(model, tokenizer, prompt: str,
     ms = (time.time() - t0) * 1000
     raw = (tokenizer.decode(out_ids) if hasattr(tokenizer, "decode")
            else "".join(map(str, out_ids)))
+    import re
     lowered = raw.strip().lower()
     is_safe = lowered.startswith("safe")
-    violated = [c for c in HAZARDS if c.lower() in lowered] if not is_safe \
-        else []
+    violated = [] if is_safe else [
+        f"S{m}" for m in re.findall(r"\bs(\d+)\b", lowered)
+        if f"S{m}" in HAZARDS]
     return SafetyResult(is_safe, violated, raw.strip(), ms)
 
 

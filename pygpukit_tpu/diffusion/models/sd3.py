@@ -162,12 +162,18 @@ def sd3_forward_fn(cfg: SD3Config, p, latent, timestep, context, pooled):
             return (jnp.dot(src, lp[f"{name}.w"]) + lp[f"{name}.b"]).reshape(
                 -1, heads, d)
 
-        q = jnp.concatenate([proj(ch, "aq"), proj(xh, "q")], axis=0)
-        k = jnp.concatenate([proj(ch, "ak"), proj(xh, "k")], axis=0)
-        v = jnp.concatenate([proj(ch, "av"), proj(xh, "v")], axis=0)
+        q_img, k_img = proj(xh, "q"), proj(xh, "k")
+        q_ctx, k_ctx = proj(ch, "aq"), proj(ch, "ak")
         if cfg.qk_norm:
-            q = _rms(q, lp["nq"])
-            k = _rms(k, lp["nk"])
+            # SD3.5: norm_q/norm_k normalise the IMAGE stream, separate
+            # norm_added_q/norm_added_k weights normalise the context stream
+            q_img = _rms(q_img, lp["nq"])
+            k_img = _rms(k_img, lp["nk"])
+            q_ctx = _rms(q_ctx, lp["naq"])
+            k_ctx = _rms(k_ctx, lp["nak"])
+        q = jnp.concatenate([q_ctx, q_img], axis=0)
+        k = jnp.concatenate([k_ctx, k_img], axis=0)
+        v = jnp.concatenate([proj(ch, "av"), proj(xh, "v")], axis=0)
         qh = q.transpose(1, 0, 2).astype(_F32)
         kh = k.transpose(1, 0, 2).astype(_F32)
         vh = v.transpose(1, 0, 2).astype(_F32)
@@ -269,6 +275,10 @@ def params_from_state_dict(flat: dict, cfg: SD3Config) -> dict:
         if cfg.qk_norm:
             lp["nq"] = jnp.asarray(np.asarray(flat[f"{b}.attn.norm_q.weight"]), _F32)
             lp["nk"] = jnp.asarray(np.asarray(flat[f"{b}.attn.norm_k.weight"]), _F32)
+            lp["naq"] = jnp.asarray(
+                np.asarray(flat[f"{b}.attn.norm_added_q.weight"]), _F32)
+            lp["nak"] = jnp.asarray(
+                np.asarray(flat[f"{b}.attn.norm_added_k.weight"]), _F32)
         if not last:
             lp["ao.w"] = lw(f"{b}.attn.to_add_out")
             lp["ao.b"] = lb(f"{b}.attn.to_add_out")

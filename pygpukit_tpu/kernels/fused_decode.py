@@ -418,7 +418,7 @@ def fused_decode_step(h0, cos_p, sin_p, pos, wq, wk, wv, wo, wg, wu, wd,
             pltpu.VMEM((2, I, cd), _BF16),        # bufB
             pltpu.VMEM((MAX, KVD), _BF16),        # kbuf
             pltpu.VMEM((MAX, KVD), _BF16),        # vbuf
-            pltpu.SemaphoreType.DMA((4,)),        # semA
+            pltpu.SemaphoreType.DMA((ring,)),     # semA (one per slot)
             pltpu.SemaphoreType.DMA((2,)),        # semB
             pltpu.SemaphoreType.DMA(()),          # semK
             pltpu.SemaphoreType.DMA(()),          # semV

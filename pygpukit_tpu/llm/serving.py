@@ -244,6 +244,8 @@ class ContinuousBatchingEngine:
         for slot in self._free_slots():
             if not self._queue:
                 break
+            if self.paged and not self._can_admit_paged(self._queue[0]):
+                break                      # pool busy: admit when blocks free
             req = self._queue.pop(0)
             req.slot = slot
             self._slots[slot] = req
@@ -259,7 +261,7 @@ class ContinuousBatchingEngine:
                 if len(group) >= 2:
                     self._prefill_wave_pl(bucket, group)
                 else:
-                    self._prefill_slot(*group[0][::-1]) if False else                         self._prefill_slot(group[0][0], group[0][1])
+                    self._prefill_slot(*group[0])
             return
         for slot, req in pairs:
             self._prefill_slot(slot, req)
@@ -375,7 +377,25 @@ class ContinuousBatchingEngine:
             self._tables_dev = jnp.asarray(self._tables_np)
             self._tables_dirty = False
 
+    def _paged_need(self, req: Request) -> int:
+        """Worst-case blocks this request can ever need (context-clamped)."""
+        n = min(len(req.prompt) + req.max_new_tokens + 1, self.max_seq_len)
+        return -(-n // self.block_size)
+
+    def _can_admit_paged(self, req: Request) -> bool:
+        """Reserve the FULL worst case at admission: mid-flight growth then
+        never exhausts the pool (the alternative — grow-on-demand — dies
+        with a MemoryError in the middle of a serve chunk). A request that
+        cannot EVER fit raises instead of queueing forever."""
+        need = self._paged_need(req)
+        if need > self._alloc.num_blocks - 1:
+            raise MemoryError(
+                f"request {req.request_id} needs {need} KV blocks; pool has "
+                f"{self._alloc.num_blocks - 1} usable")
+        return need <= self._alloc.free_blocks
+
     def _ensure_blocks(self, req: Request, slot: int, n_tokens: int) -> None:
+        n_tokens = min(n_tokens, self.max_seq_len)   # table capacity
         blocks = self._alloc.alloc_for(req.request_id, n_tokens)
         row = self._tables_np[slot]
         if not np.array_equal(row[:len(blocks)], blocks):
@@ -393,8 +413,9 @@ class ContinuousBatchingEngine:
         model = self.model
         ids = np.asarray(req.prompt, np.int32)
         n = len(ids)
-        # blocks for the prompt plus the first decode chunk
-        self._ensure_blocks(req, slot, n + self.steps_per_dispatch + 1)
+        # reserve the full worst case up front (see _can_admit_paged)
+        self._ensure_blocks(
+            req, slot, len(req.prompt) + req.max_new_tokens + 1)
         self._sync_tables()
         bucket = min(_bucket(max(n, 8)), self.max_seq_len)
         key = ("paged", bucket)
@@ -410,7 +431,12 @@ class ContinuousBatchingEngine:
         self.k_cache, self.v_cache, logits = self._prefill_exes[key].replay(
             model.params, self.k_cache, self.v_cache,
             self._tables_dev[slot], jnp.asarray(padded), jnp.int32(n))
-        tok = int(np.asarray(jnp.argmax(logits)))
+        if self.temperature > 0:
+            key_s = jax.random.PRNGKey(self.seed + req.request_id)
+            tok = int(np.asarray(_sample_logits(
+                logits, key_s, self.temperature, self.top_k)))
+        else:
+            tok = int(np.asarray(jnp.argmax(logits)))
         self._emit(req, tok)
         req.first_token_at = time.time()
         self._last_tokens[slot] = tok

@@ -44,13 +44,6 @@ def _use_pallas_paged() -> bool:
 
 # ------------------------------------------------------------------ compute --
 
-def _paged_write(pool_l, k_rows, blocks, offs):
-    """Scatter [B, Hk, D] rows into pool_l [NB, Hk, BS, D] at
-    (blocks[b], :, offs[b], :)."""
-    return pool_l.at[blocks, :, offs, :].set(
-        k_rows.transpose(0, 1, 2).astype(pool_l.dtype))
-
-
 def _paged_attn_one(q, k_pool_l, v_pool_l, table, ctx_len, scale):
     """q [Hq, D]; pools [NB, Hk, BS, D]; table [MB] -> [Hq, D]."""
     hq, d = q.shape

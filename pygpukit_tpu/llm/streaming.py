@@ -40,6 +40,7 @@ class LayerStreamingContext:
         self.layer_names = layer_names
         self.config = config or StreamingConfig()
         self._engine = None
+        self._pending: list = []
 
     def _prefetch(self, names) -> None:
         """Stage the next layer's H2D through the async transfer engine so
@@ -50,13 +51,32 @@ class LayerStreamingContext:
         if self._engine is None:
             self._engine = AsyncTransferEngine(num_workers=1)
         for name in names:
-            self._engine._submit(lambda n=name: self.loader.get(n),
-                                 AsyncTransferEngine.LOW)
+            self._pending.append(self._engine._submit(
+                lambda n=name: self.loader.get(n), AsyncTransferEngine.LOW))
+
+    def _drain_pending(self) -> None:
+        """Surface prefetch errors instead of swallowing them (OOM during a
+        worker-thread loader.get would otherwise vanish)."""
+        pending, self._pending = self._pending, []
+        for fut in pending:
+            fut.result()
+
+    def close(self) -> None:
+        if self._engine is not None:
+            self._engine.shutdown()
+            self._engine = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
 
     def __iter__(self):
         n = len(self.layer_names)
         strat = self.config.strategy
         for i, names in enumerate(self.layer_names):
+            self._drain_pending()
             tensors = {name: self.loader.get(name) for name in names}
             if strat == LoadingStrategy.SLIDING_WINDOW and i + 1 < n:
                 self._prefetch(self.layer_names[i + 1])

@@ -161,7 +161,11 @@ def use_gmm() -> bool:
 
 def select_moe_fn(n_tokens: int, top_k: int):
     """Route by token count: gmm (TPU, >=128 rows after top-k replication),
-    expert-gather (decode-sized T), dense one-hot otherwise."""
+    expert-gather (decode-sized T), dense one-hot otherwise.
+    PYGPUKIT_MOE=dense forces the dense formulation for EVERY size (the
+    debugging escape hatch)."""
+    if os.environ.get("PYGPUKIT_MOE", "") == "dense":
+        return moe_dense_fn
     if use_gmm() and n_tokens * top_k >= 128:
         return moe_gmm_fn
     if n_tokens <= 4:

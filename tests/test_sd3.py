@@ -150,3 +150,30 @@ class TestForward:
             "ff_context.net.2")
         np.testing.assert_allclose(got_x, xt.numpy(), rtol=1e-3, atol=1e-4)
         np.testing.assert_allclose(got_c, ct.numpy(), rtol=1e-3, atol=1e-4)
+
+
+class TestQKNormStreams:
+    def test_per_stream_qk_norms_loaded_and_distinct(self):
+        """SD3.5 norm_q applies to the image stream, norm_added_q to the
+        context stream — scaling ONLY norm_added must change the output
+        while all-ones weights reproduce the unnormed-identity structure."""
+        cfg = SD3Config(sample_size=8, patch_size=2, in_channels=4,
+                        out_channels=4, hidden_size=32, depth=1, num_heads=4,
+                        context_dim=16, pooled_dim=12, pos_embed_max_size=8,
+                        qk_norm=True)
+        rng = np.random.default_rng(0)
+        flat = init_random_flat(cfg, seed=0)
+        lat = jnp.asarray(rng.standard_normal((4, 8, 8)).astype(np.float32))
+        ctxe = jnp.asarray(rng.standard_normal((5, 16)).astype(np.float32))
+        pooled = jnp.asarray(rng.standard_normal(12).astype(np.float32))
+        base = np.asarray(SD3Transformer.from_state_dict(flat, cfg)(
+            lat, 100.0, ctxe, pooled))
+        flat2 = dict(flat)
+        # norm_added_K: context keys shape the image queries' attention even
+        # in the last block (norm_added_q only affects the discarded context
+        # output there)
+        flat2["transformer_blocks.0.attn.norm_added_k.weight"] = (
+            flat["transformer_blocks.0.attn.norm_added_k.weight"] * 3.0)
+        changed = np.asarray(SD3Transformer.from_state_dict(flat2, cfg)(
+            lat, 100.0, ctxe, pooled))
+        assert not np.allclose(base, changed)

@@ -310,3 +310,26 @@ class TestPagedServing:
         eng.submit(list(range(1, 14)), max_new_tokens=20)
         with pytest.raises(MemoryError):
             eng.run_until_complete()
+
+    def test_generation_to_context_limit_no_crash(self, model):
+        """Regression: block reservation near max_seq_len must clamp to the
+        table capacity instead of requesting more blocks than table rows
+        (review finding: ValueError broadcast (65,) into (64,))."""
+        eng = ContinuousBatchingEngine(model, max_batch=2, max_seq_len=32,
+                                       steps_per_dispatch=8, paged=True,
+                                       block_size=8)
+        r = eng.submit([1, 2, 3], max_new_tokens=64)   # runs into the limit
+        eng.run_until_complete()
+        assert r.done
+        assert len(r.generated) <= 64
+
+    def test_pool_busy_defers_admission(self, model):
+        """A request that fits the pool but not RIGHT NOW queues instead of
+        crashing; it runs once blocks free."""
+        eng = ContinuousBatchingEngine(model, max_batch=2, max_seq_len=64,
+                                       steps_per_dispatch=4, paged=True,
+                                       block_size=8, num_blocks=9)
+        # each request reserves ceil((2+10+1)/8)=2 blocks; 8 usable blocks
+        reqs = [eng.submit([5, 6], max_new_tokens=10) for _ in range(6)]
+        eng.run_until_complete()
+        assert all(r.done and len(r.generated) == 10 for r in reqs)
