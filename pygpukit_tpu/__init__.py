@@ -27,7 +27,10 @@ if _cache_dir and _cache_dir != "0":
 
 __version__ = "0.1.0"
 
-from . import core, dispatch, jit, kernels, llm, memory, ops, parallel, profiling, scheduler, transfer
+from . import (
+    asr, core, diffusion, dispatch, jit, kernels, llm, memory, ops, parallel,
+    pipeline, profiling, scheduler, transfer, tts,
+)
 from .core import (
     Array, DataType, DataTypeKind, Event, Stream, StreamManager, StreamPriority,
     arange, capture, default_stream, device_count, dtypes, empty, from_numpy,
@@ -48,3 +51,15 @@ from .ops import (
     sample_token_gpu, sdpa_causal, sdpa_causal_fixed_cache, set_sampling_seed,
     sigmoid, silu, sin, softmax, sqrt, sub, sum, sum_axis, swiglu, tanh, where,
 )
+from .ops.unary import abs  # noqa: A004 - reference API name
+from .ops.tensor import transpose_2d as transpose
+from .ops.nn.fused import linear_bias_gelu
+from .ops.nn.recurrent import lstm as lstm_forward
+from .jit.compiler import (
+    JITKernel, get_warmup_error, is_warmup_done, warmup,
+)
+
+# Reference-name compatibility: the NumPy-like device array and the
+# replayable executable keep the reference's class names importable
+# (reference __init__.py stability table: GPUArray, CudaGraph ~ capture).
+GPUArray = Array

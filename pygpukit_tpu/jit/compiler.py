@@ -146,12 +146,32 @@ def jit(fn: Callable | None = None, *, static_argnums: tuple = (),
     return wrap(fn) if fn is not None else wrap
 
 
+_warmup_state = {"threads": [], "error": None}
+
+
 def warmup(kernel: JITKernel, *example_args) -> threading.Thread:
     """Background warmup compile (reference: warmup, compiler.py:654)."""
-    t = threading.Thread(target=lambda: kernel.compile(*example_args),
-                         daemon=True)
+    def run():
+        try:
+            kernel.compile(*example_args)
+        except Exception as e:  # noqa: BLE001 - surfaced via get_warmup_error
+            _warmup_state["error"] = e
+
+    t = threading.Thread(target=run, daemon=True)
+    _warmup_state["threads"].append(t)
     t.start()
     return t
+
+
+def is_warmup_done() -> bool:
+    """True when every background warmup launched so far has finished
+    (reference: is_warmup_done, compiler.py)."""
+    return all(not t.is_alive() for t in _warmup_state["threads"])
+
+
+def get_warmup_error() -> Exception | None:
+    """The first error raised by a background warmup, if any."""
+    return _warmup_state["error"]
 
 
 def check_platform_compatibility() -> dict:

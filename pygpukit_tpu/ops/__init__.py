@@ -37,3 +37,85 @@ from .unary import (
     abs, ceil, cos, exp, floor, log, neg, reciprocal, rsqrt, sigmoid, sign,
     sin, sqrt, tan, tanh,
 )
+
+# ---------------------------------------------------------------------------
+# Reference-name aliases (reference ops/__init__.py:1-60 exports). CUDA
+# pointer/SM-specific entry points (*_ptr, *_sm90/sm120, nvf4) have no TPU
+# meaning — their capabilities live in the dtype-based quantized matmuls and
+# donation-based in-place semantics (PARITY.md maps each).
+# ---------------------------------------------------------------------------
+from .conv import conv1d, conv2d
+from .nn.fused import linear_bias_gelu
+from .sampling import (
+    sample_greedy_fn, sample_temperature_fn, sample_topk_fn, sample_topp_fn,
+)
+
+transpose = transpose_2d
+rope_inplace_f32table = rope_inplace      # tables are always f32 here
+cast_f16_to_f32 = cast_bf16_to_f32        # 16-bit on TPU = bf16
+
+
+def sample_greedy(logits):
+    """Greedy token id (reference: sample_greedy)."""
+    return sample_token_gpu(logits, temperature=0.0)
+
+
+def sample_topk(logits, k: int, temperature: float = 1.0):
+    return sample_token_gpu(logits, temperature=temperature, top_k=k)
+
+
+def sample_topp(logits, p: float, temperature: float = 1.0):
+    return sample_token_gpu(logits, temperature=temperature, top_p=p)
+
+
+def add_inplace(a, b):
+    """a += b via the donation-based out= path (reference: add_inplace)."""
+    return add(a, b, out=a)
+
+
+def mul_inplace(a, b):
+    return mul(a, b, out=a)
+
+
+def bias_add_inplace(a, bias):
+    """Row-broadcast bias add (reference: bias_add_inplace)."""
+    return add(a, bias, out=a)
+
+
+def concat_axis0(arrays, *, out=None):
+    return concat(arrays, axis=0, out=out)
+
+
+def copy_to(src, dst):
+    """Copy src into dst's buffer (reference: copy_to — explicit D2D)."""
+    return cast(src, dst.dtype, out=dst)
+
+
+def repeat_interleave_axis1(a, repeats: int, *, out=None):
+    """GQA head expansion [.., Hk, ..] -> [.., Hk*r, ..]
+    (reference: repeat_interleave_axis1). Jitted: eager gather-class ops
+    hang on remote TPU transports (CLAUDE.md)."""
+    import functools
+    import jax as _jax
+    import jax.numpy as _jnp
+    from ..core.array import Array as _A, as_jax as _as_jax
+
+    @functools.partial(_jax.jit, static_argnames=("r",))
+    def _rep(x, r):
+        return _jnp.repeat(x, r, axis=1)
+
+    y = _rep(_as_jax(a), repeats)
+    return _A(y) if isinstance(a, _A) else y
+
+
+def split_qkv_batch(qkv, n_heads: int, n_kv_heads: int, head_dim: int):
+    """[S, (Hq+2Hk)*D] fused projection -> (q, k, v) (reference:
+    split_qkv_batch)."""
+    import jax.numpy as _jnp
+    from ..core.array import Array as _A, as_jax as _as_jax
+    x = _as_jax(qkv)
+    qd, kd = n_heads * head_dim, n_kv_heads * head_dim
+    q, k, v = x[..., :qd], x[..., qd:qd + kd], x[..., qd + kd:qd + 2 * kd]
+    if isinstance(qkv, _A):
+        return _A(q), _A(k), _A(v)
+    return q, k, v
