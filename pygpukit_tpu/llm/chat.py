@@ -92,3 +92,18 @@ def apply_guard_template(messages: list[ChatMessage | dict],
 
 
 TEMPLATES = ("chatml", "llama2", "llama3", "plain")
+
+
+def format_chat_messages(messages, template: str = "chatml") -> str:
+    """Alias of apply_chat_template (reference: format_chat_messages)."""
+    return apply_chat_template(messages, template)
+
+
+def create_chat_prompt(system: str | None, user: str,
+                       template: str = "chatml") -> str:
+    """One-shot prompt builder (reference: create_chat_prompt)."""
+    msgs = []
+    if system:
+        msgs.append({"role": "system", "content": system})
+    msgs.append({"role": "user", "content": user})
+    return apply_chat_template(msgs, template)

@@ -44,6 +44,26 @@ class PruningConfig:
 
 
 @dataclass
+class SparsityConfig:
+    """Structured-sparsity metadata (reference: SparsityConfig,
+    llm/quant.py — carried on checkpoints; inference treats it as
+    descriptive)."""
+    pattern: str = "2:4"
+    sparsity: float = 0.5
+    structured: bool = True
+
+
+@dataclass
+class ModelOptimizationInfo:
+    """Aggregate optimization metadata for a checkpoint (reference:
+    ModelOptimizationInfo)."""
+    quantization: "FP8QuantConfig | None" = None
+    qat: "QATConfig | None" = None
+    pruning: "PruningConfig | None" = None
+    sparsity: "SparsityConfig | None" = None
+
+
+@dataclass
 class QuantizationMetadata:
     method: str = "none"
     fp8: FP8QuantConfig = field(default_factory=FP8QuantConfig)
@@ -160,3 +180,7 @@ def model_quant_bytes(params: dict) -> tuple[int, int]:
             qb += sz
             db += sz
     return qb, db
+
+
+# reference alias
+QATQuantConfig = QATConfig

@@ -47,3 +47,25 @@ def repack_model_weights(params: dict, multiple: int = LANE) -> tuple[dict, dict
     out = dict(params)
     out["layers"] = layers
     return out, info
+
+
+def repack_weight(w, multiple: int = LANE):
+    """Pad one projection's out-dim to the lane multiple (reference:
+    repack_weight — the B[N,K]-layout repack's TPU analog is lane-width
+    padding; projections stay [in, out], CLAUDE.md matvec-form rule)."""
+    return _pad_last(w, multiple)
+
+
+def repack_linear(w, b=None, multiple: int = LANE):
+    """(w, b) repacked together (reference: repack_linear)."""
+    wp = _pad_last(w, multiple)
+    if b is None:
+        return wp, None
+    import jax.numpy as jnp
+    pad = wp.shape[-1] - b.shape[-1]
+    return wp, (jnp.pad(b, (0, pad)) if pad else b)
+
+
+def repack_norm(w, multiple: int = LANE):
+    """Norm weights pass through (already lane-friendly 1-D f32)."""
+    return w

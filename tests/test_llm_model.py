@@ -200,3 +200,73 @@ class TestRegressionFixes:
         model.k_cache = None              # force auto-sizing
         out = DecodeM1().bind(model).generate([1] * 10, max_new_tokens=40)
         assert len(out) == 40             # not truncated by a small cache
+
+
+class TestLayerClassLibrary:
+    """Reference-style layer classes (llm/layers.py) must match the
+    functional stacked-layer path exactly."""
+
+    def test_block_matches_functional_stack(self):
+        import jax
+        import jax.numpy as jnp
+        from pygpukit_tpu.llm import (
+            Attention, Linear, MLP, RMSNorm, TransformerBlock,
+            TransformerConfig, precompute_freqs_cis,
+        )
+        from pygpukit_tpu.llm.model import init_params, layer_stack_fn
+        cfg = TransformerConfig(
+            vocab_size=64, hidden_size=48, num_layers=1, num_heads=4,
+            num_kv_heads=2, intermediate_size=96, head_dim_override=12,
+            max_position_embeddings=64)
+        params = init_params(cfg, seed=7, dtype=jnp.float32)
+        lp = jax.tree.map(lambda a: a[0], params["layers"])
+        cos, sin = precompute_freqs_cis(64, cfg.head_dim, cfg.rope_theta)
+
+        block = TransformerBlock(
+            attn=Attention(Linear(lp["w_q"]), Linear(lp["w_k"]),
+                           Linear(lp["w_v"]), Linear(lp["w_o"]),
+                           n_heads=4, n_kv_heads=2,
+                           rope_cos=cos, rope_sin=sin),
+            mlp=MLP(fc1=Linear(lp["w_up"]), fc2=Linear(lp["w_down"]),
+                    gate=Linear(lp["w_gate"])),
+            attn_norm=RMSNorm(lp["attn_norm_w"], cfg.norm_eps),
+            mlp_norm=RMSNorm(lp["mlp_norm_w"], cfg.norm_eps))
+
+        h = jnp.asarray(np.random.default_rng(0).standard_normal(
+            (6, 48)).astype(np.float32))
+        got = np.asarray(block(h))
+        want = np.asarray(layer_stack_fn(cfg, params["layers"], h, cos, sin))
+        np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
+
+    def test_fixed_cache_decode_matches_full_forward(self):
+        import jax.numpy as jnp
+        from pygpukit_tpu.llm import Attention, Linear
+        rng = np.random.default_rng(1)
+        e, hq, hk, d = 24, 4, 2, 6
+        mk = lambda i, o: Linear(jnp.asarray(
+            rng.standard_normal((i, o)).astype(np.float32) * 0.1))
+        attn = Attention(mk(e, hq * d), mk(e, hk * d), mk(e, hk * d),
+                         mk(hq * d, e), n_heads=hq, n_kv_heads=hk)
+        x = jnp.asarray(rng.standard_normal((5, e)).astype(np.float32))
+        full = np.asarray(attn(x))
+        attn.init_fixed_cache(16, dtype=jnp.float32)
+        step_out = [np.asarray(attn.forward_fixed_cache(x[i:i + 1]))
+                    for i in range(5)]
+        np.testing.assert_allclose(np.concatenate(step_out), full,
+                                   rtol=1e-3, atol=1e-4)
+
+    def test_moe_layer_matches_dense_fn(self):
+        import jax.numpy as jnp
+        from pygpukit_tpu.llm import Linear, MoELayer
+        from pygpukit_tpu.ops.moe import moe_dense_fn
+        rng = np.random.default_rng(2)
+        t, h, i, e = 3, 16, 32, 4
+        wr = jnp.asarray(rng.standard_normal((h, e)).astype(np.float32))
+        wg = jnp.asarray(rng.standard_normal((e, h, i)).astype(np.float32))
+        wu = jnp.asarray(rng.standard_normal((e, h, i)).astype(np.float32))
+        wd = jnp.asarray(rng.standard_normal((e, i, h)).astype(np.float32))
+        x = jnp.asarray(rng.standard_normal((t, h)).astype(np.float32))
+        layer = MoELayer(Linear(wr), wg, wu, wd, top_k=2)
+        want = np.asarray(moe_dense_fn(x, wg, wu, wd, x @ wr, 2))
+        np.testing.assert_allclose(np.asarray(layer(x)), want,
+                                   rtol=1e-4, atol=1e-5)
