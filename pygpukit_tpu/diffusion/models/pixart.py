@@ -40,6 +40,9 @@ class PixArtConfig:
     ff_mult: int = 4
     base_size: int = 32              # sample_size // patch of the 512 model
     interpolation_scale: float = 1.0
+    #: PixArt-alpha 1024 checkpoints condition on resolution + aspect ratio
+    #: (adaln_single.emb.{resolution,aspect_ratio}_embedder)
+    use_additional_conditions: bool = False
 
     @property
     def head_dim(self) -> int:
@@ -65,10 +68,22 @@ def state_dict_spec(cfg: PixArtConfig | None = None) -> dict[str, tuple]:
         "adaln_single.emb.timestep_embedder.linear_2.bias": (h,),
         "adaln_single.linear.weight": (6 * h, h),
         "adaln_single.linear.bias": (6 * h,),
+    }
+    if c.use_additional_conditions:
+        # diffusers PixArtAlphaCombinedTimestepSizeEmbeddings: each size
+        # scalar embeds 256-sinusoidal -> Linear(256, h//3) -> Linear(h//3,
+        # h//3); cat(resolution[2*h//3], aspect[h//3]) adds to the t-emb
+        se = h // 3
+        for emb in ("resolution_embedder", "aspect_ratio_embedder"):
+            keys[f"adaln_single.emb.{emb}.linear_1.weight"] = (se, 256)
+            keys[f"adaln_single.emb.{emb}.linear_1.bias"] = (se,)
+            keys[f"adaln_single.emb.{emb}.linear_2.weight"] = (se, se)
+            keys[f"adaln_single.emb.{emb}.linear_2.bias"] = (se,)
+    keys.update({
         "scale_shift_table": (2, h),
         "proj_out.weight": (c.patch_size ** 2 * c.out_channels, h),
         "proj_out.bias": (c.patch_size ** 2 * c.out_channels,),
-    }
+    })
     for n in range(c.depth):
         b = f"transformer_blocks.{n}"
         keys[f"{b}.scale_shift_table"] = (6, h)
@@ -132,9 +147,11 @@ def _attn(x_q, x_kv, lp, prefix, n_heads):
     return jnp.dot(out, lp[f"{prefix}.o.w"]) + lp[f"{prefix}.o.b"]
 
 
-def pixart_forward_fn(cfg: PixArtConfig, p, latent, timestep, caption):
+def pixart_forward_fn(cfg: PixArtConfig, p, latent, timestep, caption,
+                      resolution=None, aspect_ratio=None):
     """latent [C, H, W], timestep scalar, caption [Tc, caption_dim]
-    -> eps+var prediction [out_channels, H, W]."""
+    -> eps+var prediction [out_channels, H, W]. 1024-class checkpoints
+    (use_additional_conditions) also embed (resolution [2], aspect [1])."""
     c = cfg
     ph = latent.shape[1] // c.patch_size
     pw = latent.shape[2] // c.patch_size
@@ -150,6 +167,27 @@ def pixart_forward_fn(cfg: PixArtConfig, p, latent, timestep, caption):
     t_sin = timestep_embedding(timestep, 256)
     h1 = jnp.dot(t_sin, p["t.in.w"]) + p["t.in.b"]
     emb_t = jnp.dot(jax.nn.silu(h1), p["t.out.w"]) + p["t.out.b"]  # [hid]
+    if cfg.use_additional_conditions:
+        res = (jnp.asarray([float(latent.shape[1] * 8),
+                            float(latent.shape[2] * 8)], _F32)
+               if resolution is None else jnp.asarray(resolution, _F32))
+        ar = (jnp.asarray([latent.shape[1] / latent.shape[2]], _F32)
+              if aspect_ratio is None else jnp.asarray(aspect_ratio, _F32))
+
+        def size_emb(vals, pre):
+            """Each scalar -> 256-sinusoidal -> 2-layer MLP -> [h//3];
+            concatenated over the scalars (diffusers
+            PixArtAlphaCombinedTimestepSizeEmbeddings)."""
+            parts = []
+            for i in range(vals.shape[0]):
+                sin_e = timestep_embedding(vals[i], 256)
+                hh = jnp.dot(sin_e, p[f"{pre}.in.w"]) + p[f"{pre}.in.b"]
+                parts.append(jnp.dot(jax.nn.silu(hh), p[f"{pre}.out.w"])
+                             + p[f"{pre}.out.b"])
+            return jnp.concatenate(parts)
+
+        emb_t = emb_t + jnp.concatenate(
+            [size_emb(res, "res"), size_emb(ar, "ar")])
     cond6 = jnp.dot(jax.nn.silu(emb_t), p["adaln.w"]) + p["adaln.b"]
 
     # caption projection: linear -> gelu(tanh) -> linear
@@ -210,6 +248,15 @@ def params_from_state_dict(flat: dict, cfg: PixArtConfig) -> dict:
         "t.out.b": lb("adaln_single.emb.timestep_embedder.linear_2"),
         "adaln.w": lw("adaln_single.linear"),
         "adaln.b": lb("adaln_single.linear"),
+        **({"res.in.w": lw("adaln_single.emb.resolution_embedder.linear_1"),
+            "res.in.b": lb("adaln_single.emb.resolution_embedder.linear_1"),
+            "res.out.w": lw("adaln_single.emb.resolution_embedder.linear_2"),
+            "res.out.b": lb("adaln_single.emb.resolution_embedder.linear_2"),
+            "ar.in.w": lw("adaln_single.emb.aspect_ratio_embedder.linear_1"),
+            "ar.in.b": lb("adaln_single.emb.aspect_ratio_embedder.linear_1"),
+            "ar.out.w": lw("adaln_single.emb.aspect_ratio_embedder.linear_2"),
+            "ar.out.b": lb("adaln_single.emb.aspect_ratio_embedder.linear_2")}
+           if cfg.use_additional_conditions else {}),
         "scale_shift_table": jnp.asarray(
             np.asarray(flat["scale_shift_table"]), _F32),
         "out.w": lw("proj_out"),
@@ -275,15 +322,35 @@ class PixArtTransformer:
     def from_safetensors(cls, path,
                          config: PixArtConfig | None = None) -> "PixArtTransformer":
         """Load transformer/diffusion_pytorch_model.safetensors (diffusers
-        layout) via the mmap parser."""
+        layout) via the mmap parser; dims read from the sibling config.json
+        when present (the 1024 model turns on the size conditioners)."""
+        import json
         from pathlib import Path
         from ...llm.safetensors import SafeTensorsFile
         path = Path(path)
+        base = path if path.is_dir() else path.parent
         if path.is_dir():
             cands = sorted(path.glob("*.safetensors"))
             if not cands:
                 raise FileNotFoundError(f"no safetensors under {path}")
             path = cands[0]
+        if config is None and (base / "config.json").exists():
+            hf = json.loads((base / "config.json").read_text())
+            heads = hf.get("num_attention_heads", 16)
+            config = PixArtConfig(
+                sample_size=hf.get("sample_size", 64),
+                patch_size=hf.get("patch_size", 2),
+                in_channels=hf.get("in_channels", 4),
+                out_channels=hf.get("out_channels", 8),
+                hidden_size=heads * hf.get("attention_head_dim", 72),
+                depth=hf.get("num_layers", 28),
+                num_heads=heads,
+                caption_dim=hf.get("caption_channels", 4096),
+                interpolation_scale=hf.get("interpolation_scale", 1.0) or 1.0,
+                use_additional_conditions=bool(
+                    hf.get("use_additional_conditions",
+                           hf.get("sample_size", 64) == 128)),
+            )
         st = SafeTensorsFile(str(path))
         flat = {k: st.tensor_numpy(k) for k in st.keys()}
         return cls.from_state_dict(flat, config)

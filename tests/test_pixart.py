@@ -159,3 +159,27 @@ class TestPipeline:
                             guidance_scale=2.0, seed=1)
         assert lat.shape == (4, 8, 8)
         assert np.isfinite(np.asarray(lat)).all()
+
+
+class TestAdditionalConditions:
+    def test_1024_spec_and_forward(self):
+        cfg = PixArtConfig(sample_size=8, patch_size=2, in_channels=4,
+                           out_channels=8, hidden_size=48, depth=1,
+                           num_heads=4, caption_dim=16, base_size=4,
+                           use_additional_conditions=True)
+        flat = init_random_flat(cfg, seed=0)
+        assert flat["adaln_single.emb.resolution_embedder.linear_1.weight"
+                    ].shape == (16, 256)
+        m = PixArtTransformer.from_state_dict(flat, cfg)
+        lat = jnp.asarray(np.random.default_rng(0).standard_normal(
+            (4, 8, 8)).astype(np.float32))
+        cap = jnp.zeros((5, 16), jnp.float32)
+        out = m(lat, 400.0, cap)
+        assert out.shape == (8, 8, 8)
+        assert np.isfinite(np.asarray(out)).all()
+        # conditioning actually reaches the output
+        flat2 = dict(flat)
+        flat2["adaln_single.emb.aspect_ratio_embedder.linear_2.bias"] = (
+            np.ones(16, np.float32))
+        m2 = PixArtTransformer.from_state_dict(flat2, cfg)
+        assert not np.allclose(np.asarray(out), np.asarray(m2(lat, 400.0, cap)))
