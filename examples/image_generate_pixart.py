@@ -72,10 +72,8 @@ def main() -> None:
             print(f"random-weight demo: latent {np.asarray(out).shape}")
             return
         pipe = SD3Pipeline.from_pretrained(args.model)
-        # encode via CLIP/T5 when present (pre-computed embeds also accepted)
-        raise SystemExit("SD3 prompt encoding requires the text encoders in "
-                         "the snapshot; pass pre-computed embeds via the "
-                         "Python API (SD3Pipeline.generate)")
+        out = pipe.generate(prompt=args.prompt, num_steps=args.steps,
+                            guidance_scale=args.guidance, seed=args.seed)
 
     img = np.asarray(out)
     if img.ndim == 4:

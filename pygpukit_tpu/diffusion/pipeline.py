@@ -323,7 +323,8 @@ class SD3Pipeline:
     @classmethod
     def from_pretrained(cls, model_dir, config=None) -> "SD3Pipeline":
         """diffusers SD3 snapshot layout: transformer/, vae/,
-        text_encoder{,_2}/ (CLIP-L/G), text_encoder_3/ (T5)."""
+        text_encoder{,_2}/ (CLIP-L/G), text_encoder_3/ (T5),
+        tokenizer{,_2,_3}/."""
         from pathlib import Path
         from .models.sd3 import SD3Transformer
         from .text_encoders.clip import CLIPTextEncoder
@@ -337,13 +338,61 @@ class SD3Pipeline:
                  if (d / n).exists()]
         t5 = (T5Encoder.from_safetensors(d / "text_encoder_3")
               if (d / "text_encoder_3").exists() else None)
-        return cls(transformer, vae, t5, clips)
+        pipe = cls(transformer, vae, t5, clips)
+        try:
+            from transformers import AutoTokenizer
+            pipe.clip_tokenizers = [
+                AutoTokenizer.from_pretrained(str(d / n))
+                for n in ("tokenizer", "tokenizer_2") if (d / n).exists()]
+            if (d / "tokenizer_3").exists():
+                pipe.t5_tokenizer = AutoTokenizer.from_pretrained(
+                    str(d / "tokenizer_3"))
+        except Exception:
+            pass
+        return pipe
 
-    def generate(self, caption_embeds, pooled_embeds, num_steps: int = 28,
-                 guidance_scale: float = 7.0, seed: int = 0,
-                 negative_embeds=None, negative_pooled=None):
-        """Pre-computed context [Tc, ctx_dim] + pooled [pooled_dim] ->
-        latent [C, H, W] (decoded via .vae when present)."""
+    clip_tokenizers: list = []
+    t5_tokenizer = None
+
+    def encode_prompt(self, prompt: str, max_t5_len: int = 256):
+        """-> (context [77+T, ctx_dim], pooled [pooled_dim]): CLIP-L/G
+        hiddens concatenated on features and zero-padded to the T5 width,
+        stacked with the T5 sequence (the diffusers SD3 recipe)."""
+        cfg = self.transformer.config
+        if not self.clips or not self.clip_tokenizers:
+            raise RuntimeError("text encoders/tokenizers not loaded; pass "
+                               "caption_embeds/pooled_embeds instead")
+        hiddens, pooleds = [], []
+        for clip, tok in zip(self.clips, self.clip_tokenizers):
+            ids = tok(prompt, padding="max_length", max_length=77,
+                      truncation=True)["input_ids"]
+            h, pooled = clip(ids)
+            hiddens.append(h)
+            pooleds.append(pooled)
+        clip_cat = jnp.concatenate(hiddens, axis=-1)
+        clip_cat = jnp.pad(
+            clip_cat, ((0, 0), (0, cfg.context_dim - clip_cat.shape[-1])))
+        parts = [clip_cat]
+        if self.t5 is not None and self.t5_tokenizer is not None:
+            t5_ids = self.t5_tokenizer(prompt, max_length=max_t5_len,
+                                       truncation=True)["input_ids"]
+            parts.append(self.t5(jnp.asarray(t5_ids, jnp.int32)))
+        context = jnp.concatenate(parts, axis=0)
+        pooled = jnp.concatenate([jnp.ravel(p) for p in pooleds])
+        return context, pooled
+
+    def generate(self, caption_embeds=None, pooled_embeds=None,
+                 num_steps: int = 28, guidance_scale: float = 7.0,
+                 seed: int = 0, negative_embeds=None, negative_pooled=None,
+                 prompt: str | None = None, negative_prompt: str = ""):
+        """Prompt (via loaded encoders) or pre-computed context
+        [Tc, ctx_dim] + pooled [pooled_dim] -> latent [C, H, W] (decoded via
+        .vae when present)."""
+        if caption_embeds is None:
+            caption_embeds, pooled_embeds = self.encode_prompt(prompt or "")
+            if guidance_scale != 1.0 and negative_embeds is None:
+                negative_embeds, negative_pooled = self.encode_prompt(
+                    negative_prompt)
         cfg = self.transformer.config
         c, pc = caption_embeds, pooled_embeds
         uc = (negative_embeds if negative_embeds is not None

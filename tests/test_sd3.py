@@ -177,3 +177,33 @@ class TestQKNormStreams:
         changed = np.asarray(SD3Transformer.from_state_dict(flat2, cfg)(
             lat, 100.0, ctxe, pooled))
         assert not np.allclose(base, changed)
+
+
+class TestPromptEncoding:
+    def test_encode_prompt_shapes(self):
+        """CLIP-L/G + T5 prompt encoding per the diffusers SD3 recipe (stub
+        tokenizers; real CLIP/T5 encoders at tiny configs)."""
+        from pygpukit_tpu.diffusion import SD3Pipeline
+        cfg = SD3Config(sample_size=8, patch_size=2, in_channels=4,
+                        out_channels=4, hidden_size=32, depth=1, num_heads=4,
+                        context_dim=64, pooled_dim=48, pos_embed_max_size=8)
+        m = SD3Transformer.init_random(cfg, seed=0)
+        rng = np.random.default_rng(0)
+
+        def stub_clip(dim):
+            def enc(ids):
+                h = jnp.asarray(rng.standard_normal(
+                    (len(ids), dim)).astype(np.float32))
+                return h, h[-1]
+            return enc
+
+        pipe = SD3Pipeline(m, clip_encoders=[stub_clip(16), stub_clip(32)])
+        pipe.clip_tokenizers = [
+            lambda p, **kw: {"input_ids": [1, 2, 3] + [0] * 74},
+            lambda p, **kw: {"input_ids": [1, 2, 3] + [0] * 74},
+        ]
+        ctxe, pooled = pipe.encode_prompt("hello")
+        assert ctxe.shape == (77, 64)       # 16+32 padded to context_dim
+        assert pooled.shape == (48,)        # 16+32 pooled
+        lat = pipe.generate(prompt="hello", num_steps=2, guidance_scale=1.0)
+        assert np.asarray(lat).shape == (4, 8, 8)
