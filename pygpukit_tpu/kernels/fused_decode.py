@@ -145,8 +145,18 @@ def _make_kernel(dims, plans, eps: float, debug: str = ""):
                wq, wk, wv, wo, wg, wu, wd, kc, vc,
                h_out, k_new, v_new,
                x_s, qv, attnv, g_s, u_s, act_s, kn_s, qg_s,
-               bufA, bufB, kbuf, vbuf,
-               semA, semB, semK, semV):
+               *bufs_and_sems):
+        # per-slot SEPARATE VMEM refs: a single [R, H, C] buffer serializes
+        # DMA writes to one slot against MXU reads of another (Mosaic hazard
+        # tracking is per-buffer — ablation showed compute and DMA fully
+        # serialized: no_attn 5.57 ms == compute 2.92 + stream 2.4)
+        bufA = bufs_and_sems[:RING_A]
+        bufB = bufs_and_sems[RING_A:RING_A + 2]
+        kbuf, vbuf = bufs_and_sems[RING_A + 2:RING_A + 4]
+        semA = bufs_and_sems[RING_A + 4]
+        semB = bufs_and_sems[RING_A + 5]
+        semK = bufs_and_sems[RING_A + 6]
+        semV = bufs_and_sems[RING_A + 7]
 
         a_refs = {"q": wq, "o": wo, "g": wg, "u": wu}
 
@@ -159,9 +169,9 @@ def _make_kernel(dims, plans, eps: float, debug: str = ""):
             if kind in ("k", "v"):
                 ref = wk if kind == "k" else wv
                 return pltpu.make_async_copy(
-                    ref.at[layer], bufA.at[slot, :, 0:KVD], semA.at[slot])
+                    ref.at[layer], bufA[slot].at[:, 0:KVD], semA.at[slot])
             return pltpu.make_async_copy(
-                a_refs[kind].at[layer, tile], bufA.at[slot, :, 0:ncols],
+                a_refs[kind].at[layer, tile], bufA[slot].at[:, 0:ncols],
                 semA.at[slot])
 
         def a_start(layer, pos):
@@ -185,7 +195,7 @@ def _make_kernel(dims, plans, eps: float, debug: str = ""):
             if NO_DMA:
                 return None
             return pltpu.make_async_copy(
-                wd.at[layer, tile], bufB.at[slot], semB.at[slot])
+                wd.at[layer, tile], bufB[slot], semB.at[slot])
 
         def dma_k(layer):
             return None if NO_DMA else pltpu.make_async_copy(
@@ -203,10 +213,10 @@ def _make_kernel(dims, plans, eps: float, debug: str = ""):
 
         def matvec_into(dst, lo, hi, x_vec, slot, ncols):
             if DMA_ONLY:
-                dst[0:1, lo:hi] = bufA[slot, 0:1, 0:ncols]
+                dst[0:1, lo:hi] = bufA[slot][0:1, 0:ncols]
             else:
                 dst[0:1, lo:hi] = jnp.dot(
-                    x_vec, bufA[slot, :, 0:ncols],
+                    x_vec, bufA[slot][:, 0:ncols],
                     preferred_element_type=_F32).astype(_BF16)
 
         # ---------------- prologue -----------------------------------------
@@ -308,19 +318,19 @@ def _make_kernel(dims, plans, eps: float, debug: str = ""):
                 if kind == "q":
                     matvec_into(qv, tile * CQ, (tile + 1) * CQ, x1, slot, CQ)
                 elif kind == "k":
-                    kproj = jnp.dot(x1, bufA[slot, :, 0:KVD],
+                    kproj = jnp.dot(x1, bufA[slot][:, 0:KVD],
                                     preferred_element_type=_F32).astype(_BF16)
                 elif kind == "v":
-                    vproj = jnp.dot(x1, bufA[slot, :, 0:KVD],
+                    vproj = jnp.dot(x1, bufA[slot][:, 0:KVD],
                                     preferred_element_type=_F32).astype(_BF16)
                     attention(kproj, vproj)
                     av = attnv[:]
                 elif kind == "o":
                     if DMA_ONLY:
                         x_s[0:1, tile * CO:(tile + 1) * CO] = (
-                            bufA[slot, 0:1, 0:CO])
+                            bufA[slot][0:1, 0:CO])
                     else:
-                        delta = jnp.dot(av, bufA[slot, :, 0:CO],
+                        delta = jnp.dot(av, bufA[slot][:, 0:CO],
                                         preferred_element_type=_F32
                                         ).astype(_BF16)
                         x_s[0:1, tile * CO:(tile + 1) * CO] = (
@@ -346,9 +356,9 @@ def _make_kernel(dims, plans, eps: float, debug: str = ""):
                 if not NO_DMA:
                     dma_b(l, t, t % 2).wait()
                 if DMA_ONLY:
-                    x_s[0:1, t * CD:(t + 1) * CD] = bufB[t % 2, 0:1, :]
+                    x_s[0:1, t * CD:(t + 1) * CD] = bufB[t % 2][0:1, :]
                 else:
-                    delta = jnp.dot(actv, bufB[t % 2],
+                    delta = jnp.dot(actv, bufB[t % 2][:],
                                     preferred_element_type=_F32).astype(_BF16)
                     x_s[0:1, t * CD:(t + 1) * CD] = (
                         x_s[0:1, t * CD:(t + 1) * CD] + delta)
@@ -414,8 +424,9 @@ def fused_decode_step(h0, cos_p, sin_p, pos, wq, wk, wv, wo, wg, wu, wd,
             pltpu.VMEM((1, I), _BF16),            # act_s
             pltpu.VMEM((1, KVD), _F32),           # kn_s (staging row)
             pltpu.VMEM((n_heads // n_kv_heads, head_dim), _BF16),  # qg_s
-            pltpu.VMEM((ring, H, ca), _BF16),     # bufA (RING_A slots)
-            pltpu.VMEM((2, I, cd), _BF16),        # bufB
+            *[pltpu.VMEM((H, ca), _BF16) for _ in range(ring)],  # bufA slots
+            pltpu.VMEM((I, cd), _BF16),           # bufB slot 0
+            pltpu.VMEM((I, cd), _BF16),           # bufB slot 1
             pltpu.VMEM((MAX, KVD), _BF16),        # kbuf
             pltpu.VMEM((MAX, KVD), _BF16),        # vbuf
             pltpu.SemaphoreType.DMA((ring,)),     # semA (one per slot)
