@@ -317,6 +317,8 @@ class SD3Pipeline:
         self.vae = vae
         self.t5 = t5_encoder
         self.clips = clip_encoders or []
+        self.clip_tokenizers: list = []
+        self.t5_tokenizer = None
         self.scheduler = scheduler or FlowMatchingScheduler(
             shift=3.0, use_dynamic_shifting=False)
 
@@ -347,12 +349,12 @@ class SD3Pipeline:
             if (d / "tokenizer_3").exists():
                 pipe.t5_tokenizer = AutoTokenizer.from_pretrained(
                     str(d / "tokenizer_3"))
-        except Exception:
-            pass
+        except Exception as e:  # noqa: BLE001
+            import warnings
+            warnings.warn(f"SD3 tokenizers not loaded ({e!r}); "
+                          "generate(prompt=...) needs pre-computed embeds",
+                          stacklevel=2)
         return pipe
-
-    clip_tokenizers: list = []
-    t5_tokenizer = None
 
     def encode_prompt(self, prompt: str, max_t5_len: int = 256):
         """-> (context [77+T, ctx_dim], pooled [pooled_dim]): CLIP-L/G
@@ -366,7 +368,12 @@ class SD3Pipeline:
         for clip, tok in zip(self.clips, self.clip_tokenizers):
             ids = tok(prompt, padding="max_length", max_length=77,
                       truncation=True)["input_ids"]
-            h, pooled = clip(ids)
+            # diffusers SD3: penultimate hidden states condition the MMDiT;
+            # pooled = projected final-layer EOS hidden
+            try:
+                h, pooled = clip(ids, penultimate=True)
+            except TypeError:      # duck-typed test encoders
+                h, pooled = clip(ids)
             hiddens.append(h)
             pooleds.append(pooled)
         clip_cat = jnp.concatenate(hiddens, axis=-1)
@@ -374,8 +381,11 @@ class SD3Pipeline:
             clip_cat, ((0, 0), (0, cfg.context_dim - clip_cat.shape[-1])))
         parts = [clip_cat]
         if self.t5 is not None and self.t5_tokenizer is not None:
-            t5_ids = self.t5_tokenizer(prompt, max_length=max_t5_len,
-                                       truncation=True)["input_ids"]
+            # pad to max_t5_len: ONE compiled shape per pipeline instead of
+            # one per prompt length (compiles are minutes over the tunnel)
+            t5_ids = self.t5_tokenizer(
+                prompt, max_length=max_t5_len, truncation=True,
+                padding="max_length")["input_ids"]
             parts.append(self.t5(jnp.asarray(t5_ids, jnp.int32)))
         context = jnp.concatenate(parts, axis=0)
         pooled = jnp.concatenate([jnp.ravel(p) for p in pooleds])

@@ -55,8 +55,14 @@ def _act(name: str, x):
     return jax.nn.gelu(x)
 
 
-def clip_text_fn(cfg: CLIPTextConfig, p, ids):
-    """ids [S] -> (last_hidden [S,E], pooled [E])."""
+def clip_text_fn(cfg: CLIPTextConfig, p, ids, penultimate: bool = False):
+    """ids [S] -> (hidden [S,E], pooled [E]).
+
+    ``penultimate=True`` returns the SECOND-TO-LAST layer's hidden states
+    (pre-final-layernorm) — the SD3/SDXL conditioning convention
+    (diffusers: hidden_states[-2]); pooled is always the final-layer EOS
+    hidden, passed through ``text_projection`` when the checkpoint has one
+    (CLIPTextModelWithProjection)."""
     s = ids.shape[0]
     x = jnp.take(p["tok_embed"], ids, axis=0) + p["pos_embed"][:s]
     i = jnp.arange(s)[:, None]
@@ -83,22 +89,38 @@ def clip_text_fn(cfg: CLIPTextConfig, p, ids):
         x = x + jnp.dot(h, lp["fc2.w"]) + lp["fc2.b"]
         return x, None
 
-    x, _ = lax.scan(block, x, p["layers"])
+    if penultimate:
+        # run N-1 layers scanned, keep that hidden, run the final layer
+        import jax as _jax
+        head = _jax.tree.map(lambda a: a[:-1], p["layers"])
+        tail = _jax.tree.map(lambda a: a[-1], p["layers"])
+        x, _ = lax.scan(block, x, head)
+        hidden_out = x
+        x, _ = block(x, tail)
+    else:
+        x, _ = lax.scan(block, x, p["layers"])
+        hidden_out = None
     x = layernorm_fn(x, p["final_ln.w"], p["final_ln.b"])
     # pooled = hidden at the EOS token (highest-id token per CLIP convention)
     eos_pos = jnp.argmax(jnp.where(ids == cfg.eos_token_id,
                                    jnp.arange(s), -1))
-    return x, x[eos_pos]
+    pooled = x[eos_pos]
+    if "text_projection.w" in p:
+        pooled = jnp.dot(pooled, p["text_projection.w"])
+    return (hidden_out if penultimate else x), pooled
 
 
 class CLIPTextEncoder:
     def __init__(self, config: CLIPTextConfig, params: dict):
         self.config = config
         self.params = params
-        self._fn = jax.jit(functools.partial(clip_text_fn, config))
+        self._fn = jax.jit(functools.partial(clip_text_fn, config),
+                           static_argnames=("penultimate",))
 
-    def __call__(self, ids) -> tuple[jnp.ndarray, jnp.ndarray]:
-        return self._fn(self.params, jnp.asarray(np.asarray(ids, np.int32)))
+    def __call__(self, ids,
+                 penultimate: bool = False) -> tuple[jnp.ndarray, jnp.ndarray]:
+        return self._fn(self.params, jnp.asarray(np.asarray(ids, np.int32)),
+                        penultimate=penultimate)
 
     @classmethod
     def from_safetensors(cls, path) -> "CLIPTextEncoder":
@@ -126,6 +148,10 @@ class CLIPTextEncoder:
             "final_ln.w": t("final_layer_norm.weight"),
             "final_ln.b": t("final_layer_norm.bias"),
         }
+        # CLIPTextModelWithProjection (SD3/SDXL text_encoder snapshots)
+        if "text_projection.weight" in st.keys():
+            p["text_projection.w"] = jnp.asarray(
+                np.asarray(st.tensor_numpy("text_projection.weight")).T, _F32)
         layers = []
         for i in range(cfg.num_layers):
             b = f"encoder.layers.{i}"

@@ -147,6 +147,7 @@ def jit(fn: Callable | None = None, *, static_argnums: tuple = (),
 
 
 _warmup_state = {"threads": [], "error": None}
+_warmup_lock = threading.Lock()
 
 
 def warmup(kernel: JITKernel, *example_args) -> threading.Thread:
@@ -155,23 +156,37 @@ def warmup(kernel: JITKernel, *example_args) -> threading.Thread:
         try:
             kernel.compile(*example_args)
         except Exception as e:  # noqa: BLE001 - surfaced via get_warmup_error
-            _warmup_state["error"] = e
+            with _warmup_lock:
+                if _warmup_state["error"] is None:   # keep the FIRST error
+                    _warmup_state["error"] = e
 
     t = threading.Thread(target=run, daemon=True)
-    _warmup_state["threads"].append(t)
+    with _warmup_lock:
+        # prune finished threads so long-lived processes don't accumulate
+        _warmup_state["threads"] = [
+            x for x in _warmup_state["threads"] if x.is_alive()]
+        _warmup_state["threads"].append(t)
     t.start()
     return t
 
 
 def is_warmup_done() -> bool:
-    """True when every background warmup launched so far has finished
+    """True when every background warmup still tracked has finished
     (reference: is_warmup_done, compiler.py)."""
-    return all(not t.is_alive() for t in _warmup_state["threads"])
+    with _warmup_lock:
+        return all(not t.is_alive() for t in _warmup_state["threads"])
 
 
 def get_warmup_error() -> Exception | None:
-    """The first error raised by a background warmup, if any."""
-    return _warmup_state["error"]
+    """The FIRST error raised by a background warmup, if any."""
+    with _warmup_lock:
+        return _warmup_state["error"]
+
+
+def reset_warmup_state() -> None:
+    with _warmup_lock:
+        _warmup_state["threads"] = []
+        _warmup_state["error"] = None
 
 
 def check_platform_compatibility() -> dict:

@@ -186,13 +186,23 @@ class MoELayer:
         self.w_gate, self.w_up, self.w_down = w_gate, w_up, w_down
         self.top_k = top_k
 
+    _jit_cache: dict = {}
+
     def __call__(self, x):
         from ..ops.moe import select_moe_fn
         x = jnp.asarray(x)
         logits = self.router(x).astype(_F32)
         fn = select_moe_fn(x.shape[0], self.top_k)
-        return fn(x, self.w_gate, self.w_up, self.w_down, logits,
-                  self.top_k).astype(x.dtype)
+        # jit: the gather/gmm formulations use advanced indexing, which
+        # HANGS when eager over remote TPU transports (CLAUDE.md)
+        key = (fn.__name__, self.top_k)
+        if key not in MoELayer._jit_cache:
+            import functools
+            MoELayer._jit_cache[key] = jax.jit(
+                functools.partial(fn, k=self.top_k))
+        out = MoELayer._jit_cache[key](x, self.w_gate, self.w_up,
+                                       self.w_down, logits)
+        return out.astype(x.dtype)
 
 
 class TransformerBlock:

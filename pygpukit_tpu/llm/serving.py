@@ -178,7 +178,10 @@ class ContinuousBatchingEngine:
                     "path is profiled; use pipelined=False with paged=True")
             self.block_size = block_size
             self.max_blocks = -(-max_seq_len // block_size)
-            nb = num_blocks or (max_batch * self.max_blocks // 2 + 2)
+            # default pool covers the worst case (admission reserves each
+            # request's full need up front); size num_blocks to the expected
+            # ACTUAL usage to realise the paged-HBM savings
+            nb = num_blocks or (max_batch * self.max_blocks + 2)
             pool_shape = (cfg.num_layers, nb, cfg.num_kv_heads, block_size,
                           cfg.head_dim)
             self.k_cache = jnp.zeros(pool_shape, model.dtype)
@@ -217,6 +220,13 @@ class ContinuousBatchingEngine:
                 f"({self.max_seq_len})")
         req = Request(self._next_id, list(prompt), max_new_tokens,
                       eos_token_id, on_token=on_token)
+        if self.paged:
+            need = self._paged_need(req)
+            if need > self._alloc.num_blocks - 1:
+                raise MemoryError(
+                    f"request needs {need} KV blocks; pool has "
+                    f"{self._alloc.num_blocks - 1} usable — raise num_blocks"
+                    f" or lower max_new_tokens")
         self._next_id += 1
         self._queue.append(req)
         self.stats.requests_submitted += 1
@@ -384,15 +394,10 @@ class ContinuousBatchingEngine:
 
     def _can_admit_paged(self, req: Request) -> bool:
         """Reserve the FULL worst case at admission: mid-flight growth then
-        never exhausts the pool (the alternative — grow-on-demand — dies
-        with a MemoryError in the middle of a serve chunk). A request that
-        cannot EVER fit raises instead of queueing forever."""
-        need = self._paged_need(req)
-        if need > self._alloc.num_blocks - 1:
-            raise MemoryError(
-                f"request {req.request_id} needs {need} KV blocks; pool has "
-                f"{self._alloc.num_blocks - 1} usable")
-        return need <= self._alloc.free_blocks
+        never exhausts the pool (grow-on-demand dies with a MemoryError in
+        the middle of a serve chunk). Never-fitting requests are rejected
+        at submit()."""
+        return self._paged_need(req) <= self._alloc.free_blocks
 
     def _ensure_blocks(self, req: Request, slot: int, n_tokens: int) -> None:
         n_tokens = min(n_tokens, self.max_seq_len)   # table capacity
@@ -467,7 +472,14 @@ class ContinuousBatchingEngine:
             return 0
         n = max(self.steps_per_dispatch, 1)
         for i in active:
-            self._ensure_blocks(self._slots[i], i, int(self._poss[i]) + n + 1)
+            req = self._slots[i]
+            # never demand past the request's admission-time reservation
+            # (a near-finished slot at poss+n+1 > worst case would otherwise
+            # exhaust a tightly-packed pool mid-serve; overflow positions
+            # land in the trash block anyway)
+            self._ensure_blocks(req, i, min(
+                int(self._poss[i]) + n + 1,
+                len(req.prompt) + req.max_new_tokens + 1))
         self._sync_tables()
         exe = self._ensure_paged_chunk_exe()
         (self.k_cache, self.v_cache, last_d, _poss_d, toks_b) = exe.replay(

@@ -91,20 +91,22 @@ def copy_to(src, dst):
     return cast(src, dst.dtype, out=dst)
 
 
+import functools as _functools
+import jax as _jax
+
+
+@_functools.partial(_jax.jit, static_argnames=("r",))
+def _repeat_axis1(x, r):
+    return _jnp.repeat(x, r, axis=1)
+
+
 def repeat_interleave_axis1(a, repeats: int, *, out=None):
     """GQA head expansion [.., Hk, ..] -> [.., Hk*r, ..]
-    (reference: repeat_interleave_axis1). Jitted: eager gather-class ops
-    hang on remote TPU transports (CLAUDE.md)."""
-    import functools
-    import jax as _jax
-    import jax.numpy as _jnp
+    (reference: repeat_interleave_axis1). Module-scope jit: eager
+    gather-class ops hang on remote TPU transports (CLAUDE.md), and a
+    per-call jit wrapper would re-trace every invocation."""
     from ..core.array import Array as _A, as_jax as _as_jax
-
-    @functools.partial(_jax.jit, static_argnames=("r",))
-    def _rep(x, r):
-        return _jnp.repeat(x, r, axis=1)
-
-    y = _rep(_as_jax(a), repeats)
+    y = _repeat_axis1(_as_jax(a), repeats)
     return _A(y) if isinstance(a, _A) else y
 
 

@@ -43,7 +43,7 @@ class VAD:
     def __init__(self, sample_rate: int = 16000, frame_ms: float = 20.0,
                  hop_ms: float = 10.0, energy_threshold: float | None = None,
                  hangover_ms: float = 100.0, zcr_low: float = 0.02,
-                 zcr_high: float = 0.25):
+                 zcr_high: float = 0.25, min_energy_floor: float = 0.01):
         self.sample_rate = sample_rate
         self.frame_size = int(frame_ms * sample_rate / 1000)
         self.hop_size = int(hop_ms * sample_rate / 1000)
@@ -51,6 +51,10 @@ class VAD:
         self.hangover_frames = int(hangover_ms / hop_ms)
         self.zcr_low = zcr_low
         self.zcr_high = zcr_high
+        #: absolute floor under the adaptive threshold (reference default
+        #: 0.01 mean-square — LOWER this for quiet recordings: ~-30 dBFS
+        #: speech sits near 1e-3 and an 0.01 floor silences it entirely)
+        self.min_energy_floor = min_energy_floor
         self.adaptive_multiplier = 3.0
 
     def detect(self, audio) -> list[SpeechSegment]:
@@ -61,7 +65,8 @@ class VAD:
         if self.energy_threshold is not None:
             thr = self.energy_threshold
         else:
-            thr = max(float(energy_np.min()) * self.adaptive_multiplier, 0.01)
+            thr = max(float(energy_np.min()) * self.adaptive_multiplier,
+                      self.min_energy_floor)
         zcr_np = np.asarray(zcr)
         active = (energy_np > thr) & (zcr_np >= self.zcr_low) & \
                  (zcr_np <= self.zcr_high)

@@ -301,15 +301,24 @@ class TestPagedServing:
             assert b.generated == a.generated
 
     def test_hbm_footprint_smaller(self, model):
+        """The paged win: size num_blocks to EXPECTED usage (the default now
+        covers the worst case since admission reserves fully up front)."""
         dense = ContinuousBatchingEngine(model, max_batch=3, max_seq_len=64)
-        paged = self._engine(model)
+        paged = self._engine(model, num_blocks=10)
         assert paged.k_cache.size < dense.k_cache.size / 1.5
+        # ... and the sized-down pool still serves correctly
+        r = paged.submit([5, 6, 7], max_new_tokens=6)
+        paged.run_until_complete()
+        assert r.done and len(r.generated) == 6
 
-    def test_pool_exhaustion_raises(self, model):
+    def test_impossible_request_rejected_at_submit(self, model):
         eng = self._engine(model, num_blocks=3)   # 2 usable blocks = 16 toks
-        eng.submit(list(range(1, 14)), max_new_tokens=20)
         with pytest.raises(MemoryError):
-            eng.run_until_complete()
+            eng.submit(list(range(1, 14)), max_new_tokens=20)
+        # the engine stays serviceable for requests that fit
+        r = eng.submit([1, 2], max_new_tokens=5)
+        eng.run_until_complete()
+        assert r.done
 
     def test_generation_to_context_limit_no_crash(self, model):
         """Regression: block reservation near max_seq_len must clamp to the
