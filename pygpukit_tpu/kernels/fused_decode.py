@@ -58,10 +58,11 @@ from jax.experimental.pallas import tpu as pltpu
 _F32 = jnp.float32
 _BF16 = jnp.bfloat16
 
-#: target bytes per weight-tile DMA — large enough to amortise per-DMA
-#: issue/wait overhead (ablation-measured), small enough that the ping-pong
-#: pools fit v5e's 128 MB VMEM with room to spare
-TILE_TARGET_BYTES = 12 << 20
+#: target bytes per weight-tile DMA — a Mosaic dot carries a ~13 us fixed
+#: cost and only approaches VMEM-stream-bound (~740 GB/s) near ~23 MB
+#: operands (microbench, docs/performance.md), so tiles are as LARGE as the
+#: ping-pong pools allow within v5e's 128 MB VMEM
+TILE_TARGET_BYTES = 24 << 20
 
 
 def _plan(width: int, k_rows: int,
@@ -78,11 +79,16 @@ def _plan(width: int, k_rows: int,
     return None
 
 
-def plan_tiles(hidden: int, intermediate: int) -> dict | None:
-    """Per-projection (n_tiles, cols) plans; None when not tileable."""
+def plan_tiles(hidden: int, intermediate: int,
+               kv_d: int = 0) -> dict | None:
+    """Per-projection (n_tiles, cols) plans over the CONSOLIDATED weights
+    (q|k|v fused, gate|up fused — every dot pays ~13 us of fixed cost, so
+    the kernel runs as few, as large dots as VMEM allows); None when not
+    tileable."""
     plans = {
-        "q": _plan(hidden, hidden), "o": _plan(hidden, hidden),
-        "g": _plan(intermediate, hidden), "u": _plan(intermediate, hidden),
+        "qkv": _plan(hidden + 2 * kv_d, hidden),
+        "o": _plan(hidden, hidden),
+        "gu": _plan(2 * intermediate, hidden),
         "d": _plan(hidden, intermediate),
     }
     return None if any(v is None for v in plans.values()) else plans
@@ -97,8 +103,9 @@ def supports(*, hidden: int, intermediate: int, n_heads: int, n_kv_heads: int,
     return (norm_type == "rmsnorm" and activation == "silu" and use_rope
             and not has_bias and not use_qk_norm and not is_moe
             and n_heads * head_dim == hidden
-            and plan_tiles(hidden, intermediate) is not None
+            and plan_tiles(hidden, intermediate, kv_d) is not None
             and kv_d % 128 == 0 and kv_d <= hidden
+            and intermediate % 128 == 0
             and head_dim % 2 == 0 and head_dim <= 128
             and max_seq % 128 == 0 and max_seq <= 2048)
 
@@ -110,10 +117,9 @@ def _make_kernel(dims, plans, eps: float, debug: str = ""):
     (L, H, I, HQ, HK, D, MAX) = dims
     KVD = HK * D
     G = HQ // HK
-    NQ, CQ = plans["q"]
+    NQKV, CQKV = plans["qkv"]
     NO, CO = plans["o"]
-    NG, CG = plans["g"]
-    NU, CU = plans["u"]
+    NGU, CGU = plans["gu"]
     ND, CD = plans["d"]
     half = D // 2
     scale = 1.0 / math.sqrt(D)
@@ -121,81 +127,94 @@ def _make_kernel(dims, plans, eps: float, debug: str = ""):
     NO_DMA = debug == "no_dma"
     NO_ATTN = debug in ("no_attn", "no_dma") or DMA_ONLY
 
-    # Flat per-layer A-stream schedule. RING_A slots with LOOKAHEAD starts
-    # ahead; the schedule is padded so len % RING_A == 0 (cross-layer
-    # lookahead positions land on the same static slots the next layer's
-    # own code uses). Measured on the 1B model: 2:1 -> 5.67 ms/tok,
-    # 4:2 -> 8.4 (deeper pipelining REGRESSED — VMEM pressure at 4x12MB
-    # slots; runs carry ~10-30% tunnel variance). Env-sweepable via
-    # PYGPUKIT_FUSED_RING=ring:lookahead for future tuning.
+    # Flat per-layer A-stream schedule over the CONSOLIDATED projections
+    # (microbench: every Mosaic dot costs ~13 us fixed regardless of M and
+    # only ~31-42 us even at 23-46 MB operands — ten dots/layer spent
+    # ~2.9 ms/tok on dot overhead alone, so q|k|v and gate|up are fused
+    # column-wise into single dots; 5 dots/layer on the 1B model).
+    # RING_A slots with LOOKAHEAD starts ahead; the schedule is padded so
+    # len % RING_A == 0 (cross-layer lookahead positions land on the same
+    # static slots the next layer's own code uses). Env-sweepable via
+    # PYGPUKIT_FUSED_RING=ring:lookahead.
     import os as _os
     _ring = _os.environ.get("PYGPUKIT_FUSED_RING", "2:1").split(":")
     RING_A = int(_ring[0])
     LOOKAHEAD = int(_ring[1]) if len(_ring) > 1 else 1
-    A_SCHED = ([("q", t, CQ) for t in range(NQ)]
-               + [("k", 0, KVD), ("v", 0, KVD)]
+    # each tile is issued as SPLIT parallel row-range DMAs on separate
+    # semaphores — a single async copy is capped by one DMA engine
+    # (dma_only ablation streamed at ~290 GB/s vs ~800 peak)
+    SPLIT = int(_os.environ.get("PYGPUKIT_FUSED_DMA_SPLIT", "2"))
+    while H % (SPLIT * 8) or I % (SPLIT * 8):   # keep row chunks sublane-whole
+        SPLIT -= 1
+    A_SCHED = ([("qkv", t, CQKV) for t in range(NQKV)]
                + [("o", t, CO) for t in range(NO)]
-               + [("g", t, CG) for t in range(NG)]
-               + [("u", t, CU) for t in range(NU)])
+               + [("gu", t, CGU) for t in range(NGU)])
     while len(A_SCHED) % RING_A:
         A_SCHED.append(("nop", 0, 0))
     NA = len(A_SCHED)
 
     def kernel(pos_ref, h0, cosr, sinr, attn_nw, mlp_nw, final_nw,
-               wq, wk, wv, wo, wg, wu, wd, kc, vc,
+               wqkv, wo, wgu, wd, kc, vc,
                h_out, k_new, v_new,
-               x_s, qv, attnv, g_s, u_s, act_s, kn_s, qg_s,
+               x_s, qkv_s, attnv, gu_s, act_s, kn_s, qg_s,
                *bufs_and_sems):
         # per-slot SEPARATE VMEM refs: a single [R, H, C] buffer serializes
         # DMA writes to one slot against MXU reads of another (Mosaic hazard
         # tracking is per-buffer — ablation showed compute and DMA fully
         # serialized: no_attn 5.57 ms == compute 2.92 + stream 2.4)
+        # ... and SEPARATE per-slot scalar semaphores for the same reason —
+        # a shared (ring,) semaphore ARRAY is one buffer to the hazard
+        # tracker and serializes the slots it guards
         bufA = bufs_and_sems[:RING_A]
         bufB = bufs_and_sems[RING_A:RING_A + 2]
         kbuf, vbuf = bufs_and_sems[RING_A + 2:RING_A + 4]
-        semA = bufs_and_sems[RING_A + 4]
-        semB = bufs_and_sems[RING_A + 5]
-        semK = bufs_and_sems[RING_A + 6]
-        semV = bufs_and_sems[RING_A + 7]
+        na = RING_A + 4
+        semA = bufs_and_sems[na:na + RING_A * SPLIT]
+        semB = bufs_and_sems[na + RING_A * SPLIT:
+                             na + (RING_A + 2) * SPLIT]
+        semK = bufs_and_sems[na + (RING_A + 2) * SPLIT]
+        semV = bufs_and_sems[na + (RING_A + 2) * SPLIT + 1]
 
-        a_refs = {"q": wq, "o": wo, "g": wg, "u": wu}
+        a_refs = {"qkv": wqkv, "o": wo, "gu": wgu}
 
         def a_dma(layer, pos):
-            """The async copy for A-schedule position ``pos`` of ``layer``."""
+            """The SPLIT parallel row-range copies for A-schedule position
+            ``pos`` of ``layer`` (each on its own engine + semaphore)."""
             kind, tile, ncols = A_SCHED[pos]
             slot = pos % RING_A
             if kind == "nop" or NO_DMA:
-                return None
-            if kind in ("k", "v"):
-                ref = wk if kind == "k" else wv
-                return pltpu.make_async_copy(
-                    ref.at[layer], bufA[slot].at[:, 0:KVD], semA.at[slot])
-            return pltpu.make_async_copy(
-                a_refs[kind].at[layer, tile], bufA[slot].at[:, 0:ncols],
-                semA.at[slot])
+                return []
+            rows = H // SPLIT
+            return [pltpu.make_async_copy(
+                a_refs[kind].at[layer, tile,
+                                pl.ds(i * rows, rows)],
+                bufA[slot].at[pl.ds(i * rows, rows), 0:ncols],
+                semA[slot * SPLIT + i]) for i in range(SPLIT)]
 
         def a_start(layer, pos):
             if pos < NA:
-                d = a_dma(layer, pos)
-                if d is not None:
+                for d in a_dma(layer, pos):
                     d.start()
             else:
                 # next layer's head (same static slot: NA % RING_A == 0)
                 if A_SCHED[pos - NA][0] != "nop" and not NO_DMA:
                     @pl.when(layer + 1 < L)
                     def _():
-                        a_dma(layer + 1, pos - NA).start()
+                        for d in a_dma(layer + 1, pos - NA):
+                            d.start()
 
         def a_wait(layer, pos):
-            d = a_dma(layer, pos)
-            if d is not None:
+            for d in a_dma(layer, pos):
                 d.wait()
 
         def dma_b(layer, tile, slot):
             if NO_DMA:
-                return None
-            return pltpu.make_async_copy(
-                wd.at[layer, tile], bufB[slot], semB.at[slot])
+                return []
+            rows = I // SPLIT
+            return [pltpu.make_async_copy(
+                wd.at[layer, tile, pl.ds(i * rows, rows)],
+                bufB[slot].at[pl.ds(i * rows, rows), :],
+                semB[slot * SPLIT + i]) for i in range(SPLIT)]
 
         def dma_k(layer):
             return None if NO_DMA else pltpu.make_async_copy(
@@ -232,7 +251,6 @@ def _make_kernel(dims, plans, eps: float, debug: str = ""):
             # every layer (NA % RING_A == 0).
             x1 = rms(x_s[:], attn_nw[pl.ds(l, 1), :])
             x2 = None
-            kproj = vproj = None
 
             pos_t = pos_ref[0]
             c = cosr[0:1, 0:half].astype(_F32)
@@ -264,16 +282,14 @@ def _make_kernel(dims, plans, eps: float, debug: str = ""):
                     dma_v(l).wait()
 
                 if NO_ATTN:
-                    for t_ in range(NQ):
-                        attnv[0:1, t_ * CQ:(t_ + 1) * CQ] = (
-                            qv[0:1, t_ * CQ:(t_ + 1) * CQ])
+                    attnv[0:1, :] = qkv_s[0:1, 0:H]
                 # Batched per kv-head GROUP: G roped query heads staged into
                 # a [G, D] scratch (static row stores); each group is two
                 # MXU dots + one masked softmax (the per-head formulation
                 # spent the budget on sub-128-lane Mosaic relayouts).
                 for hk_i in range(0 if NO_ATTN else HK):
                     for g_i in range(G):
-                        r0, r1 = rope_pair(qv, (hk_i * G + g_i) * D)
+                        r0, r1 = rope_pair(qkv_s, (hk_i * G + g_i) * D)
                         qg_s[g_i:g_i + 1, :] = jnp.concatenate(
                             [r0, r1], axis=1)
                     kh = kbuf[:, hk_i * D:(hk_i + 1) * D]        # [MAX,D]
@@ -315,16 +331,15 @@ def _make_kernel(dims, plans, eps: float, debug: str = ""):
                 if kind == "nop":
                     continue
                 a_wait(l, pos)
-                if kind == "q":
-                    matvec_into(qv, tile * CQ, (tile + 1) * CQ, x1, slot, CQ)
-                elif kind == "k":
-                    kproj = jnp.dot(x1, bufA[slot][:, 0:KVD],
-                                    preferred_element_type=_F32).astype(_BF16)
-                elif kind == "v":
-                    vproj = jnp.dot(x1, bufA[slot][:, 0:KVD],
-                                    preferred_element_type=_F32).astype(_BF16)
-                    attention(kproj, vproj)
-                    av = attnv[:]
+                if kind == "qkv":
+                    # one dot produces q|k|v columns into qkv_s [1, H+2KvD]
+                    matvec_into(qkv_s, tile * CQKV, (tile + 1) * CQKV,
+                                x1, slot, CQKV)
+                    if tile == NQKV - 1:
+                        kproj = qkv_s[0:1, H:H + KVD]
+                        vproj = qkv_s[0:1, H + KVD:H + 2 * KVD]
+                        attention(kproj, vproj)
+                        av = attnv[:]
                 elif kind == "o":
                     if DMA_ONLY:
                         x_s[0:1, tile * CO:(tile + 1) * CO] = (
@@ -335,26 +350,31 @@ def _make_kernel(dims, plans, eps: float, debug: str = ""):
                                         ).astype(_BF16)
                         x_s[0:1, tile * CO:(tile + 1) * CO] = (
                             x_s[0:1, tile * CO:(tile + 1) * CO] + delta)
-                elif kind == "g":
+                elif kind == "gu":
+                    # one dot produces gate|up columns into gu_s [1, 2I]
+                    # (tiles may straddle the gate/up boundary; the
+                    # activation below reads the halves regardless)
                     if x2 is None:
                         x2 = rms(x_s[:], mlp_nw[pl.ds(l, 1), :])
-                    matvec_into(g_s, tile * CG, (tile + 1) * CG, x2, slot, CG)
+                    matvec_into(gu_s, tile * CGU, (tile + 1) * CGU,
+                                x2, slot, CGU)
                     if tile == 0 and not NO_DMA:
-                        dma_b(l, 0, 0).start()       # B stream head
-                elif kind == "u":
-                    matvec_into(u_s, tile * CU, (tile + 1) * CU, x2, slot, CU)
+                        for d_ in dma_b(l, 0, 0):    # B stream head
+                            d_.start()
 
-            gf = g_s[:].astype(_F32)
+            gf = gu_s[0:1, 0:I].astype(_F32)
             act_s[:] = ((gf / (1.0 + jnp.exp(-gf)))
-                        * u_s[:].astype(_F32)).astype(_BF16)
+                        * gu_s[0:1, I:2 * I].astype(_F32)).astype(_BF16)
 
             # ---- wd tiles: x += act @ wd (B stream, 2-slot ring) -----------
             actv = act_s[:]
             for t in range(ND):
                 if t + 1 < ND and not NO_DMA:
-                    dma_b(l, t + 1, (t + 1) % 2).start()
+                    for d_ in dma_b(l, t + 1, (t + 1) % 2):
+                        d_.start()
                 if not NO_DMA:
-                    dma_b(l, t, t % 2).wait()
+                    for d_ in dma_b(l, t, t % 2):
+                        d_.wait()
                 if DMA_ONLY:
                     x_s[0:1, t * CD:(t + 1) * CD] = bufB[t % 2][0:1, :]
                 else:
@@ -370,32 +390,36 @@ def _make_kernel(dims, plans, eps: float, debug: str = ""):
     return kernel
 
 
-def fused_decode_step(h0, cos_p, sin_p, pos, wq, wk, wv, wo, wg, wu, wd,
+def fused_decode_step(h0, cos_p, sin_p, pos, wqkv, wo, wgu, wd,
                       attn_norm, mlp_norm, final_norm, k_cache, v_cache,
                       *, n_heads: int, n_kv_heads: int, head_dim: int,
                       eps: float = 1e-5, interpret: bool = False):
     """Run the fused decode step.
 
     h0 [1,H] bf16 (embedded token); cos_p/sin_p [1,D] f32 (RoPE row at pos);
-    pos [1] int32; weights PRE-TILED via ``tile_weight`` — wq/wo/wg/wu/wd
-    [L, NT, K, C] arenas (each tile one contiguous DMA block); wk/wv remain
-    [L, H, KvD]; attn_norm/mlp_norm [L,H] f32; final_norm [1,H] f32; caches
+    pos [1] int32; weights PRE-TILED via ``tile_weight`` over the
+    CONSOLIDATED projections — wqkv (q|k|v fused), wo, wgu (gate|up fused),
+    wd as [L, NT, K, C] arenas (each tile one contiguous DMA block);
+    attn_norm/mlp_norm [L,H] f32; final_norm [1,H] f32; caches
     [L, MAX, Hk*D] bf16 (kv heads flattened). Returns (h_final [1,H] bf16,
     k_new [L,Hk*D] f32, v_new [L,Hk*D] f32) — the caller scatters
     k_new/v_new into the caches at ``pos`` and runs the LM head.
     """
     import os
     ring = int(os.environ.get("PYGPUKIT_FUSED_RING", "2:1").split(":")[0])
-    L = wq.shape[0]
-    H = wq.shape[2]
-    I = wg.shape[1] * wg.shape[3]
+    split = int(os.environ.get("PYGPUKIT_FUSED_DMA_SPLIT", "2"))
+    L = wqkv.shape[0]
+    H = wqkv.shape[2]
+    I = wgu.shape[1] * wgu.shape[3] // 2
+    while H % (split * 8) or I % (split * 8):   # mirror _make_kernel clamp
+        split -= 1
     MAX = k_cache.shape[1]
     KVD = n_kv_heads * head_dim
-    plans = plan_tiles(H, I)
+    plans = plan_tiles(H, I, KVD)
     dims = (L, H, I, n_heads, n_kv_heads, head_dim, MAX)
     kernel = _make_kernel(dims, plans, float(eps),
                           os.environ.get("PYGPUKIT_FUSED_DEBUG", ""))
-    ca = max(plans["q"][1], plans["o"][1], plans["g"][1], plans["u"][1], KVD)
+    ca = max(plans["qkv"][1], plans["o"][1], plans["gu"][1])
     cd = plans["d"][1]
 
     out_shape = (
@@ -412,15 +436,13 @@ def fused_decode_step(h0, cos_p, sin_p, pos, wq, wk, wv, wo, wg, wu, wd,
         num_scalar_prefetch=1,
         grid=(1,),
         in_specs=[vspec, vspec, vspec, vspec, vspec, vspec,
-                  aspec, aspec, aspec, aspec, aspec, aspec, aspec,
-                  aspec, aspec],
+                  aspec, aspec, aspec, aspec, aspec, aspec],
         out_specs=(vspec, vspec, vspec),
         scratch_shapes=[
             pltpu.VMEM((1, H), _BF16),            # x_s
-            pltpu.VMEM((1, H), _BF16),            # qv (HqD == H)
+            pltpu.VMEM((1, H + 2 * KVD), _BF16),  # qkv_s (HqD == H)
             pltpu.VMEM((1, H), _BF16),            # attnv
-            pltpu.VMEM((1, I), _BF16),            # g_s
-            pltpu.VMEM((1, I), _BF16),            # u_s
+            pltpu.VMEM((1, 2 * I), _BF16),        # gu_s
             pltpu.VMEM((1, I), _BF16),            # act_s
             pltpu.VMEM((1, KVD), _F32),           # kn_s (staging row)
             pltpu.VMEM((n_heads // n_kv_heads, head_dim), _BF16),  # qg_s
@@ -429,8 +451,10 @@ def fused_decode_step(h0, cos_p, sin_p, pos, wq, wk, wv, wo, wg, wu, wd,
             pltpu.VMEM((I, cd), _BF16),           # bufB slot 1
             pltpu.VMEM((MAX, KVD), _BF16),        # kbuf
             pltpu.VMEM((MAX, KVD), _BF16),        # vbuf
-            pltpu.SemaphoreType.DMA((ring,)),     # semA (one per slot)
-            pltpu.SemaphoreType.DMA((2,)),        # semB
+            *[pltpu.SemaphoreType.DMA(())        # semA: ring x split
+              for _ in range(ring * split)],
+            *[pltpu.SemaphoreType.DMA(())        # semB: 2 x split
+              for _ in range(2 * split)],
             pltpu.SemaphoreType.DMA(()),          # semK
             pltpu.SemaphoreType.DMA(()),          # semV
         ],
@@ -445,7 +469,7 @@ def fused_decode_step(h0, cos_p, sin_p, pos, wq, wk, wv, wo, wg, wu, wd,
         interpret=interpret,
     )
     return fn(pos, h0, cos_p, sin_p, attn_norm, mlp_norm, final_norm,
-              wq, wk, wv, wo, wg, wu, wd, k_cache, v_cache)
+              wqkv, wo, wgu, wd, k_cache, v_cache)
 
 
 def tile_weight(w, cols: int):

@@ -308,17 +308,23 @@ def fused_decode_eligible(cfg: TransformerConfig, params, max_seq: int) -> bool:
 
 
 def prepare_fused_decode_params(cfg: TransformerConfig, params: dict) -> dict:
-    """Add contiguous tile arenas for the fused decode kernel: w_{q,o,gate,
-    up,down}_t [L, NT, K, TN]. The originals stay (prefill and the XLA
-    fallback consume them) — decode trades ~1x weight HBM for contiguous
-    single-block DMAs (strided column slices stream at ~1/10 bandwidth)."""
+    """Add contiguous tile arenas for the fused decode kernel over the
+    CONSOLIDATED projections: w_qkv_t (q|k|v fused column-wise), w_o_t,
+    w_gu_t (gate|up fused), w_down_t as [L, NT, K, TN]. The originals stay
+    (prefill and the XLA fallback consume them) — decode trades ~1x weight
+    HBM for contiguous single-block DMAs and FEWER, LARGER Mosaic dots
+    (each dot carries ~13 us fixed cost; see kernels/fused_decode.py)."""
     from ..kernels.fused_decode import plan_tiles, tile_weight
-    plans = plan_tiles(cfg.hidden_size, cfg.intermediate_size)
+    kv_d = cfg.num_kv_heads * cfg.head_dim
+    plans = plan_tiles(cfg.hidden_size, cfg.intermediate_size, kv_d)
     layers = dict(params["layers"])
-    layers["w_q_t"] = tile_weight(layers["w_q"], plans["q"][1])
+    layers["w_qkv_t"] = tile_weight(
+        jnp.concatenate([layers["w_q"], layers["w_k"], layers["w_v"]],
+                        axis=-1), plans["qkv"][1])
     layers["w_o_t"] = tile_weight(layers["w_o"], plans["o"][1])
-    layers["w_gate_t"] = tile_weight(layers["w_gate"], plans["g"][1])
-    layers["w_up_t"] = tile_weight(layers["w_up"], plans["u"][1])
+    layers["w_gu_t"] = tile_weight(
+        jnp.concatenate([layers["w_gate"], layers["w_up"]], axis=-1),
+        plans["gu"][1])
     layers["w_down_t"] = tile_weight(layers["w_down"], plans["d"][1])
     out = dict(params)
     out["layers"] = layers
@@ -343,8 +349,7 @@ def fused_decode_step_fn(cfg: TransformerConfig, params, k_cache, v_cache,
     vc = v_cache.reshape(l, max_seq, hk * d)
     h_out, k_new, v_new = fused_decode_step(
         h, cos, sin, jnp.reshape(pos, (1,)).astype(jnp.int32),
-        lp["w_q_t"], lp["w_k"], lp["w_v"], lp["w_o_t"],
-        lp["w_gate_t"], lp["w_up_t"], lp["w_down_t"],
+        lp["w_qkv_t"], lp["w_o_t"], lp["w_gu_t"], lp["w_down_t"],
         lp["attn_norm_w"].astype(_F32), lp["mlp_norm_w"].astype(_F32),
         params["final_norm_w"].astype(_F32).reshape(1, -1),
         kc, vc, n_heads=cfg.num_heads, n_kv_heads=cfg.num_kv_heads,
@@ -665,7 +670,7 @@ class CausalTransformerModel:
         self._window_exes = {}
         self._gen_exes = {}
         if (use_fused_decode(cfg, self.params, max_seq_len)
-                and "w_q_t" not in self.params["layers"]):
+                and "w_qkv_t" not in self.params["layers"]):
             self.params = prepare_fused_decode_params(cfg, self.params)
 
     def _ensure_decode_exe(self) -> Executable:
