@@ -155,10 +155,15 @@ def load_model_from_safetensors(path, dtype=jnp.bfloat16,
                                 spec: ModelSpec | None = None,
                                 config: TransformerConfig | None = None,
                                 max_seq_len: int | None = None,
-                                fuse: bool = False
+                                fuse: bool = True
                                 ) -> CausalTransformerModel:
     """Load any supported checkpoint into a CausalTransformerModel
-    (reference: load_model_from_safetensors, llm/loader.py:132)."""
+    (reference: load_model_from_safetensors, llm/loader.py:132).
+
+    ``fuse`` (default True) packs q/k/v and gate/up into fused leaves —
+    measured 3.7 vs 4.9 ms/tok on 1B decode (docs/performance.md). Pass
+    fuse=False to keep separate leaves (required for the experimental
+    PYGPUKIT_DECODE=fused Pallas kernel, which is slower anyway)."""
     st = load_safetensors(path)
     if spec is None:
         spec = detect_model_spec(st.keys())

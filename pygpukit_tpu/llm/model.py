@@ -39,6 +39,18 @@ from .config import ModelSpec, TransformerConfig
 _F32 = jnp.float32
 
 
+def _pf32(*arrs):
+    """precision=HIGHEST when every operand is genuinely f32 — JAX's DEFAULT
+    matmul precision runs f32 dots through bf16 MXU passes on TPU (measured
+    4.5e-3 logits rel err vs transformers on an f32 load; HIGHEST restores
+    ~1e-5). Gate on the PRE-cast dtypes: bf16 models cast to f32 for softmax
+    stability carry only bf16 information, so DEFAULT is free and exact for
+    them. PYGPUKIT_ALLOW_TF32=1 opts back into fast mode (ops/matmul.py)."""
+    if all(a.dtype == _F32 for a in arrs):
+        from ..ops.matmul import _f32_precision
+        return _f32_precision()
+    return None
+
 
 def _mm(x, w):
     """Matmul against a possibly-quantized weight leaf.
@@ -76,7 +88,8 @@ def _mm(x, w):
         xb = x.astype(jnp.bfloat16)
         acc = jnp.dot(xb, q.astype(jnp.bfloat16), preferred_element_type=_F32)
         return (acc * w["scale"]).astype(x.dtype)
-    return jnp.dot(x, w, preferred_element_type=_F32).astype(x.dtype)
+    return jnp.dot(x, w, preferred_element_type=_F32,
+                   precision=_pf32(x, w)).astype(x.dtype)
 
 
 def _norm(cfg: TransformerConfig, x, w, b):
@@ -124,7 +137,8 @@ def _moe_mlp(cfg: TransformerConfig, lp, y):
     path; PYGPUKIT_MOE=dense forces it).
     """
     from ..ops.moe import select_moe_fn
-    router = jnp.dot(y.astype(_F32), lp["w_router"])           # [T, E]
+    router = jnp.dot(y.astype(_F32), lp["w_router"],
+                     precision=_pf32(y, lp["w_router"]))       # [T, E]
     fn = select_moe_fn(y.shape[0], cfg.num_experts_per_tok)
     out = fn(y, lp["w_experts_gate"], lp["w_experts_up"],
              lp["w_experts_down"], router, cfg.num_experts_per_tok)
@@ -172,11 +186,13 @@ def _out_proj(lp, attn, s, dtype):
 
 def _logits(cfg: TransformerConfig, params, h):
     if params.get("lm_head") is not None:
-        return jnp.dot(h, params["lm_head"], preferred_element_type=_F32)
+        return jnp.dot(h, params["lm_head"], preferred_element_type=_F32,
+                       precision=_pf32(h, params["lm_head"]))
     # tied embeddings: h @ embed.T (XLA transposes for free)
     return lax.dot_general(
         h, params["embed"], (((h.ndim - 1,), (1,)), ((), ())),
-        preferred_element_type=_F32)
+        preferred_element_type=_F32,
+        precision=_pf32(h, params["embed"]))
 
 
 # ---------------------------------------------------------------------------
@@ -264,15 +280,18 @@ def _prefill_attn(q, k, v, true_len):
     if hk != hq:
         k = jnp.repeat(k, hq // hk, axis=1)
         v = jnp.repeat(v, hq // hk, axis=1)
+    prec = _pf32(q, k)          # pre-cast dtypes: f32 models need HIGHEST
     qh = jnp.transpose(q, (1, 0, 2)).astype(_F32)
     kh = jnp.transpose(k, (1, 0, 2)).astype(_F32)
     vh = jnp.transpose(v, (1, 0, 2)).astype(_F32)
-    scores = jnp.einsum("hqd,hkd->hqk", qh, kh) * (1.0 / math.sqrt(d))
+    scores = jnp.einsum("hqd,hkd->hqk", qh, kh,
+                        precision=prec) * (1.0 / math.sqrt(d))
     i = jnp.arange(s)[:, None]
     j = jnp.arange(s)[None, :]
     mask = (j > i) | (j[None] >= true_len)
     scores = jnp.where(mask, -1e30, scores)
-    out = jnp.einsum("hqk,hkd->hqd", jax.nn.softmax(scores, axis=-1), vh)
+    out = jnp.einsum("hqk,hkd->hqd", jax.nn.softmax(scores, axis=-1), vh,
+                     precision=prec)
     return jnp.transpose(out, (1, 0, 2)).astype(q.dtype)
 
 

@@ -42,21 +42,33 @@ def _gqa_expand(k, n_heads_q):
     return jnp.repeat(k, rep, axis=-2)
 
 
+def _pf32(*arrs):
+    """precision=HIGHEST when every operand is genuinely f32 (JAX's DEFAULT
+    runs f32 dots through bf16 MXU passes on TPU). Gate on PRE-cast dtypes:
+    bf16 inputs upcast for softmax stability carry only bf16 information,
+    so DEFAULT costs them nothing."""
+    if all(a.dtype == _F32 for a in arrs):
+        from ...ops.matmul import _f32_precision
+        return _f32_precision()
+    return None
+
+
 def sdpa_causal_fn(q, k, v, scale: float | None = None):
     """Causal SDPA, [S,H,D] layout. f32 softmax accumulation."""
     s, h, d = q.shape
     scale = scale if scale is not None else 1.0 / math.sqrt(d)
+    prec = _pf32(q, k)
     k = _gqa_expand(k, h)
     v = _gqa_expand(v, h)
     qh = jnp.transpose(q, (1, 0, 2)).astype(_F32)       # [H,S,D]
     kh = jnp.transpose(k, (1, 0, 2)).astype(_F32)
     vh = jnp.transpose(v, (1, 0, 2)).astype(_F32)
-    scores = jnp.einsum("hqd,hkd->hqk", qh, kh) * scale
+    scores = jnp.einsum("hqd,hkd->hqk", qh, kh, precision=prec) * scale
     i = jnp.arange(s)[:, None]
     j = jnp.arange(s)[None, :]
     scores = jnp.where(j > i, _NEG_INF, scores)
     probs = jax.nn.softmax(scores, axis=-1)
-    out = jnp.einsum("hqk,hkd->hqd", probs, vh)
+    out = jnp.einsum("hqk,hkd->hqd", probs, vh, precision=prec)
     return jnp.transpose(out, (1, 0, 2)).astype(q.dtype)
 
 
@@ -119,6 +131,7 @@ def flash_attention_fn(q, k, v, scale: float | None = None,
 
     pad = (-s) % chunk_size
     sp = s + pad
+    prec = _pf32(q, k)
     qh = jnp.transpose(q, (1, 0, 2)).astype(_F32)
     kh = jnp.pad(jnp.transpose(k, (1, 0, 2)).astype(_F32), ((0, 0), (0, pad), (0, 0)))
     vh = jnp.pad(jnp.transpose(v, (1, 0, 2)).astype(_F32), ((0, 0), (0, pad), (0, 0)))
@@ -130,7 +143,8 @@ def flash_attention_fn(q, k, v, scale: float | None = None,
     def body(carry, inp):
         m, l, acc = carry                                # [H,S,1], [H,S,1], [H,S,D]
         k_blk, v_blk, c_start = inp
-        scores = jnp.einsum("hqd,hkd->hqk", qh, k_blk) * scale
+        scores = jnp.einsum("hqd,hkd->hqk", qh, k_blk,
+                            precision=prec) * scale
         kv_idx = c_start + jnp.arange(chunk_size)[None, None, :]
         mask = kv_idx >= s                                # padding
         if causal:
@@ -140,7 +154,8 @@ def flash_attention_fn(q, k, v, scale: float | None = None,
         p = jnp.exp(scores - m_new)
         alpha = jnp.exp(m - m_new)
         l_new = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
-        acc_new = acc * alpha + jnp.einsum("hqk,hkd->hqd", p, v_blk)
+        acc_new = acc * alpha + jnp.einsum("hqk,hkd->hqd", p, v_blk,
+                                           precision=prec)
         return (m_new, l_new, acc_new), None
 
     init = (
@@ -155,11 +170,13 @@ def flash_attention_fn(q, k, v, scale: float | None = None,
 
 
 def _full_attn(q, k, v, scale):
+    prec = _pf32(q, k)
     qh = jnp.transpose(q, (1, 0, 2)).astype(_F32)
     kh = jnp.transpose(k, (1, 0, 2)).astype(_F32)
     vh = jnp.transpose(v, (1, 0, 2)).astype(_F32)
-    scores = jnp.einsum("hqd,hkd->hqk", qh, kh) * scale
-    out = jnp.einsum("hqk,hkd->hqd", jax.nn.softmax(scores, axis=-1), vh)
+    scores = jnp.einsum("hqd,hkd->hqk", qh, kh, precision=prec) * scale
+    out = jnp.einsum("hqk,hkd->hqd", jax.nn.softmax(scores, axis=-1), vh,
+                     precision=prec)
     return jnp.transpose(out, (1, 0, 2)).astype(q.dtype)
 
 
@@ -183,7 +200,8 @@ def sdpa_fixed_cache_fn(q, k_cache, v_cache, ctx_len, scale: float | None = None
     kk = jnp.transpose(k_cache, (1, 0, 2))                   # [Hk,MAX,D]
     vv = jnp.transpose(v_cache, (1, 0, 2))
     scores = jnp.einsum("hgtd,hkd->hgtk", qh, kk,
-                        preferred_element_type=_F32) * scale
+                        preferred_element_type=_F32,
+                        precision=_pf32(q, k_cache)) * scale
     kv_idx = jnp.arange(max_len)[None, None, None, :]
     # query row i (0-based within the lookahead window) attends cache
     # positions < ctx_len - (t-1) + i
@@ -192,7 +210,8 @@ def sdpa_fixed_cache_fn(q, k_cache, v_cache, ctx_len, scale: float | None = None
     scores = jnp.where(kv_idx >= limit, _NEG_INF, scores)
     probs = jax.nn.softmax(scores, axis=-1)
     out = jnp.einsum("hgtk,hkd->hgtd", probs.astype(v_cache.dtype), vv,
-                     preferred_element_type=_F32)
+                     preferred_element_type=_F32,
+                     precision=_pf32(q, v_cache))
     return out.transpose(2, 0, 1, 3).reshape(t, h, d).astype(q.dtype)
 
 

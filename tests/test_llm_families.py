@@ -38,7 +38,8 @@ class TestQwen2:
         m = transformers.Qwen2ForCausalLM(cfg).eval()
         m.save_pretrained(tmp_path, safe_serialization=True)
         model = _check_parity(tmp_path, m, "qwen2")
-        assert "b_q" in model.params["layers"]     # qkv biases loaded
+        # qkv biases loaded (fused with the default fuse=True load)
+        assert "b_qkv" in model.params["layers"]
 
 
 class TestQwen3:

@@ -270,3 +270,27 @@ class TestLayerClassLibrary:
         want = np.asarray(moe_dense_fn(x, wg, wu, wd, x @ wr, 2))
         np.testing.assert_allclose(np.asarray(layer(x)), want,
                                    rtol=1e-4, atol=1e-5)
+
+
+class TestF32PrecisionGate:
+    """f32 dots must run at HIGHEST precision (JAX's DEFAULT bf16-izes f32
+    matmuls on TPU — measured 4.5e-3 logits rel err vs transformers before
+    the gate, 6.7e-7 after); bf16 operands must NOT pay for HIGHEST."""
+
+    def test_gate_dtypes(self):
+        import jax
+        import jax.numpy as jnp
+        from pygpukit_tpu.llm.model import _pf32
+        f32 = jnp.zeros((2, 2), jnp.float32)
+        bf16 = jnp.zeros((2, 2), jnp.bfloat16)
+        assert _pf32(f32, f32) == jax.lax.Precision.HIGHEST
+        assert _pf32(bf16, bf16) is None
+        assert _pf32(f32, bf16) is None
+
+    def test_allow_tf32_env(self, monkeypatch):
+        import jax
+        import jax.numpy as jnp
+        from pygpukit_tpu.llm.model import _pf32
+        monkeypatch.setenv("PYGPUKIT_ALLOW_TF32", "1")
+        f32 = jnp.zeros((2, 2), jnp.float32)
+        assert _pf32(f32, f32) == jax.lax.Precision.DEFAULT
