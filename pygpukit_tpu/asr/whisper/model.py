@@ -340,13 +340,19 @@ class WhisperModel:
                                  self.config.n_mels)
         return mel[:3000]
 
+    def _prec(self):
+        from ...ops.precision import f32_matmul_context
+        return f32_matmul_context(self.params)
+
     def encode(self, mel) -> jnp.ndarray:
-        return self._encode(self.params, mel)
+        with self._prec():
+            return self._encode(self.params, mel)
 
     def decoder_logits(self, tokens, audio_features) -> jnp.ndarray:
-        return self._decode_full(
-            self.params, jnp.asarray(np.asarray(tokens, np.int32)),
-            audio_features)
+        with self._prec():
+            return self._decode_full(
+                self.params, jnp.asarray(np.asarray(tokens, np.int32)),
+                audio_features)
 
     def transcribe_tokens(self, audio: np.ndarray, sot_sequence: list[int],
                           max_new_tokens: int = 64,
@@ -364,9 +370,10 @@ class WhisperModel:
                 greedy_decode_fn, self.config, max_new_tokens, max_len))
         prompt = np.zeros((max_len,), np.int32)
         prompt[:len(sot_sequence)] = sot_sequence
-        toks = np.asarray(self._greedy[key](
-            self.params, feats, jnp.asarray(prompt),
-            jnp.int32(len(sot_sequence))))
+        with self._prec():
+            toks = np.asarray(self._greedy[key](
+                self.params, feats, jnp.asarray(prompt),
+                jnp.int32(len(sot_sequence))))
         out = []
         for tk in toks.tolist():
             if tk == self.config.eos_token_id:

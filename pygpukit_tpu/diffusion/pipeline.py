@@ -28,6 +28,18 @@ class PipelineOutput:
     latents: np.ndarray | None = None
 
 
+def _f32_scoped(fn):
+    """Run the whole entry under HIGHEST matmul precision for f32-weight
+    models (ops/precision.py — JAX DEFAULT bf16-izes f32 dots on TPU;
+    bf16 pipelines are untouched)."""
+    @functools.wraps(fn)
+    def wrapper(self, *args, **kwargs):
+        from ..ops.precision import f32_matmul_context
+        with f32_matmul_context(self.transformer.params):
+            return fn(self, *args, **kwargs)
+    return wrapper
+
+
 class FluxPipeline:
     """reference: FluxPipeline, flux/pipeline.py:26-342."""
 
@@ -81,6 +93,7 @@ class FluxPipeline:
 
     # -- generation ----------------------------------------------------------
 
+    @_f32_scoped
     def __call__(self, prompt: str = "", height: int = 256, width: int = 256,
                  num_inference_steps: int = 4, guidance_scale: float = 3.5,
                  seed: int = 0, txt_embeds=None, pooled=None) -> PipelineOutput:
@@ -278,6 +291,7 @@ class PixArtPipeline:
             ids = [ord(c) % 1000 for c in prompt][:max_len]  # offline stub
         return self.t5(jnp.asarray(ids, jnp.int32))
 
+    @_f32_scoped
     def generate(self, prompt: str = "", num_steps: int = 20,
                  guidance_scale: float = 4.5, seed: int = 0,
                  caption_embeds=None, negative_embeds=None):
@@ -391,6 +405,7 @@ class SD3Pipeline:
         pooled = jnp.concatenate([jnp.ravel(p) for p in pooleds])
         return context, pooled
 
+    @_f32_scoped
     def generate(self, caption_embeds=None, pooled_embeds=None,
                  num_steps: int = 28, guidance_scale: float = 7.0,
                  seed: int = 0, negative_embeds=None, negative_pooled=None,

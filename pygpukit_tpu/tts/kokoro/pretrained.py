@@ -156,9 +156,11 @@ class Kokoro82M:
         else:
             ref = np.zeros(256, np.float32)
         total = (len(id_list) + 2) * self.max_frames_per_token
-        audio_full, pred_dur, true_total = self._fn(len(id_list), total)(
-            ids, jnp.asarray(ref), self.params, speed=jnp.float32(speed),
-            key=jax.random.PRNGKey(seed))
+        from ...ops.precision import f32_matmul_context
+        with f32_matmul_context(self.params):   # Kokoro weights are f32
+            audio_full, pred_dur, true_total = self._fn(len(id_list), total)(
+                ids, jnp.asarray(ref), self.params, speed=jnp.float32(speed),
+                key=jax.random.PRNGKey(seed))
         n = int(true_total) * 600          # 2x decoder, 10*6 ups, hop 5
         audio = np.asarray(audio_full)[:n]
         return SynthesisResult(audio=audio, sample_rate=SAMPLE_RATE,

@@ -217,3 +217,27 @@ class TestBlockwiseFP8:
         err_b = np.linalg.norm(_np(out_b) - ref) / np.linalg.norm(ref)
         err_t = np.linalg.norm(_np(out_t) - ref) / np.linalg.norm(ref)
         assert err_b < err_t / 2, (err_b, err_t)
+
+
+class TestF32MatmulContext:
+    def test_f32_params_get_highest(self):
+        import jax
+        import jax.numpy as jnp
+        from pygpukit_tpu.ops.precision import f32_matmul_context
+        import contextlib
+        f32_tree = {"w": jnp.zeros((2, 2), jnp.float32)}
+        mixed = {"w": jnp.zeros((2, 2), jnp.bfloat16),
+                 "norm": jnp.zeros((2,), jnp.float32)}
+        assert not isinstance(f32_matmul_context(f32_tree),
+                              contextlib.nullcontext)
+        # bf16 models (f32 norms by design) stay on fast DEFAULT
+        assert isinstance(f32_matmul_context(mixed), contextlib.nullcontext)
+
+    def test_allow_tf32_disables(self, monkeypatch):
+        import jax.numpy as jnp
+        import contextlib
+        from pygpukit_tpu.ops.precision import f32_matmul_context
+        monkeypatch.setenv("PYGPUKIT_ALLOW_TF32", "1")
+        f32_tree = {"w": jnp.zeros((2, 2), jnp.float32)}
+        assert isinstance(f32_matmul_context(f32_tree),
+                          contextlib.nullcontext)
