@@ -129,7 +129,11 @@ def llama4_forward_fn(cfg: Llama4Config, p, tokens):
     if p.get("lm_head") is not None:
         return _dot(h, p["lm_head"])
     return lax.dot_general(h, p["embed"], (((1,), (1,)), ((), ())),
-                           preferred_element_type=_F32)
+                           preferred_element_type=_F32,
+                           precision=(_f32_precision()
+                                      if h.dtype == _F32
+                                      and p["embed"].dtype == _F32
+                                      else None))
 
 
 class Llama4Model:
