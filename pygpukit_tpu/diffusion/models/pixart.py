@@ -346,6 +346,11 @@ class PixArtTransformer:
                 depth=hf.get("num_layers", 28),
                 num_heads=heads,
                 caption_dim=hf.get("caption_channels", 4096),
+                # diffusers PatchEmbed: base_size = sample_size // patch_size
+                # (64 for the 1024 checkpoints; the dataclass default 32 is
+                # the 512 model's and would scale the pos-embed grid 2x off)
+                base_size=(hf.get("sample_size", 64)
+                           // hf.get("patch_size", 2)),
                 interpolation_scale=hf.get("interpolation_scale", 1.0) or 1.0,
                 use_additional_conditions=bool(
                     hf.get("use_additional_conditions",

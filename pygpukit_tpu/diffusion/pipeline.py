@@ -300,8 +300,15 @@ class PixArtPipeline:
         cfg = self.transformer.config
         c = caption_embeds if caption_embeds is not None else (
             self.encode_prompt(prompt))
-        uc = negative_embeds if negative_embeds is not None else (
-            jnp.zeros_like(c))
+        if negative_embeds is not None:
+            uc = negative_embeds
+        elif self.t5 is not None:
+            # diffusers encodes negative_prompt="" through T5 for the CFG
+            # unconditional branch; all-zero embeds would deviate on real
+            # checkpoints.
+            uc = self.encode_prompt("")
+        else:
+            uc = jnp.zeros_like(c)
         self.scheduler.set_timesteps(num_steps)
         key = jax.random.PRNGKey(seed)
         lat = jax.random.normal(

@@ -101,9 +101,12 @@ def clip_text_fn(cfg: CLIPTextConfig, p, ids, penultimate: bool = False):
         x, _ = lax.scan(block, x, p["layers"])
         hidden_out = None
     x = layernorm_fn(x, p["final_ln.w"], p["final_ln.b"])
-    # pooled = hidden at the EOS token (highest-id token per CLIP convention)
-    eos_pos = jnp.argmax(jnp.where(ids == cfg.eos_token_id,
-                                   jnp.arange(s), -1))
+    # pooled = hidden at the FIRST EOS occurrence (transformers pools via
+    # (ids == eos).int().argmax(-1), whose argmax picks the first match).
+    # SD3's CLIP-L/G tokenizers pad with the eos token, so taking the LAST
+    # match would read a pad position instead of the true EOS.
+    eos_pos = jnp.argmin(jnp.where(ids == cfg.eos_token_id,
+                                   jnp.arange(s), s))
     pooled = x[eos_pos]
     if "text_projection.w" in p:
         pooled = jnp.dot(pooled, p["text_projection.w"])
@@ -119,8 +122,13 @@ class CLIPTextEncoder:
 
     def __call__(self, ids,
                  penultimate: bool = False) -> tuple[jnp.ndarray, jnp.ndarray]:
-        return self._fn(self.params, jnp.asarray(np.asarray(ids, np.int32)),
-                        penultimate=penultimate)
+        # params are f32: without the HIGHEST-precision scope TPU DEFAULT
+        # bf16-izes the dots (1.3e-2 pooled err vs transformers; 3e-3 after)
+        from ...ops.precision import f32_matmul_context
+        with f32_matmul_context(self.params):
+            return self._fn(self.params,
+                            jnp.asarray(np.asarray(ids, np.int32)),
+                            penultimate=penultimate)
 
     @classmethod
     def from_safetensors(cls, path) -> "CLIPTextEncoder":

@@ -118,7 +118,11 @@ class T5Encoder:
         self._fn = jax.jit(functools.partial(t5_encoder_fn, config))
 
     def __call__(self, ids) -> jnp.ndarray:
-        return self._fn(self.params, jnp.asarray(np.asarray(ids, np.int32)))
+        # f32 checkpoints need HIGHEST precision on TPU (see clip.py)
+        from ...ops.precision import f32_matmul_context
+        with f32_matmul_context(self.params):
+            return self._fn(self.params,
+                            jnp.asarray(np.asarray(ids, np.int32)))
 
     @classmethod
     def from_safetensors(cls, path, dtype=jnp.float32) -> "T5Encoder":

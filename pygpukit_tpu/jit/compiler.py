@@ -165,6 +165,10 @@ def warmup(kernel: JITKernel, *example_args) -> threading.Thread:
         # prune finished threads so long-lived processes don't accumulate
         _warmup_state["threads"] = [
             x for x in _warmup_state["threads"] if x.is_alive()]
+        if not _warmup_state["threads"]:
+            # a new warmup batch starts: clear any stale error from a prior
+            # batch so get_warmup_error() reports THIS batch (ADVICE r2)
+            _warmup_state["error"] = None
         _warmup_state["threads"].append(t)
     t.start()
     return t

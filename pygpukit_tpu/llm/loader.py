@@ -29,15 +29,21 @@ from .safetensors import load_safetensors
 # through the engine there too). Two worker threads overlap the host-side
 # mmap read/transpose/astype with the device upload of the previous tensor —
 # double-buffering the 20 MB/s tunnel. PYGPUKIT_ASYNC_LOAD=0 opts out.
+# Thread-local so concurrent load_model_from_safetensors calls (multi-model
+# serving startup from threads) each get their own engine instead of
+# clobbering a module global (ADVICE r2).
 # ---------------------------------------------------------------------------
 
-_stager_local = None
+import threading
+
+_stager_tls = threading.local()
 
 
 def _stage(produce):
-    if _stager_local is None:
+    eng = getattr(_stager_tls, "engine", None)
+    if eng is None:
         return produce()
-    return _stager_local._submit(produce, _stager_local.NORMAL)
+    return eng._submit(produce, eng.NORMAL)
 
 
 def _resolve(tree):
@@ -58,20 +64,18 @@ class _staging:
         self.total_bytes = total_bytes
 
     def __enter__(self):
-        global _stager_local
         min_bytes = int(os.environ.get("PYGPUKIT_ASYNC_LOAD_MIN_BYTES",
                                        str(256 << 20)))
         if (os.environ.get("PYGPUKIT_ASYNC_LOAD", "1") != "0"
                 and self.total_bytes >= min_bytes):
             from ..transfer.engine import AsyncTransferEngine
-            _stager_local = AsyncTransferEngine(num_workers=2)
+            _stager_tls.engine = AsyncTransferEngine(num_workers=2)
         return self
 
     def __exit__(self, *exc):
-        global _stager_local
-        if _stager_local is not None:
-            eng = _stager_local
-            _stager_local = None
+        eng = getattr(_stager_tls, "engine", None)
+        if eng is not None:
+            _stager_tls.engine = None
             eng.synchronize()
             eng.shutdown()
 

@@ -91,6 +91,29 @@ class TestCLIPParity:
                                    out.pooler_output[0].numpy(),
                                    rtol=3e-3, atol=3e-3)
 
+    def test_pooled_first_eos_with_eos_padding(self, tmp_path):
+        """SD3's CLIP tokenizers pad with the EOS token: pooled must be read
+        at the FIRST eos occurrence, not a later pad slot (ADVICE r2)."""
+        torch = pytest.importorskip("torch")
+        transformers = pytest.importorskip("transformers")
+        from pygpukit_tpu.diffusion.text_encoders.clip import CLIPTextEncoder
+        cfg = transformers.CLIPTextConfig(
+            vocab_size=100, hidden_size=32, num_hidden_layers=2,
+            num_attention_heads=4, intermediate_size=64,
+            max_position_embeddings=16, eos_token_id=99)
+        torch.manual_seed(1)
+        m = transformers.CLIPTextModel(cfg).eval()
+        m.save_pretrained(tmp_path, safe_serialization=True)
+        enc = CLIPTextEncoder.from_safetensors(tmp_path)
+        # prompt tokens, then EOS, then EOS-padding to max length
+        ids = [5, 10, 20, 99] + [99] * 12
+        _, pooled = enc(ids)
+        with torch.no_grad():
+            out = m(torch.tensor([ids]))
+        np.testing.assert_allclose(np.asarray(pooled),
+                                   out.pooler_output[0].numpy(),
+                                   rtol=3e-3, atol=3e-3)
+
 
 class TestT5Parity:
     def test_matches_transformers(self, tmp_path):
