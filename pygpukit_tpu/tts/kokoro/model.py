@@ -56,17 +56,15 @@ class SynthesisResult:
             w.writeframes(pcm16.tobytes())
 
 
-# minimal IPA-ish phoneme alphabet for the built-in G2P fallback
-_PHONEMES = " abcdefghijklmnopqrstuvwxyz.,!?'-"
-_P2I = {p: i + 1 for i, p in enumerate(_PHONEMES)}
-
-
 class KokoroTokenizer:
-    """Phoneme tokenizer; uses a char-level fallback G2P when no phonemizer
-    dictionary is provided (reference: KokoroTokenizer)."""
+    """Phoneme tokenizer; char-level over the checkpoint-true Kokoro vocab
+    when no phonemizer dictionary is provided (reference: KokoroTokenizer).
+    Lowercase letters are real Kokoro symbols (ids 43-68), so the char-level
+    fallback stays checkpoint-consistent."""
 
     def __init__(self, vocab: dict[str, int] | None = None):
-        self.vocab = vocab or _P2I
+        from .g2p import KOKORO_VOCAB
+        self.vocab = vocab or KOKORO_VOCAB
 
     def encode(self, text: str) -> list[int]:
         text = text.lower()

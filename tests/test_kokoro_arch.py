@@ -301,6 +301,28 @@ class TestG2P:
         p = Phonemizer(vocab={"h": 7, "i": 3})
         assert p.encode(phonemes="hi") == [7, 3]
 
+    def test_checkpoint_true_vocab_ids(self):
+        """Default vocab must be the published Kokoro-82M v1.0 table
+        (hexgrad config.json) — wrong ids would synthesize garbage from a
+        real checkpoint even with a faithful architecture (VERDICT r2 #8)."""
+        from pygpukit_tpu.tts.kokoro.g2p import KOKORO_VOCAB, Phonemizer
+        # spot-check published ids across the table's regions
+        assert KOKORO_VOCAB[";"] == 1 and KOKORO_VOCAB[" "] == 16
+        assert KOKORO_VOCAB["a"] == 43 and KOKORO_VOCAB["z"] == 68
+        assert "g" not in KOKORO_VOCAB          # misaki uses ɡ (U+0261)
+        assert KOKORO_VOCAB["ɑ"] == 69 and KOKORO_VOCAB["ə"] == 83
+        assert KOKORO_VOCAB["ŋ"] == 112 and KOKORO_VOCAB["ʃ"] == 131
+        assert KOKORO_VOCAB["ˈ"] == 156 and KOKORO_VOCAB["ˌ"] == 157
+        assert KOKORO_VOCAB["ᵻ"] == 177
+        assert max(KOKORO_VOCAB.values()) == 177    # 178-row embedding
+        # fixture: misaki-style IPA for "hello world" -> known-good ids
+        p = Phonemizer()
+        ids = p.encode(phonemes="həlˈoʊ wˈɜːld")
+        assert ids == [50, 83, 54, 156, 57, 135, 16,
+                       65, 156, 87, 158, 54, 46]
+        # G2P path end-to-end lands in the same table
+        assert p.encode("hello") == [50, 83, 54, 57, 135]
+
 
 class TestKokoro82M:
     def test_random_init_synthesize(self):
