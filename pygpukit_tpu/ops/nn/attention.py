@@ -180,6 +180,23 @@ def _full_attn(q, k, v, scale):
     return jnp.transpose(out, (1, 0, 2)).astype(q.dtype)
 
 
+#: cache size from which decode auto-switches to the kv-chunk LSE-combine
+#: path (reference auto-enables flash decoding at kv_len>=1024,
+#: flash_decoding.cuh:1-16 / sdpa_causal.inl:481-501; ours gates on the
+#: CACHE capacity because that is what sets the full-softmax HBM read).
+#: PYGPUKIT_FLASH_DECODING=full|chunked overrides the auto gate.
+FLASH_DECODING_MIN_CACHE = 8192
+FLASH_DECODING_CHUNK = 2048
+
+
+def _decode_backend(max_len: int) -> str:
+    import os
+    mode = os.environ.get("PYGPUKIT_FLASH_DECODING", "")
+    if mode in ("full", "chunked"):
+        return mode
+    return "chunked" if max_len >= FLASH_DECODING_MIN_CACHE else "full"
+
+
 def sdpa_fixed_cache_fn(q, k_cache, v_cache, ctx_len, scale: float | None = None):
     """Decode attention over a fixed preallocated cache.
 
@@ -187,7 +204,20 @@ def sdpa_fixed_cache_fn(q, k_cache, v_cache, ctx_len, scale: float | None = None
     ctx_len: valid cache length (traced scalar — one executable serves all
     lengths; the flash-decoding analog, reference sdpa_causal.inl:481-501).
     Positions >= ctx_len are masked.
+
+    Long caches (MAX >= FLASH_DECODING_MIN_CACHE) auto-route to the
+    kv-chunk LSE-combine path, which only READS ceil(ctx/chunk) chunks —
+    the full-softmax formulation streams the whole preallocated cache from
+    HBM every step regardless of how much of it is valid.
     """
+    if _decode_backend(k_cache.shape[0]) == "chunked":
+        return sdpa_fixed_cache_chunked_fn(q, k_cache, v_cache, ctx_len,
+                                           scale)
+    return _sdpa_fixed_cache_full(q, k_cache, v_cache, ctx_len, scale)
+
+
+def _sdpa_fixed_cache_full(q, k_cache, v_cache, ctx_len,
+                           scale: float | None = None):
     t, h, d = q.shape
     max_len, hk, _ = k_cache.shape
     g = h // hk
@@ -212,6 +242,68 @@ def sdpa_fixed_cache_fn(q, k_cache, v_cache, ctx_len, scale: float | None = None
     out = jnp.einsum("hgtk,hkd->hgtd", probs.astype(v_cache.dtype), vv,
                      preferred_element_type=_F32,
                      precision=_pf32(q, v_cache))
+    return out.transpose(2, 0, 1, 3).reshape(t, h, d).astype(q.dtype)
+
+
+def sdpa_fixed_cache_chunked_fn(q, k_cache, v_cache, ctx_len,
+                                scale: float | None = None,
+                                chunk: int = FLASH_DECODING_CHUNK):
+    """kv-chunk LSE-combine decode (reference: flash_decoding.cuh — chunked
+    partial softmax + log-sum-exp reduction, auto at kv_len>=1024).
+
+    TPU formulation: a bounded ``lax.while_loop`` over cache chunks with the
+    online-softmax recurrence. Unlike the full-softmax path (which streams
+    the entire [MAX,Hk,D] cache every step) only ceil(ctx/chunk) chunks are
+    ever read from HBM, so decode cost tracks the LIVE context, not the
+    preallocated capacity — the TPU analog of the reference's win, where
+    the parallelism came for free but the read didn't.
+    """
+    t, h, d = q.shape
+    max_len, hk, _ = k_cache.shape
+    g = h // hk
+    scale = scale if scale is not None else 1.0 / math.sqrt(d)
+    chunk = min(chunk, max_len)
+    prec_k = _pf32(q, k_cache)
+    prec_v = _pf32(q, v_cache)
+    n_chunks = -(-max_len // chunk)
+    qh = q.reshape(t, hk, g, d).transpose(1, 2, 0, 3)        # [Hk,G,T,D]
+    q_off = jnp.arange(t)[None, None, :, None]
+    limit = ctx_len - (t - 1) + q_off                        # [1,1,T,1]
+
+    def cond(carry):
+        i = carry[0]
+        return (i * chunk < ctx_len) & (i < n_chunks)
+
+    def body(carry):
+        i, m, l, acc = carry
+        start_log = i * chunk
+        # dynamic_slice clamps near the end when chunk doesn't divide
+        # max_len; slice from the clamped start and mask to the logical
+        # [start_log, start_log+chunk) range so no position double-counts
+        start = jnp.minimum(start_log, max_len - chunk)
+        k_blk = lax.dynamic_slice(k_cache, (start, 0, 0), (chunk, hk, d))
+        v_blk = lax.dynamic_slice(v_cache, (start, 0, 0), (chunk, hk, d))
+        kk = jnp.transpose(k_blk, (1, 0, 2))                 # [Hk,C,D]
+        vv = jnp.transpose(v_blk, (1, 0, 2))
+        s = jnp.einsum("hgtd,hkd->hgtk", qh, kk,
+                       preferred_element_type=_F32, precision=prec_k) * scale
+        kv_idx = start + jnp.arange(chunk)[None, None, None, :]
+        s = jnp.where((kv_idx >= limit) | (kv_idx < start_log), _NEG_INF, s)
+        m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+        p = jnp.exp(s - m_new)
+        alpha = jnp.exp(m - m_new)
+        l_new = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        acc_new = acc * alpha + jnp.einsum(
+            "hgtk,hkd->hgtd", p.astype(v_cache.dtype), vv,
+            preferred_element_type=_F32, precision=prec_v)
+        return i + 1, m_new, l_new, acc_new
+
+    init = (jnp.int32(0),
+            jnp.full((hk, g, t, 1), _NEG_INF, _F32),
+            jnp.zeros((hk, g, t, 1), _F32),
+            jnp.zeros((hk, g, t, d), _F32))
+    _, m, l, acc = lax.while_loop(cond, body, init)
+    out = acc / jnp.maximum(l, 1e-30)
     return out.transpose(2, 0, 1, 3).reshape(t, h, d).astype(q.dtype)
 
 
