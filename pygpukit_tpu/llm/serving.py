@@ -148,8 +148,15 @@ class ContinuousBatchingEngine:
                  max_seq_len: int = 1024, steps_per_dispatch: int = 1,
                  temperature: float = 0.0, top_k: int = 0, seed: int = 0,
                  pipelined: bool = False, paged: bool = False,
-                 block_size: int = 16, num_blocks: int | None = None):
+                 block_size: int = 16, num_blocks: int | None = None,
+                 mesh=None):
+        """``mesh``: a jax.sharding.Mesh with a "tp" axis — serve a
+        TENSOR-PARALLEL model (params sharded via parallel.shard_model, KV
+        pools sharded over kv heads). The step executables compile as GSPMD
+        programs with XLA-inserted collectives; token streams are identical
+        to the unsharded engine (BASELINE.md v5e-8 north star wiring)."""
         self.model = model
+        self.mesh = mesh
         self.max_batch = max_batch
         self.max_seq_len = max_seq_len
         self.temperature = temperature
@@ -172,10 +179,6 @@ class ContinuousBatchingEngine:
             # (reference: paged_attention.cuh block tables, never wired
             # there; serving_paged.py). Block 0 = trash for dead slots.
             from .serving_paged import BlockAllocator
-            if pipelined:
-                raise NotImplementedError(
-                    "paged serving: pipelined mode lands after the paged "
-                    "path is profiled; use pipelined=False with paged=True")
             self.block_size = block_size
             self.max_blocks = -(-max_seq_len // block_size)
             # default pool covers the worst case (admission reserves each
@@ -208,6 +211,32 @@ class ContinuousBatchingEngine:
             self._poss_dev = jnp.zeros(max_batch, jnp.int32)
             self._inflight = None            # (toks_dev, [(slot, req), ...])
             self._pending_first: list = []   # [(req, prompt_len, tok_dev)]
+        if mesh is not None:
+            self._shard_pools(mesh)
+
+    def _shard_pools(self, mesh) -> None:
+        """Shard the KV pools over the mesh "tp" axis along kv heads (dense
+        pool [B,L,MAX,Hk,D] / paged pool [L,NB,Hk,BS,D]); kv-head TP matches
+        the column-parallel q/k/v projections so attention stays local."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        hk = self.model.config.num_kv_heads
+        tp = mesh.shape.get("tp", 1)
+        if hk % tp != 0:
+            raise ValueError(
+                f"num_kv_heads ({hk}) must divide by mesh tp ({tp}) for "
+                "sharded serving")
+        spec = (P(None, None, "tp", None, None) if self.paged
+                else P(None, None, None, "tp", None))
+        sh = NamedSharding(mesh, spec)
+        self.k_cache = jax.device_put(self.k_cache, sh)
+        self.v_cache = jax.device_put(self.v_cache, sh)
+        rep = NamedSharding(mesh, P(None))
+        if self.pipelined:
+            self._last_dev = jax.device_put(self._last_dev, rep)
+            self._poss_dev = jax.device_put(self._poss_dev, rep)
+        if self.paged:
+            self._tables_dev = jax.device_put(self._tables_dev,
+                                              NamedSharding(mesh, P(None, None)))
 
     # -- request lifecycle -----------------------------------------------------
 
@@ -268,7 +297,9 @@ class ContinuousBatchingEngine:
                 b = min(_bucket(max(len(req.prompt), 8)), self.max_seq_len)
                 by_bucket.setdefault(b, []).append((slot, req))
             for bucket, group in by_bucket.items():
-                if len(group) >= 2:
+                if len(group) >= 2 and self.paged:
+                    self._prefill_wave_paged_pl(bucket, group)
+                elif len(group) >= 2:
                     self._prefill_wave_pl(bucket, group)
                 else:
                     self._prefill_slot(*group[0])
@@ -352,6 +383,8 @@ class ContinuousBatchingEngine:
         """Pipelined admission: one async dispatch; the first token is read
         back lazily at the next chunk resolution (by then it is long
         computed, so the D2H is a cheap buffer fetch, not a sync)."""
+        if self.paged:
+            return self._prefill_slot_paged_pl(slot, req)
         model = self.model
         ids = np.asarray(req.prompt, np.int32)
         n = len(ids)
@@ -379,6 +412,89 @@ class ContinuousBatchingEngine:
         req.pos = n          # per-request (slots may be reused before the
         self._pending_first.append((req, tok_dev))   # old request resolves)
         self.stats.prefills += 1
+
+    def _prefill_slot_paged_pl(self, slot: int, req: Request) -> None:
+        """Pipelined + paged admission: reserve blocks, sync tables, then
+        one async prefill dispatch that samples the first token on device
+        (VERDICT r2 #2 — the paged twin of _prefill_slot_pl)."""
+        from .serving_paged import paged_prefill_pl_fn
+        model = self.model
+        ids = np.asarray(req.prompt, np.int32)
+        n = len(ids)
+        self._ensure_blocks(
+            req, slot, len(req.prompt) + req.max_new_tokens + 1)
+        self._sync_tables()
+        bucket = min(_bucket(max(n, 8)), self.max_seq_len)
+        key = ("paged-pl", bucket)
+        if key not in self._prefill_exes:
+            fn = functools.partial(paged_prefill_pl_fn, model.config,
+                                   float(self.temperature), int(self.top_k),
+                                   int(self.seed))
+            self._prefill_exes[key] = capture(
+                fn, model.params, self.k_cache, self.v_cache,
+                self._last_dev, self._poss_dev, self._tables_dev[0],
+                jnp.zeros((bucket,), jnp.int32), jnp.int32(1), jnp.int32(0),
+                jnp.int32(0), donate_argnums=(1, 2, 3, 4),
+                name=f"serve_prefill_paged_pl_{bucket}")
+        padded = np.zeros((bucket,), np.int32)
+        padded[:n] = ids
+        (self.k_cache, self.v_cache, self._last_dev, self._poss_dev,
+         tok_dev) = self._prefill_exes[key].replay(
+            model.params, self.k_cache, self.v_cache,
+            self._last_dev, self._poss_dev, self._tables_dev[slot],
+            jnp.asarray(padded), jnp.int32(n), jnp.int32(slot),
+            jnp.int32(req.request_id))
+        self._poss[slot] = n
+        req.pos = n
+        self._pending_first.append((req, tok_dev))
+        self.stats.prefills += 1
+
+    def _prefill_wave_paged_pl(self, bucket: int, group: list) -> None:
+        """Wave admission into blocks: n same-bucket paged prefills in one
+        dispatch (VERDICT r2 #2: 'wave prefill into blocks')."""
+        from .serving_paged import paged_prefill_wave_pl_fn
+        w = len(group)
+        for slot, req in group:
+            self._ensure_blocks(
+                req, slot, len(req.prompt) + req.max_new_tokens + 1)
+        self._sync_tables()
+        key = ("paged-plw", w, bucket)
+        if key not in self._prefill_exes:
+            fn = functools.partial(paged_prefill_wave_pl_fn,
+                                   self.model.config,
+                                   float(self.temperature), int(self.top_k),
+                                   int(self.seed), w)
+            self._prefill_exes[key] = capture(
+                fn, self.model.params, self.k_cache, self.v_cache,
+                self._last_dev, self._poss_dev,
+                jnp.zeros((w, self.max_blocks), jnp.int32),
+                jnp.zeros((w, bucket), jnp.int32),
+                jnp.ones((w,), jnp.int32), jnp.zeros((w,), jnp.int32),
+                jnp.zeros((w,), jnp.int32), donate_argnums=(1, 2, 3, 4),
+                name=f"serve_prefill_paged_plw_{w}_{bucket}")
+        padded = np.zeros((w, bucket), np.int32)
+        lens = np.zeros((w,), np.int32)
+        slots = np.zeros((w,), np.int32)
+        rids = np.zeros((w,), np.int32)
+        tables_w = np.zeros((w, self.max_blocks), np.int32)
+        for i, (slot, req) in enumerate(group):
+            ids = np.asarray(req.prompt, np.int32)
+            padded[i, :len(ids)] = ids
+            lens[i] = len(ids)
+            slots[i] = slot
+            rids[i] = req.request_id
+            tables_w[i] = self._tables_np[slot]
+        (self.k_cache, self.v_cache, self._last_dev, self._poss_dev,
+         toks_dev) = self._prefill_exes[key].replay(
+            self.model.params, self.k_cache, self.v_cache,
+            self._last_dev, self._poss_dev, jnp.asarray(tables_w),
+            jnp.asarray(padded), jnp.asarray(lens), jnp.asarray(slots),
+            jnp.asarray(rids))
+        for i, (slot, req) in enumerate(group):
+            self._poss[slot] = int(lens[i])
+            req.pos = int(lens[i])
+            self._pending_first.append((req, toks_dev[i]))
+            self.stats.prefills += 1
 
     # -- paged mode --------------------------------------------------------------
 
@@ -505,14 +621,31 @@ class ContinuousBatchingEngine:
     def _ensure_chunk_exe(self):
         if self._decode_exe is None:
             n = max(self.steps_per_dispatch, 1)
-            fn = functools.partial(
-                _serve_chunk_fn, self.model.config, n,
-                float(self.temperature), int(self.top_k), int(self.seed),
-                int(self.max_seq_len))
-            self._decode_exe = capture(
-                fn, self.model.params, self.k_cache, self.v_cache,
-                self._last_dev, self._poss_dev, jnp.int32(0),
-                donate_argnums=(1, 2, 3, 4), name=f"serve_chunk_pl_{n}")
+            if self.paged:
+                # pipelined + paged: same donated chunk contract, pools +
+                # device last/poss donated, block tables a per-replay input
+                # (tables only change at admission/release — full worst-case
+                # reservation happens at admission — so a host-side sync at
+                # the chunk boundary is enough; VERDICT r2 #2)
+                from .serving_paged import paged_serve_chunk_fn
+                fn = functools.partial(
+                    paged_serve_chunk_fn, self.model.config, n,
+                    float(self.temperature), int(self.top_k), int(self.seed),
+                    int(self.max_seq_len))
+                self._decode_exe = capture(
+                    fn, self.model.params, self.k_cache, self.v_cache,
+                    self._tables_dev, self._last_dev, self._poss_dev,
+                    jnp.int32(0), donate_argnums=(1, 2, 4, 5),
+                    name=f"serve_chunk_paged_pl_{n}")
+            else:
+                fn = functools.partial(
+                    _serve_chunk_fn, self.model.config, n,
+                    float(self.temperature), int(self.top_k), int(self.seed),
+                    int(self.max_seq_len))
+                self._decode_exe = capture(
+                    fn, self.model.params, self.k_cache, self.v_cache,
+                    self._last_dev, self._poss_dev, jnp.int32(0),
+                    donate_argnums=(1, 2, 3, 4), name=f"serve_chunk_pl_{n}")
         return self._decode_exe
 
     def _ensure_decode_exe(self):
@@ -563,6 +696,12 @@ class ContinuousBatchingEngine:
                 self._slots[slot] = None
                 if self.paged:
                     self._release_paged(req, slot)
+            elif self.paged:
+                # pipelined resolution lags a chunk: the slot may already
+                # host a newer request (whose table row replaced ours) —
+                # free the finished request's blocks by identity so they
+                # don't leak
+                self._alloc.free(req.request_id)
             self.stats.requests_completed += 1
 
     # -- engine loop -------------------------------------------------------------
@@ -633,10 +772,19 @@ class ContinuousBatchingEngine:
         dispatched = None
         if active:
             exe = self._ensure_chunk_exe()
-            (self.k_cache, self.v_cache, self._last_dev, self._poss_dev,
-             toks_dev) = exe.replay(
-                self.model.params, self.k_cache, self.v_cache,
-                self._last_dev, self._poss_dev, jnp.int32(self.stats.steps))
+            if self.paged:
+                self._sync_tables()
+                (self.k_cache, self.v_cache, self._last_dev, self._poss_dev,
+                 toks_dev) = exe.replay(
+                    self.model.params, self.k_cache, self.v_cache,
+                    self._tables_dev, self._last_dev, self._poss_dev,
+                    jnp.int32(self.stats.steps))
+            else:
+                (self.k_cache, self.v_cache, self._last_dev, self._poss_dev,
+                 toks_dev) = exe.replay(
+                    self.model.params, self.k_cache, self.v_cache,
+                    self._last_dev, self._poss_dev,
+                    jnp.int32(self.stats.steps))
             dispatched = (toks_dev, active)
             self.stats.steps += 1
         self._resolve_inflight()

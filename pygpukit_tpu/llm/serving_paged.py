@@ -152,6 +152,47 @@ def paged_serve_chunk_fn(cfg: TransformerConfig, n_steps: int,
     return k_pool, v_pool, last, poss, toks.T    # [B, n_steps]
 
 
+def paged_prefill_pl_fn(cfg: TransformerConfig, temperature: float,
+                        top_k: int, seed: int, params, k_pool, v_pool,
+                        last, poss, table, tokens, true_len, slot, rid):
+    """Pipelined paged admission: prefill into the request's blocks AND
+    sample the first token on device, updating the device-resident
+    last/poss slot arrays (the paged twin of serving._prefill_into_slot_pl_fn
+    — one async dispatch, no host sync)."""
+    k_pool, v_pool, logits = paged_prefill_fn(cfg, params, k_pool, v_pool,
+                                              table, tokens, true_len)
+    if temperature <= 0.0:
+        tok = jnp.argmax(logits).astype(jnp.int32)
+    else:
+        key = jax.random.fold_in(jax.random.PRNGKey(seed), rid)
+        lf = logits.astype(_F32) / temperature
+        if top_k > 0:
+            topv = lax.top_k(lf, top_k)[0][-1]
+            lf = jnp.where(lf < topv, -1e30, lf)
+        tok = jax.random.categorical(key, lf).astype(jnp.int32)
+    last = last.at[slot].set(tok)
+    poss = poss.at[slot].set(true_len.astype(jnp.int32))
+    return k_pool, v_pool, last, poss, tok
+
+
+def paged_prefill_wave_pl_fn(cfg: TransformerConfig, temperature: float,
+                             top_k: int, seed: int, n_wave: int, params,
+                             k_pool, v_pool, last, poss, tables_w, tokens_w,
+                             lens_w, slots_w, rids_w):
+    """Pipelined paged admission WAVE: n_wave same-bucket prefills in one
+    dispatch (paged twin of serving._prefill_wave_pl_fn)."""
+    def body(i, carry):
+        k_pool, v_pool, last, poss, toks = carry
+        k_pool, v_pool, last, poss, tok = paged_prefill_pl_fn(
+            cfg, temperature, top_k, seed, params, k_pool, v_pool, last,
+            poss, tables_w[i], tokens_w[i], lens_w[i], slots_w[i], rids_w[i])
+        return k_pool, v_pool, last, poss, toks.at[i].set(tok)
+
+    toks0 = jnp.zeros((n_wave,), jnp.int32)
+    return lax.fori_loop(0, n_wave, body,
+                         (k_pool, v_pool, last, poss, toks0))
+
+
 def paged_prefill_fn(cfg: TransformerConfig, params, k_pool, v_pool,
                      table, tokens, true_len):
     """Prefill one sequence into its blocks (table [MB]); returns last-pos
