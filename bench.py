@@ -72,86 +72,111 @@ def bench_gemm_fp8(m: int = 8192, k: int = 4096, n: int = 14336,
     return 2.0 * m * k * n / dt / 1e12
 
 
-def bench_gemv(dtype: str, layers: int = 22, h: int = 2048, kv: int = 256,
-               inter: int = 5632, reps: int = 16) -> float:
-    """Decode weight-streaming bandwidth in GB/s via the SEVEN-projection
-    per-layer scan — the exact roofline ablation from docs/performance.md
-    ("Decode": weights-only floor 3.49 ms/tok = ~590 GB/s on bf16).
-
-    Every simpler formulation mis-measures on this chip (CLAUDE.md):
-    per-projection micro-GEMVs are dispatch-bound, an unrolled dependent
-    chain measured 371-392 GB/s, and a single-matvec lax.scan hits an XLA
-    lowering cliff at 119 GB/s. Only the model's own stacked-layer
-    multi-projection scan streams at the rate decode actually achieves."""
+def bench_gemm_int8(m: int = 8192, k: int = 4096, n: int = 14336,
+                    iters: int = 50) -> float:
+    """Native int8 MXU GEMM (int32 accumulation) at the reference's
+    quant-table shape — v5e's int8 MXU peak (~394 TOPS) is the one regime
+    where this chip natively exceeds the reference's quant GEMM table."""
     import jax
     import jax.numpy as jnp
 
-    def mk(key, *shape):
-        if dtype == "bf16":
-            return jax.random.normal(key, shape, jnp.bfloat16)
-        if dtype == "int8":
-            return jax.random.randint(key, shape, -127, 127, jnp.int8)
-        return jax.random.normal(key, shape, jnp.bfloat16).astype(
-            jnp.float8_e4m3fn)
-
-    ks = jax.random.split(jax.random.PRNGKey(1), 8)
-    lp = {"q": mk(ks[0], layers, h, h), "k": mk(ks[1], layers, h, kv),
-          "v": mk(ks[2], layers, h, kv), "o": mk(ks[3], layers, h, h),
-          "g": mk(ks[4], layers, h, inter), "u": mk(ks[5], layers, h, inter),
-          "d": mk(ks[6], layers, inter, h)}
-    elt = 2 if dtype == "bf16" else 1
-    bytes_total = sum(int(w.size) for w in lp.values()) * elt
-    x = jax.random.normal(ks[7], (1, h), jnp.bfloat16)
-
-    @jax.jit
-    def sweep(x, lp):
-        def body(hc, wl):
-            f32 = jnp.float32
-
-            def dot(a, w):
-                return jnp.dot(a, w.astype(jnp.bfloat16),
-                               preferred_element_type=f32
-                               ).astype(jnp.bfloat16)
-            a = dot(hc, wl["q"])
-            _k = dot(hc, wl["k"])
-            _v = dot(hc, wl["v"])
-            hc = hc + dot(a, wl["o"])
-            g = dot(hc, wl["g"])
-            u = dot(hc, wl["u"])
-            hc = hc + dot(g * u, wl["d"])
-            return hc + jnp.sum(_k) + jnp.sum(_v), None
-        hc, _ = jax.lax.scan(body, x, lp)
-        return hc
-
-    _sync(sweep(x, lp))
+    ka, kb = jax.random.split(jax.random.PRNGKey(2))
+    a = jax.random.randint(ka, (m, k), -127, 127, jnp.int8)
+    b = jax.random.randint(kb, (k, n), -127, 127, jnp.int8)
+    f = jax.jit(lambda a, b: jax.lax.dot_general(
+        a, b, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32))
+    _sync(f(a, b))
     t0 = time.perf_counter()
-    for _ in range(reps):
-        x = sweep(x, lp)
-        x = x[:, :h]
-    _sync(x)
-    dt = (time.perf_counter() - t0) / reps
-    return bytes_total / dt / 1e9
+    y = None
+    for _ in range(iters):
+        y = f(a, b)
+    _sync(y)
+    dt = (time.perf_counter() - t0) / iters
+    return 2.0 * m * k * n / dt / 1e12
+
+
+def bench_decode(mode: str, n_tokens: int = 192) -> dict:
+    """1B-scale REAL-MODEL decode: tokens/s and weight-streaming GB/s.
+
+    This replaces the synthetic projection sweeps of rounds 1-2 (VERDICT r2
+    #10): synthetic formulations mis-measure in both directions on this
+    chip (7-dot scan 394 GB/s, 4-dot fused scan 332, while the actual fused
+    decode path runs faster than either implies). The honest, reproducible
+    number is the model's own decode executable: device-init 1B params,
+    optional int8/fp8 quantized leaves, fused, chunked device-side
+    generation loop. GB/s = bytes the decode step must stream per token
+    (layer weights + embed/lm_head) / measured ms per token."""
+    import jax.numpy as jnp
+    from pygpukit_tpu.llm.config import TransformerConfig
+    from pygpukit_tpu.llm.model import (
+        CausalTransformerModel, fuse_params, init_params_device,
+    )
+
+    cfg = TransformerConfig(
+        vocab_size=32000, hidden_size=2048, num_layers=22, num_heads=32,
+        num_kv_heads=4, intermediate_size=5632,
+        max_position_embeddings=2048)
+    params = init_params_device(cfg, 0, jnp.bfloat16)
+    if mode != "bf16":
+        from pygpukit_tpu.llm.quant import quantize_model_params
+        params = quantize_model_params(params, mode)
+    params = fuse_params(params)
+    model = CausalTransformerModel(cfg, params, dtype=jnp.bfloat16)
+    model.init_fixed_cache(1024)
+    # streamed bytes per decode step: every layer leaf + embed + lm_head
+    def leaf_bytes(v):
+        if v is None:
+            return 0
+        if isinstance(v, dict):
+            return sum(leaf_bytes(x) for x in v.values())
+        return int(v.size * jnp.dtype(v.dtype).itemsize)
+    wbytes = (leaf_bytes(model.params["layers"])
+              + leaf_bytes(model.params["embed"])
+              + leaf_bytes(model.params.get("lm_head")))
+    model.generate(list(range(1, 17)), max_new_tokens=65, chunk_size=64)
+    model.init_fixed_cache(1024)
+    t0 = time.perf_counter()
+    out = model.generate(list(range(1, 17)), max_new_tokens=n_tokens + 1,
+                         chunk_size=64)
+    dt = (time.perf_counter() - t0) / len(out)
+    return {"toks_per_s": 1.0 / dt, "ms_per_tok": dt * 1e3,
+            "gbps": wbytes / dt / 1e9, "frac_hbm_peak": wbytes / dt / 1e9
+            / V5E_HBM_GBPS}
 
 
 def main() -> None:
     tflops = bench_gemm_bf16()
     extra = {}
     try:
+        # v5e has NO native fp8 MXU: this row is a bf16-emulated ceiling
+        # (~197 TFLOPS chip peak), recorded for format parity only. The
+        # native quant-GEMM row for this chip is int8 below.
         extra["fp8_gemm_tflops"] = round(bench_gemm_fp8(), 1)
         extra["fp8_gemm_vs_baseline"] = round(
             extra["fp8_gemm_tflops"] / BASELINE_FP8_TFLOPS, 4)
+        extra["fp8_gemm_note"] = "bf16-emulated (no native fp8 MXU on v5e)"
     except Exception as e:  # keep the headline robust
         extra["fp8_gemm_error"] = type(e).__name__
+    try:
+        extra["int8_gemm_tops"] = round(bench_gemm_int8(), 1)
+        # reference's best quant-GEMM row: fp8xfp8 217 TFLOPS (BASELINE.md)
+        extra["int8_gemm_vs_ref_fp8"] = round(
+            extra["int8_gemm_tops"] / BASELINE_FP8_TFLOPS, 4)
+    except Exception as e:
+        extra["int8_gemm_error"] = type(e).__name__
     for name in ("bf16", "fp8", "int8"):
         try:
-            gbps = bench_gemv(name)
-            extra[f"gemv_{name}_gbps"] = round(gbps, 1)
-            extra[f"gemv_{name}_frac_hbm_peak"] = round(gbps / V5E_HBM_GBPS, 4)
+            r = bench_decode(name)
+            extra[f"decode_1b_{name}_toks_per_s"] = round(r["toks_per_s"], 1)
+            extra[f"decode_1b_{name}_gbps"] = round(r["gbps"], 1)
+            extra[f"decode_1b_{name}_frac_hbm_peak"] = round(
+                r["frac_hbm_peak"], 4)
         except Exception as e:
-            extra[f"gemv_{name}_error"] = type(e).__name__
-    if "gemv_bf16_gbps" in extra:
-        extra["gemv_bf16_vs_baseline"] = round(
-            extra["gemv_bf16_gbps"] / BASELINE_GEMV_GBPS, 4)
+            extra[f"decode_1b_{name}_error"] = type(e).__name__
+    if "decode_1b_bf16_gbps" in extra:
+        extra["decode_bf16_vs_ref_gemv_bw"] = round(
+            extra["decode_1b_bf16_gbps"] / BASELINE_GEMV_GBPS, 4)
     print(json.dumps({
         "metric": "bf16_gemm_8192_tflops",
         "value": round(tflops, 2),

@@ -603,6 +603,66 @@ def init_params(cfg: TransformerConfig, seed: int = 0, dtype=jnp.bfloat16) -> di
     return params
 
 
+def init_params_device(cfg: TransformerConfig, seed: int = 0,
+                       dtype=jnp.bfloat16) -> dict:
+    """init_params built ON DEVICE with jax.random — host-numpy init of a
+    1B model takes ~14 min on a 1-CPU host vs ~6 s here (CLAUDE.md). Same
+    pytree layout; values differ from init_params (different RNG)."""
+    key = jax.random.PRNGKey(seed)
+    e, hq, hk, d = (cfg.hidden_size, cfg.num_heads, cfg.num_kv_heads,
+                    cfg.head_dim)
+    inter = cfg.intermediate_size
+    std = 0.02
+    counter = [0]
+
+    def w(*shape, dt=dtype):
+        counter[0] += 1
+        k = jax.random.fold_in(key, counter[0])
+        return (jax.random.normal(k, shape, jnp.float32) * std).astype(dt)
+
+    lp: dict = {
+        "attn_norm_w": jnp.ones((cfg.num_layers, e), _F32),
+        "mlp_norm_w": jnp.ones((cfg.num_layers, e), _F32),
+        "w_q": w(cfg.num_layers, e, hq * d),
+        "w_k": w(cfg.num_layers, e, hk * d),
+        "w_v": w(cfg.num_layers, e, hk * d),
+        "w_o": w(cfg.num_layers, hq * d, e),
+    }
+    if cfg.norm_type == "layernorm":
+        lp["attn_norm_b"] = jnp.zeros((cfg.num_layers, e), _F32)
+        lp["mlp_norm_b"] = jnp.zeros((cfg.num_layers, e), _F32)
+    if cfg.use_qk_norm:
+        lp["w_q_norm"] = jnp.ones((cfg.num_layers, d), _F32)
+        lp["w_k_norm"] = jnp.ones((cfg.num_layers, d), _F32)
+    if cfg.is_moe:
+        lp["w_router"] = w(cfg.num_layers, e, cfg.num_experts, dt=_F32)
+        mi = cfg.moe_intermediate_size
+        lp["w_experts_gate"] = w(cfg.num_layers, cfg.num_experts, e, mi)
+        lp["w_experts_up"] = w(cfg.num_layers, cfg.num_experts, e, mi)
+        lp["w_experts_down"] = w(cfg.num_layers, cfg.num_experts, mi, e)
+    elif cfg.activation == "silu":
+        lp["w_gate"] = w(cfg.num_layers, e, inter)
+        lp["w_up"] = w(cfg.num_layers, e, inter)
+        lp["w_down"] = w(cfg.num_layers, inter, e)
+    else:
+        lp["w_fc1"] = w(cfg.num_layers, e, inter)
+        lp["w_fc2"] = w(cfg.num_layers, inter, e)
+        lp["b_fc1"] = jnp.zeros((cfg.num_layers, inter), dtype)
+        lp["b_fc2"] = jnp.zeros((cfg.num_layers, e), dtype)
+
+    params: dict = {
+        "embed": w(cfg.vocab_size, e),
+        "final_norm_w": jnp.ones((e,), _F32),
+        "lm_head": None if cfg.tie_word_embeddings else w(e, cfg.vocab_size),
+        "layers": lp,
+    }
+    if cfg.norm_type == "layernorm":
+        params["final_norm_b"] = jnp.zeros((e,), _F32)
+    if cfg.use_position_embed:
+        params["pos_embed"] = w(cfg.max_position_embeddings, e)
+    return params
+
+
 # ---------------------------------------------------------------------------
 # Model class
 # ---------------------------------------------------------------------------

@@ -33,6 +33,9 @@ def _sync(x):
 
 
 def make_stream_kernel(t, k, n, w_dtype):
+    # x padded to 8 rows: single-sublane M=1 dots lower pathologically in
+    # Mosaic (measured 7-24 GB/s); the flash decode kernel pads for the
+    # same reason
     def kernel(x_ref, w_ref, o_ref):
         w = w_ref[0]
         if w.dtype != jnp.bfloat16:
@@ -45,11 +48,11 @@ def make_stream_kernel(t, k, n, w_dtype):
         kernel,
         grid=(t,),
         in_specs=[
-            pl.BlockSpec((1, k), lambda i: (0, 0)),          # x resident
+            pl.BlockSpec((8, k), lambda i: (0, 0)),          # x resident
             pl.BlockSpec((1, k, n), lambda i: (i, 0, 0)),    # W streamed
         ],
-        out_specs=pl.BlockSpec((1, 1, n), lambda i: (i, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((t, 1, n), jnp.bfloat16),
+        out_specs=pl.BlockSpec((1, 8, n), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((t, 8, n), jnp.bfloat16),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=110 * 1024 * 1024),
     )
@@ -63,7 +66,7 @@ def bench(label, t, k, n, dtype, reps=32):
     else:
         w = jax.random.randint(key, (t, k, n), -127, 127, jnp.int8)
         elt = 1
-    x = jax.random.normal(jax.random.PRNGKey(1), (1, k), jnp.bfloat16)
+    x = jax.random.normal(jax.random.PRNGKey(1), (8, k), jnp.bfloat16)
     fn = jax.jit(make_stream_kernel(t, k, n, w.dtype))
     y = fn(x, w)
     _sync(y)
