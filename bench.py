@@ -27,6 +27,44 @@ def _sync(x):
     return np.asarray(x.reshape(-1)[0:1])
 
 
+def bench_hbm_stream(gb: float = 2.0, passes: int = 128,
+                     reps: int = 3) -> float:
+    """Raw HBM streaming rate TODAY (repeated jit sum over a bf16 array).
+
+    The axon-tunneled chip's memory path varies day to day while the MXU
+    stays at full rate — bandwidth-bound rows below must be read against
+    THIS number, not the 819 GB/s spec. ``passes`` sweeps run INSIDE one
+    jit call with an accumulator carried into each pass (defeats hoisting)
+    so the ~36 ms tunnel sync amortises — a single synced pass would
+    measure the tunnel, not HBM (2 GB/sync-time reads ~50 GB/s even on a
+    healthy chip; 16 passes still caps at ~280 — 128 passes puts the sync
+    under 10% of a healthy-chip call)."""
+    import jax
+    import jax.numpy as jnp
+
+    n = int(gb * 1e9 / 2)
+    w = jax.random.normal(jax.random.PRNGKey(0), (n // 1024, 1024),
+                          jnp.bfloat16)
+    nbytes = int(w.size) * 2
+
+    @jax.jit
+    def f(w):
+        def body(_, acc):
+            # acc feeds the add so XLA can't hoist the loop-invariant sum;
+            # the add fuses into the reduction (one read of w per pass)
+            return jnp.sum(w + acc, dtype=jnp.float32).astype(jnp.bfloat16)
+        return jax.lax.fori_loop(0, passes, body, jnp.bfloat16(0))
+
+    _sync(f(w))
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        y = f(w)
+        _sync(y)
+        best = min(best, time.perf_counter() - t0)
+    return nbytes * passes / best / 1e9
+
+
 def bench_gemm_bf16(n: int = 8192, iters: int = 100) -> float:
     import jax
     import jax.numpy as jnp
@@ -148,6 +186,16 @@ def bench_decode(mode: str, n_tokens: int = 192) -> dict:
 def main() -> None:
     tflops = bench_gemm_bf16()
     extra = {}
+    try:
+        # Chip-health row: bandwidth-bound numbers below are only
+        # interpretable against TODAY's measured stream rate (the tunneled
+        # chip's memory path has been observed 12x degraded while the MXU
+        # ran at full speed).
+        extra["hbm_stream_gbps"] = round(bench_hbm_stream(), 1)
+        extra["hbm_stream_frac_spec"] = round(
+            extra["hbm_stream_gbps"] / V5E_HBM_GBPS, 4)
+    except Exception as e:
+        extra["hbm_stream_error"] = type(e).__name__
     try:
         # v5e has NO native fp8 MXU: this row is a bf16-emulated ceiling
         # (~197 TFLOPS chip peak), recorded for format parity only. The

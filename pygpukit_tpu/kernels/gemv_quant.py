@@ -179,3 +179,118 @@ def gemv_int4_packed(w_packed, x, scale=None, bn: int = 512,
     out = _gemv_packed_pallas(w_packed, x_lo, x_hi, sc, bn=bn,
                               bk_half=bk_half, interpret=interpret_mode())
     return out[:max(rows, 1), :n][:rows]
+
+
+def _gemv_block_kernel(w_ref, xlo_ref, xhi_ref, slo_ref, shi_ref, o_ref,
+                       acc_ref, *, n_k: int, blk: int):
+    """Block-scaled packed-int4 GEMV (NVF4 analog — reference
+    native/ops/matmul/gemm/w4a16_bf16/): scales vary along K in blocks of
+    ``blk``, so they multiply the WEIGHT before the dot. The [bn, nb] scale
+    tile expands to [bn, bk_half] via an MXU dot against a 0/1 expansion
+    matrix built from iotas — Mosaic rejects the jnp.repeat lowering
+    (minor-dim reshape [bn, nb, blk] -> [bn, nb*blk] is an unsupported
+    shape cast), but dots and lane-broadcast compares always lower."""
+    ki = pl.program_id(1)
+
+    @pl.when(ki == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    p32 = w_ref[:].astype(jnp.int32)             # [bn, bk_half]
+    lo = ((p32 << 28) >> 28).astype(_F32)
+    hi = ((p32 << 24) >> 28).astype(_F32)
+    half_b = slo_ref.shape[1]                    # FULL scale width (the
+    # [bn, half_b] scale tile rides along every ki — Mosaic TPU requires
+    # lane-dim tiles be 128-divisible or full-width, and half_b is small)
+    bk_half = w_ref.shape[1]
+    nb = bk_half // blk                          # scale blocks per K-tile
+    jb = jax.lax.broadcasted_iota(jnp.int32, (half_b, bk_half), 1) // blk
+    bb = jax.lax.broadcasted_iota(jnp.int32, (half_b, bk_half), 0)
+    # E[b, j] = 1 iff global block index of lane j in THIS K-tile == b
+    e = (bb == jb + ki * nb).astype(_F32)
+    slo = jax.lax.dot_general(slo_ref[:], e, (((1,), (0,)), ((), ())),
+                              preferred_element_type=_F32)
+    shi = jax.lax.dot_general(shi_ref[:], e, (((1,), (0,)), ((), ())),
+                              preferred_element_type=_F32)
+    wlo = (lo * slo).astype(jnp.bfloat16)
+    whi = (hi * shi).astype(jnp.bfloat16)
+    acc_ref[:] += jax.lax.dot_general(
+        xlo_ref[:].astype(jnp.bfloat16), wlo, (((1,), (1,)), ((), ())),
+        preferred_element_type=_F32)
+    acc_ref[:] += jax.lax.dot_general(
+        xhi_ref[:].astype(jnp.bfloat16), whi, (((1,), (1,)), ((), ())),
+        preferred_element_type=_F32)
+
+    @pl.when(ki == n_k - 1)
+    def _():
+        o_ref[:] = acc_ref[:].astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("bn", "bk_half", "blk",
+                                             "interpret"))
+def _gemv_block_pallas(w_packed, x_lo, x_hi, s_lo, s_hi, *, bn: int,
+                       bk_half: int, blk: int, interpret: bool):
+    n, k_half = w_packed.shape
+    rows = x_lo.shape[0]
+    half_b = s_lo.shape[1]
+    n_k = _cdiv(k_half, bk_half)
+    kernel = functools.partial(_gemv_block_kernel, n_k=n_k, blk=blk)
+    return pl.pallas_call(
+        kernel,
+        grid=(_cdiv(n, bn), n_k),
+        in_specs=[
+            pl.BlockSpec((bn, bk_half), lambda ni, ki: (ni, ki)),
+            pl.BlockSpec((rows, bk_half), lambda ni, ki: (0, ki)),
+            pl.BlockSpec((rows, bk_half), lambda ni, ki: (0, ki)),
+            pl.BlockSpec((bn, half_b), lambda ni, ki: (ni, 0)),
+            pl.BlockSpec((bn, half_b), lambda ni, ki: (ni, 0)),
+        ],
+        out_specs=pl.BlockSpec((rows, bn), lambda ni, ki: (0, ni)),
+        out_shape=jax.ShapeDtypeStruct((rows, n), jnp.bfloat16),
+        scratch_shapes=[pltpu.VMEM((rows, bn), _F32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n * k_half * 2,
+            bytes_accessed=n * k_half + n * k_half // blk * 4 * 2
+            + k_half * 2 * 2 + n * 2,
+            transcendentals=0),
+        interpret=interpret,
+    )(w_packed, x_lo, x_hi, s_lo, s_hi)
+
+
+@functools.partial(jax.jit, static_argnames=("bn", "bk_half"))
+def gemv_int4_block(w_packed, x, scale_block, bn: int = 512,
+                    bk_half: int = 512):
+    """y[rows,N] = x[rows,K] @ dequant(W_packed, scale_block).T with
+    per-(K-block, column) scales [K/B, N]. Split-half packing as
+    gemv_int4_packed; requires B | K/2 (callers fall back to the XLA
+    formulation otherwise — llm/model._mm)."""
+    n, k_half = w_packed.shape
+    k = 2 * k_half
+    blk = k // scale_block.shape[0]
+    bn = min(bn, n)
+    bk_half = min(bk_half, k_half)
+    if bk_half % blk:
+        bk_half = max(blk, bk_half - bk_half % blk)
+    npad = _cdiv(n, bn) * bn - n
+    kpad_half = _cdiv(k_half, bk_half) * bk_half - k_half
+    if npad or kpad_half:
+        w_packed = jnp.pad(w_packed, ((0, npad), (0, kpad_half)))
+    rows = x.shape[0] if x.ndim == 2 else 1
+    xr = x.reshape(rows, -1).astype(jnp.bfloat16)
+    rpad = max(8 - rows, 0)
+    x_lo = jnp.pad(xr[:, :k_half], ((0, rpad), (0, kpad_half)))
+    x_hi = jnp.pad(xr[:, k_half:], ((0, rpad), (0, kpad_half)))
+    s_t = jnp.swapaxes(scale_block, -1, -2).astype(_F32)   # [N, K/B]
+    half_b = k_half // blk
+    s_lo = s_t[:, :half_b]
+    s_hi = s_t[:, half_b:]
+    bpad = kpad_half // blk
+    if npad or bpad:
+        s_lo = jnp.pad(s_lo, ((0, npad), (0, bpad)))
+        s_hi = jnp.pad(s_hi, ((0, npad), (0, bpad)))
+    out = _gemv_block_pallas(w_packed, x_lo, x_hi, s_lo, s_hi, bn=bn,
+                             bk_half=bk_half, blk=blk,
+                             interpret=interpret_mode())
+    return out[:max(rows, 1), :n][:rows]

@@ -65,14 +65,25 @@ def _mm(x, w):
             import os
             from ..core.backend import get_backend
             packed = w["q_packed"]                     # [N, K/2] transposed
+            blocked = "scale_block" in w               # NVF4-analog leaves
+            blk_ok = (not blocked or (packed.shape[-1]
+                                      % (x.shape[-1]
+                                         // w["scale_block"].shape[-2]) == 0))
             if (os.environ.get("PYGPUKIT_INT4_GEMV", "pallas") == "pallas"
                     and x.shape[0] <= 8 and packed.ndim == 2
                     and x.shape[-1] == 2 * packed.shape[-1]   # no pack padding
-                    and get_backend().platform == "tpu"):
+                    and packed.size >= (1 << 19)   # tiny mats: XLA (a Mosaic
+                    # compile costs ~3 min over the tunnel; sub-512KB weights
+                    # are dispatch-bound either way)
+                    and blk_ok and get_backend().platform == "tpu"):
                 # Pallas in-register nibble unpack: streams packed uint8 from
                 # HBM (4x less traffic than bf16), unpacks in VMEM
-                from ..kernels.gemv_quant import gemv_int4_packed
-                y = gemv_int4_packed(packed, x, jnp.ravel(w["scale"]))
+                if blocked:
+                    from ..kernels.gemv_quant import gemv_int4_block
+                    y = gemv_int4_block(packed, x, w["scale_block"])
+                else:
+                    from ..kernels.gemv_quant import gemv_int4_packed
+                    y = gemv_int4_packed(packed, x, jnp.ravel(w["scale"]))
                 return y.astype(x.dtype)
             from .quant import unpack_int4
             q_t = unpack_int4(packed)                  # [N, K(+pad)]
@@ -80,11 +91,40 @@ def _mm(x, w):
             xb = x.astype(jnp.bfloat16)
             if xb.shape[-1] < k_un:   # pack padding: zero-extend activations
                 xb = jnp.pad(xb, ((0, 0), (0, k_un - xb.shape[-1])))
+            if blocked:
+                # dequantize per block into the dot operand (XLA fuses the
+                # broadcast-multiply into the contraction feed)
+                s = w["scale_block"]                   # [K/B, N]
+                nb = s.shape[-2]
+                q = jnp.swapaxes(q_t, -1, -2)          # [K, N]
+                wd = (q.reshape(nb, k_un // nb, -1).astype(jnp.bfloat16)
+                      * s[:, None, :].astype(jnp.bfloat16)
+                      ).reshape(k_un, -1)
+                return jnp.dot(xb, wd,
+                               preferred_element_type=_F32).astype(x.dtype)
             acc = jax.lax.dot_general(
                 xb, q_t.astype(jnp.bfloat16), (((1,), (1,)), ((), ())),
                 preferred_element_type=_F32)
             return (acc * w["scale"]).astype(x.dtype)
         q = w["q"]
+        if q.dtype == jnp.int8:
+            import os
+            from ..core.backend import get_backend
+            default = ("w8a8" if get_backend().platform == "tpu"
+                       else "w8a16")
+            if os.environ.get("PYGPUKIT_INT8_MODE", default) == "w8a8":
+                # native int8 MXU dot (int32 accumulation, ~300 TOPS
+                # measured): the int8 operand feeds the MXU WITHOUT a bf16
+                # materialization — 4.5x over the int8->bf16 convert path
+                # same-process (15.2 vs 68.7 ms/tok 1B decode; measured on
+                # a degraded-HBM day, ratio expected smaller when healthy).
+                # TPU default; PYGPUKIT_INT8_MODE=w8a16 opts out (quantizing
+                # the activation per-row adds ~0.4% matvec RMS error).
+                amax = jnp.max(jnp.abs(x), axis=-1, keepdims=True)
+                sx = jnp.maximum(amax.astype(_F32) / 127.0, 1e-12)
+                xi = jnp.round(x.astype(_F32) / sx).astype(jnp.int8)
+                acc = jnp.dot(xi, q, preferred_element_type=jnp.int32)
+                return (acc.astype(_F32) * sx * w["scale"]).astype(x.dtype)
         xb = x.astype(jnp.bfloat16)
         acc = jnp.dot(xb, q.astype(jnp.bfloat16), preferred_element_type=_F32)
         return (acc * w["scale"]).astype(x.dtype)

@@ -87,9 +87,37 @@ _QUANT_KEYS = {
 _MOE_QUANT_KEYS = {"w_experts_gate", "w_experts_up", "w_experts_down"}
 
 
-def quantize_weight(w: jnp.ndarray, mode: str = "fp8") -> dict:
-    """One weight [..., in, out] → {"q", "scale"} with per-column scales."""
+def quantize_weight(w: jnp.ndarray, mode: str = "fp8",
+                    block_size: int = 32) -> dict:
+    """One weight [..., in, out] → {"q", "scale"} with per-column scales.
+
+    ``int4_block`` (alias ``nvf4`` — the reference's block-scaled 4-bit
+    format, native/ops/matmul/gemm/w4a16_bf16/): per-(K-block, column)
+    scales [..., K/B, out] instead of one scale per column. The finer
+    scale granularity shrinks the quantization step everywhere the weight
+    is locally small — the quality rung between int4 and int8 on the
+    reference's ladder.
+    """
     wf = w.astype(jnp.float32)
+    if mode in ("int4_block", "nvf4"):
+        B = block_size
+        *lead, K, N = wf.shape
+        kpad = (-K) % B
+        if kpad:
+            wf = jnp.pad(wf, [(0, 0)] * len(lead) + [(0, kpad), (0, 0)])
+            K += kpad
+        blk = wf.reshape(*lead, K // B, B, N)
+        amax_b = jnp.max(jnp.abs(blk), axis=-2, keepdims=True)
+        scale_b = jnp.maximum(amax_b / 7.0, 1e-12)            # [...,K/B,1,N]
+        q = jnp.clip(jnp.round(blk / scale_b), -7, 7).astype(jnp.int8)
+        q = q.reshape(*lead, K, N)
+        # same packed-transposed storage as plain int4 (K even: B is even)
+        qt = jnp.swapaxes(q, -1, -2)                          # [..., N, K]
+        half = qt.shape[-1] // 2
+        packed = ((qt[..., :half] & 0xF)
+                  | ((qt[..., half:] & 0xF) << 4)).astype(jnp.uint8)
+        return {"q_packed": packed,
+                "scale_block": scale_b[..., 0, :]}            # [..., K/B, N]
     amax = jnp.max(jnp.abs(wf), axis=-2, keepdims=True)       # [..., 1, out]
     if mode == "fp8":
         fmax = float(jnp.finfo(jnp.float8_e4m3fn).max)
@@ -135,6 +163,13 @@ def unpack_int4(packed):
 def dequantize_weight(wq: dict, dtype=jnp.bfloat16) -> jnp.ndarray:
     if "q_packed" in wq:
         q = jnp.swapaxes(unpack_int4(wq["q_packed"]), -1, -2)  # -> [..., K, N]
+        if "scale_block" in wq:
+            s = wq["scale_block"]                              # [..., K/B, N]
+            *lead, K, N = q.shape
+            nb = s.shape[-2]
+            blk = q.reshape(*lead, nb, K // nb, N).astype(jnp.float32)
+            return (blk * s[..., :, None, :]).reshape(*lead, K, N
+                                                      ).astype(dtype)
         return (q.astype(jnp.float32) * wq["scale"]).astype(dtype)
     return (wq["q"].astype(jnp.float32) * wq["scale"]).astype(dtype)
 
@@ -146,7 +181,8 @@ def quantize_model_params(params: dict, mode: str = "fp8",
     here quantization happens post-load; direct-load of fp8 checkpoints
     arrives via loader dtype passthrough)."""
     if keys is None:
-        keys = _QUANT_KEYS | (_MOE_QUANT_KEYS if mode != "int4" else set())
+        packed4 = mode in ("int4", "int4_block", "nvf4")
+        keys = _QUANT_KEYS | (set() if packed4 else _MOE_QUANT_KEYS)
     out = dict(params)
     layers = dict(params["layers"])
     for k in list(layers.keys()):

@@ -67,3 +67,21 @@ def test_flash_decode_interpret(rng):
     ref = np.asarray(jax.jit(sdpa_fixed_cache_fn)(q, kc, vc, jnp.int32(100)))
     rel = np.abs(out - ref).max() / (np.abs(ref).max() + 1e-9)
     assert rel < 1e-4, rel
+
+
+def test_gemv_int4_block_interpret(rng):
+    """Block-scaled packed-int4 GEMV (NVF4 analog): scales vary along K in
+    blocks; kernel expands the [bn, nb] scale tile with a lane repeat."""
+    import jax.numpy as jnp
+    from pygpukit_tpu.kernels.gemv_quant import gemv_int4_block
+    from pygpukit_tpu.llm.quant import dequantize_weight, quantize_weight
+    n, k, blk = 256, 256, 32
+    w = jnp.asarray(rng.standard_normal((k, n)).astype(np.float32) * 0.1)
+    wq = quantize_weight(w, "int4_block", block_size=blk)
+    x = rng.standard_normal((2, k)).astype(np.float32)
+    y = np.asarray(gemv_int4_block(wq["q_packed"], jnp.asarray(x),
+                                   wq["scale_block"], bn=128, bk_half=128),
+                   np.float32)
+    ref = x @ np.asarray(dequantize_weight(wq, jnp.float32))
+    rel = np.abs(y - ref).max() / np.abs(ref).max()
+    assert rel < 2e-2, rel

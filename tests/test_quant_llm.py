@@ -207,3 +207,102 @@ class TestQuantizedFusion:
         fused = fuse_params(qp)
         assert "w_qkv" not in fused["layers"]      # packed layout unfusable
         assert "w_q" in fused["layers"]
+
+
+class TestW8A8:
+    """Opt-in native int8 activation-quantized matvec (PYGPUKIT_INT8_MODE=
+    w8a8): int8 x int8 -> int32 MXU dot, per-row activation scales."""
+
+    def test_mm_matches_dequant(self, monkeypatch):
+        import jax
+        from pygpukit_tpu.llm.model import _mm
+        monkeypatch.setenv("PYGPUKIT_INT8_MODE", "w8a8")
+        rng = np.random.default_rng(7)
+        w = jnp.asarray(rng.standard_normal((256, 128)).astype(np.float32)
+                        * 0.05)
+        wq = quantize_weight(w, "int8")
+        x = jnp.asarray(rng.standard_normal((4, 256)).astype(np.float32))
+        got = np.asarray(jax.jit(_mm)(x, wq), np.float32)
+        ref = np.asarray(x, np.float32) @ np.asarray(
+            dequantize_weight(wq, jnp.float32))
+        rms = (np.sqrt(((got - ref) ** 2).mean())
+               / np.sqrt((ref ** 2).mean()))
+        assert rms < 0.01, rms      # activation quant adds ~0.4% RMS
+
+    def test_model_greedy_tokens_match_w8a16(self, cfg, monkeypatch):
+        params = init_params(cfg, seed=11, dtype=jnp.bfloat16)
+        qp = quantize_model_params(params, "int8")
+        m16 = CausalTransformerModel(cfg, qp, dtype=jnp.bfloat16)
+        ref = m16.generate([5, 1, 8], max_new_tokens=8, temperature=0.0)
+        monkeypatch.setenv("PYGPUKIT_INT8_MODE", "w8a8")
+        m8 = CausalTransformerModel(cfg, qp, dtype=jnp.bfloat16)
+        got = m8.generate([5, 1, 8], max_new_tokens=8, temperature=0.0)
+        # random tiny models have near-flat logits; exact token match is
+        # not guaranteed under activation quant — require high overlap
+        same = sum(a == b for a, b in zip(ref, got))
+        assert same >= len(ref) - 2, (ref, got)
+
+
+class TestInt4Block:
+    """Block-scaled int4 (NVF4 analog — reference
+    native/ops/matmul/gemm/w4a16_bf16/, README W4A16 row: its own stated
+    error is ~15%). Per-(K-block, column) scales cut matvec output error
+    vs per-column int4; storage stays packed 2 values/byte."""
+
+    def test_roundtrip_and_output_error(self):
+        rng = np.random.default_rng(0)
+        w = jnp.asarray(rng.standard_normal((2048, 256)).astype(np.float32)
+                        * 0.02)
+        x = rng.standard_normal((4, 2048)).astype(np.float32)
+        ref = x @ np.asarray(w)
+
+        def out_rms(mode, **kw):
+            deq = np.asarray(dequantize_weight(
+                quantize_weight(w, mode, **kw), jnp.float32))
+            out = x @ deq
+            return (np.sqrt(((out - ref) ** 2).mean())
+                    / np.sqrt((ref ** 2).mean()))
+
+        col = out_rms("int4")
+        blk = out_rms("int4_block", block_size=32)
+        assert blk < 0.13, blk          # measured 0.102 (col int4: 0.155)
+        assert blk < col * 0.8, (blk, col)
+        wq = quantize_weight(w, "int4_block", block_size=32)
+        assert wq["scale_block"].shape == (2048 // 32, 256)
+        deq = np.asarray(dequantize_weight(wq, jnp.float32))
+        relw = np.abs(deq - np.asarray(w)).max() / np.abs(np.asarray(w)).max()
+        assert relw < 0.08, relw        # per-column int4 bound is 0.2
+
+    def test_mm_xla_fallback_matches_dequant(self):
+        import jax
+        from pygpukit_tpu.llm.model import _mm
+        rng = np.random.default_rng(1)
+        w = jnp.asarray(rng.standard_normal((64, 48)).astype(np.float32)
+                        * 0.05)
+        wq = quantize_weight(w, "int4_block", block_size=16)
+        x = jnp.asarray(rng.standard_normal((3, 64)).astype(np.float32))
+        got = np.asarray(jax.jit(_mm)(x, wq), np.float32)
+        ref = np.asarray(x, np.float32) @ np.asarray(
+            dequantize_weight(wq, jnp.float32))
+        rel = np.abs(got - ref).max() / (np.abs(ref).max() + 1e-9)
+        assert rel < 2e-2, rel
+
+    def test_model_logits_close(self, cfg):
+        params = init_params(cfg, seed=5, dtype=jnp.float32)
+        model = CausalTransformerModel(cfg, params, dtype=jnp.float32)
+        ids = [3, 9, 27]
+        ref = model.get_logits(ids)
+        qp = quantize_model_params(init_params(cfg, seed=5, dtype=jnp.float32),
+                                   "int4_block")
+        qmodel = CausalTransformerModel(cfg, qp, dtype=jnp.float32)
+        got = qmodel.get_logits(ids)
+        rel = (np.abs(np.asarray(got) - np.asarray(ref)).max()
+               / (np.abs(np.asarray(ref)).max() + 1e-9))
+        assert rel < 0.25, rel
+
+    def test_skips_moe_experts(self, moe_cfg):
+        params = init_params(moe_cfg, seed=3, dtype=jnp.bfloat16)
+        qparams = quantize_model_params(params, "int4_block")
+        assert not isinstance(qparams["layers"]["w_experts_gate"], dict)
+        assert isinstance(qparams["layers"]["w_o"], dict)
+        assert "scale_block" in qparams["layers"]["w_o"]
