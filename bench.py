@@ -213,7 +213,7 @@ def main() -> None:
             extra["int8_gemm_tops"] / BASELINE_FP8_TFLOPS, 4)
     except Exception as e:
         extra["int8_gemm_error"] = type(e).__name__
-    for name in ("bf16", "fp8", "int8"):
+    for name in ("bf16", "fp8", "int8", "int4", "int4_block"):
         try:
             r = bench_decode(name)
             extra[f"decode_1b_{name}_toks_per_s"] = round(r["toks_per_s"], 1)

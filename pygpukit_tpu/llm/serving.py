@@ -289,6 +289,12 @@ class ContinuousBatchingEngine:
             req.slot = slot
             self._slots[slot] = req
             pairs.append((slot, req))
+        self._dispatch_prefills(pairs)
+
+    def _dispatch_prefills(self, pairs: list) -> None:
+        """Run prefills for (slot, request) pairs, wave-batching same-bucket
+        groups into one executable in pipelined mode (one dispatch + one
+        batched forward instead of N serialized ones)."""
         if not pairs:
             return
         if self.pipelined and len(pairs) >= 2:
@@ -803,15 +809,22 @@ class ContinuousBatchingEngine:
         if getattr(self, "_inflight", None) is None or not self._queue:
             return
         n = max(self.steps_per_dispatch, 1)
+        pairs = []
         for slot, req in self._inflight[1]:
             if not self._queue:
-                return
+                break
             if (self._slots[slot] is req and not req.done
                     and len(req.generated) + n >= req.max_new_tokens):
+                if self.paged and not self._can_admit_paged(self._queue[0]):
+                    break
                 nxt = self._queue.pop(0)
                 nxt.slot = slot
                 self._slots[slot] = nxt
-                self._prefill_slot(slot, nxt)
+                pairs.append((slot, nxt))
+        # wave boundary: all length-bound slots free at once — batch their
+        # replacement prefills into ONE wave executable instead of N
+        # serialized per-slot dispatches (the round-2 stagger residual)
+        self._dispatch_prefills(pairs)
 
     def _resolve_inflight(self) -> None:
         if getattr(self, "_inflight", None) is None and not getattr(
