@@ -27,18 +27,20 @@ def _sync(x):
     return np.asarray(x.reshape(-1)[0:1])
 
 
-def bench_hbm_stream(gb: float = 2.0, passes: int = 128,
-                     reps: int = 3) -> float:
+def bench_hbm_stream(gb: float = 2.0, reps: int = 3) -> float:
     """Raw HBM streaming rate TODAY (repeated jit sum over a bf16 array).
 
     The axon-tunneled chip's memory path varies day to day while the MXU
     stays at full rate — bandwidth-bound rows below must be read against
-    THIS number, not the 819 GB/s spec. ``passes`` sweeps run INSIDE one
-    jit call with an accumulator carried into each pass (defeats hoisting)
-    so the ~36 ms tunnel sync amortises — a single synced pass would
-    measure the tunnel, not HBM (2 GB/sync-time reads ~50 GB/s even on a
-    healthy chip; 16 passes still caps at ~280 — 128 passes puts the sync
-    under 10% of a healthy-chip call)."""
+    THIS number, not the 819 GB/s spec. Sweeps run INSIDE one jit call
+    with an accumulator carried into each pass (defeats hoisting), and the
+    rate comes from a TWO-POINT fit (36-pass call minus 4-pass call): the
+    difference cancels the ~36 ms tunnel sync + dispatch constant exactly,
+    keeping the row honest AND bounded-time on degraded-chip days (a fixed
+    large pass count takes minutes at 4x degradation, while a single
+    synced pass measures the tunnel — ~50 GB/s even on a healthy chip)."""
+    import functools
+
     import jax
     import jax.numpy as jnp
 
@@ -47,22 +49,24 @@ def bench_hbm_stream(gb: float = 2.0, passes: int = 128,
                           jnp.bfloat16)
     nbytes = int(w.size) * 2
 
-    @jax.jit
-    def f(w):
+    @functools.partial(jax.jit, static_argnames="passes")
+    def f(w, passes):
         def body(_, acc):
             # acc feeds the add so XLA can't hoist the loop-invariant sum;
             # the add fuses into the reduction (one read of w per pass)
             return jnp.sum(w + acc, dtype=jnp.float32).astype(jnp.bfloat16)
         return jax.lax.fori_loop(0, passes, body, jnp.bfloat16(0))
 
-    _sync(f(w))
-    best = float("inf")
-    for _ in range(reps):
+    def timed(passes):
         t0 = time.perf_counter()
-        y = f(w)
-        _sync(y)
-        best = min(best, time.perf_counter() - t0)
-    return nbytes * passes / best / 1e9
+        _sync(f(w, passes))
+        return time.perf_counter() - t0
+
+    lo, hi = 4, 36
+    timed(lo), timed(hi)                        # compile both variants
+    t_lo = min(timed(lo) for _ in range(reps))
+    t_hi = min(timed(hi) for _ in range(reps))
+    return nbytes * (hi - lo) / max(t_hi - t_lo, 1e-9) / 1e9
 
 
 def bench_gemm_bf16(n: int = 8192, iters: int = 100) -> float:

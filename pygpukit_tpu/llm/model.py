@@ -776,13 +776,24 @@ class CausalTransformerModel:
 
     def init_fixed_cache(self, max_seq_len: int) -> None:
         """Preallocate KV caches [L, MAX, Hk, D]
-        (reference: Attention.init_fixed_cache, llm/layers/attention.py:128)."""
+        (reference: Attention.init_fixed_cache, llm/layers/attention.py:128).
+
+        Re-initialising at the SAME capacity (the per-request reset
+        pattern) keeps every captured executable: they are lowered against
+        shapes, not buffers, and donation consumes the old cache arrays
+        anyway. Dropping them cost ~2 s of re-capture per reset on the 1B
+        model — the round-3 "13 ms/tok decode" was exactly this, not the
+        chip."""
         cfg = self.config
         shape = (cfg.num_layers, max_seq_len, cfg.num_kv_heads, cfg.head_dim)
+        same = (self.k_cache is not None and self.max_seq_len == max_seq_len
+                and self.k_cache.dtype == self.dtype)
         self.k_cache = jnp.zeros(shape, self.dtype)
         self.v_cache = jnp.zeros(shape, self.dtype)
         self.max_seq_len = max_seq_len
         self.pos = 0
+        if same:
+            return
         # all executables were lowered against the old cache shape
         self._decode_exe = None
         self._prefill_exes = {}
