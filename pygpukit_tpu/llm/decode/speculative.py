@@ -18,6 +18,15 @@ Rejected KV rows need no rollback: later steps mask beyond their ctx_len and
 overwrite them (TPU replacement for the reference's confirmed/speculative
 position bookkeeping, attention.py:152-169). Greedy-equivalent to M1 by
 construction.
+
+Self-speculative mode runs the ENTIRE loop on device
+(model.decode_spec_chunk -> speculative_scan_fn): rounds are a lax.scan,
+the draft is the target's first-``n_draft_layers`` slice sharing the
+target's KV cache, and the verify window costs the same MXU time as a
+single decode step (M<=16 dots are flat). The host loop below remains for
+the separate-draft-model case, whose distinct config/cache doesn't fold
+into one program; over a remote transport it pays ~2 synced roundtrips
+per round.
 """
 
 from __future__ import annotations
@@ -138,6 +147,51 @@ class DecodeSpeculative(DecodeStrategy):
 
     # -- generation ----------------------------------------------------------
 
+    def _generate_device_loop(self, ids: np.ndarray, max_new_tokens: int,
+                              eos_token_id: int | None) -> list[int]:
+        """Self-speculative generation with the WHOLE draft->verify->accept
+        loop on device (model.decode_spec_chunk / speculative_scan_fn):
+        one dispatch per ``rounds_per_chunk`` rounds instead of two synced
+        roundtrips per round — the difference between losing and winning
+        over a remote transport."""
+        model = self.model
+        gamma = self.gamma
+        logits = model.prefill(ids)
+        cur = int(np.asarray(jnp.argmax(logits)))
+        out: list[int] = [cur]
+        self.stats.tokens_generated += 1
+        self.stats.steps += 1
+        rounds_per_chunk = max(1, 32 // (gamma + 1))
+        while len(out) < max_new_tokens:
+            if eos_token_id is not None and cur == eos_token_id:
+                break
+            rounds = min(rounds_per_chunk,
+                         (model.max_seq_len - model.pos) // (gamma + 1))
+            if rounds < 1:
+                if model.pos >= model.max_seq_len:
+                    break
+                logits = model.decode_step(cur)
+                cur = int(np.asarray(jnp.argmax(logits)))
+                out.append(cur)
+                self.stats.tokens_generated += 1
+                self.stats.steps += 1
+                continue
+            toks, counts = model.decode_spec_chunk(
+                cur, rounds, gamma, self.n_draft_layers)
+            for r in range(rounds):
+                c = int(counts[r])
+                self.stats.steps += 1
+                self.stats.accepted += c - 1
+                self.stats.rejected += gamma - (c - 1)
+                for t in toks[r, :c]:
+                    out.append(int(t))
+                    self.stats.tokens_generated += 1
+                    if ((eos_token_id is not None and int(t) == eos_token_id)
+                            or len(out) >= max_new_tokens):
+                        return out[:max_new_tokens]
+            cur = out[-1]
+        return out[:max_new_tokens]
+
     def generate(self, input_ids, max_new_tokens: int = 32,
                  eos_token_id: int | None = None) -> list[int]:
         model = self._require_model()
@@ -145,6 +199,9 @@ class DecodeSpeculative(DecodeStrategy):
         if model.k_cache is None:
             model.init_fixed_cache(
                 max(2 * (len(ids) + max_new_tokens + self.gamma + 2), 256))
+        if self.draft_model is None:
+            return self._generate_device_loop(ids, max_new_tokens,
+                                              eos_token_id)
         self._init_draft_cache()
 
         logits = model.prefill(ids)

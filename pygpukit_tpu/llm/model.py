@@ -422,15 +422,26 @@ def fused_decode_step_fn(cfg: TransformerConfig, params, k_cache, v_cache,
             logits)
 
 
-def decode_step_fn(cfg: TransformerConfig, params, k_cache, v_cache, token, pos):
+def _scan_unroll() -> int:
+    """Unroll factor for the decode layer scan (PYGPUKIT_SCAN_UNROLL,
+    default 1). Read at trace time — executables captured under a setting
+    keep it."""
+    import os
+    return max(1, int(os.environ.get("PYGPUKIT_SCAN_UNROLL", "1")))
+
+
+def decode_step_fn(cfg: TransformerConfig, params, k_cache, v_cache, token,
+                   pos, allow_fused: bool = True):
     """One decode step: token scalar, pos scalar -> (k_cache, v_cache, logits).
 
     Caches are donated by the caller's executable — XLA updates them in place
     (the zero-alloc decode analog, reference causal.py:324).
     PYGPUKIT_DECODE=fused routes eligible configs through the whole-model
-    Pallas kernel (fused_decode_step_fn) instead.
+    Pallas kernel (fused_decode_step_fn) instead (``allow_fused=False``
+    opts a call site out — the speculative draft runs on sliced layer
+    stacks the fused kernel was never prepared for).
     """
-    if use_fused_decode(cfg, params, k_cache.shape[1]):
+    if allow_fused and use_fused_decode(cfg, params, k_cache.shape[1]):
         return fused_decode_step_fn(cfg, params, k_cache, v_cache, token, pos)
     h = jnp.take(params["embed"], token[None], axis=0)           # [1, E]
     if cfg.use_position_embed:
@@ -455,7 +466,9 @@ def decode_step_fn(cfg: TransformerConfig, params, k_cache, v_cache, token, pos)
         h = h + _mlp(cfg, lp, y)
         return h, (kc, vc)
 
-    h, (k_cache, v_cache) = lax.scan(block, h, (params["layers"], k_cache, v_cache))
+    h, (k_cache, v_cache) = lax.scan(block, h,
+                                     (params["layers"], k_cache, v_cache),
+                                     unroll=_scan_unroll())
     h = _norm(cfg, h, params["final_norm_w"], params.get("final_norm_b"))
     logits = _logits(cfg, params, h[0])
     return k_cache, v_cache, logits
@@ -530,6 +543,79 @@ def generate_scan_fn(cfg: TransformerConfig, n_steps: int, temperature: float,
     (k_cache, v_cache, token, pos, key), toks = lax.scan(
         step, (k_cache, v_cache, token, pos, key), None, length=n_steps)
     return k_cache, v_cache, toks
+
+
+def speculative_scan_fn(cfg: TransformerConfig, n_rounds: int, gamma: int,
+                        n_draft: int, params, k_cache, v_cache, token, pos):
+    """Device-side self-speculative generation: ``n_rounds`` rounds of
+    draft -> verify -> accept in ONE program (greedy).
+
+    TPU redesign of the reference's host-driven speculative loop
+    (decode_step_self_speculative_lookahead, causal.py:1096 +
+    llm/decode/speculative.py): over a remote transport every host round
+    pays two dispatch+sync roundtrips (~70 ms here), which buries the
+    speedup; folding the whole loop into ``lax.scan`` costs one dispatch
+    per n_rounds rounds. The MXU economics make the verify nearly free:
+    an M=gamma+1 window dot costs the same as M=1 (measured: M 1..16
+    identical), so a round is ~(1 + gamma*n_draft/L) step-equivalents for
+    up to gamma+1 tokens.
+
+    Cache discipline: the draft (first ``n_draft`` layers of the target)
+    reads a snapshot of its layer rows at round start and its per-step KV
+    writes live only in the round's scan carry — the verify window then
+    writes the CANONICAL rows for all layers at positions pos..pos+gamma
+    (same prefix weights => same values for accepted tokens), so the
+    shared cache has a single writer and the correction/bonus token's
+    draft-layer KV is always present for later rounds. Rows beyond the
+    accepted prefix are garbage that later steps mask and overwrite
+    (see decode_window_fn).
+
+    Greedy-equivalent to step-by-step decoding by construction: emitted
+    tokens are always the target's own argmax continuations.
+
+    Returns (k_cache, v_cache, toks [n_rounds, gamma+1] int32 (-1 padded),
+    counts [n_rounds] int32, pos_out). Caller must guarantee
+    pos + n_rounds*(gamma+1) <= cache capacity (worst case all-accept).
+    """
+    # slice ONCE (outside both scans) so XLA keeps one hoisted draft copy
+    # (~n_draft/L of param HBM), not a per-step slice
+    draft_params = dict(params)
+    draft_params["layers"] = jax.tree.map(lambda a: a[:n_draft],
+                                          params["layers"])
+
+    def round_fn(carry, _):
+        kc, vc, cur, p = carry
+
+        kcd = lax.slice_in_dim(kc, 0, n_draft, axis=0)
+        vcd = lax.slice_in_dim(vc, 0, n_draft, axis=0)
+
+        def dstep(c, _):
+            kcd, vcd, tok, pp = c
+            kcd, vcd, logits = decode_step_fn(cfg, draft_params, kcd, vcd,
+                                              tok, pp, allow_fused=False)
+            nxt = jnp.argmax(logits).astype(jnp.int32)
+            return (kcd, vcd, nxt, pp + 1), nxt
+
+        (_, _, _, _), proposals = lax.scan(
+            dstep, (kcd, vcd, cur, p), None, length=gamma)
+
+        window = jnp.concatenate([cur[None], proposals])
+        kc, vc, logits = decode_window_fn(cfg, params, kc, vc, window, p)
+        preds = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # [gamma+1]
+
+        agree = (proposals == preds[:gamma]).astype(jnp.int32)
+        accepted = jnp.sum(jnp.cumprod(agree))          # leading agreements
+        idx = jnp.arange(gamma + 1)
+        props_pad = jnp.concatenate(
+            [proposals, jnp.zeros((1,), jnp.int32)])
+        nxt = preds[accepted]          # correction, or bonus on full accept
+        emit = jnp.where(idx < accepted, props_pad,
+                         jnp.where(idx == accepted, nxt, -1))
+        return (kc, vc, nxt, p + accepted + 1), (emit, accepted + 1)
+
+    (k_cache, v_cache, token, pos), (toks, counts) = lax.scan(
+        round_fn, (k_cache, v_cache, token, pos), None, length=n_rounds)
+    return k_cache, v_cache, toks, counts, pos
 
 
 def fuse_params(params: dict) -> dict:
@@ -894,6 +980,36 @@ class CausalTransformerModel:
             jax.random.PRNGKey(seed + self.pos))
         self.pos += n_steps
         return np.asarray(toks)
+
+    def decode_spec_chunk(self, token: int, n_rounds: int, gamma: int,
+                          n_draft: int) -> tuple[np.ndarray, np.ndarray]:
+        """Run ``n_rounds`` device-side self-speculative rounds in one
+        program (speculative_scan_fn). Returns (toks [n_rounds, gamma+1]
+        with -1 padding, counts [n_rounds]); advances ``pos`` by the
+        accepted totals. One executable per (n_rounds, gamma, n_draft).
+
+        Caller must leave room for the all-accept worst case:
+        pos + n_rounds*(gamma+1) <= max_seq_len.
+        """
+        if self.pos + n_rounds * (gamma + 1) > self.max_seq_len:
+            raise ValueError(
+                f"speculative chunk worst case ({n_rounds}x{gamma + 1} from "
+                f"pos {self.pos}) exceeds cache ({self.max_seq_len})")
+        key = ("spec", n_rounds, gamma, n_draft)
+        if key not in self._gen_exes:
+            fn = functools.partial(speculative_scan_fn, self.config,
+                                   n_rounds, gamma, n_draft)
+            self._gen_exes[key] = capture(
+                fn, self.params, self.k_cache, self.v_cache,
+                jnp.int32(0), jnp.int32(0), donate_argnums=(1, 2),
+                name=f"spec_{n_rounds}x{gamma}_d{n_draft}")
+        exe = self._gen_exes[key]
+        self.k_cache, self.v_cache, toks, counts, pos = exe.replay(
+            self.params, self.k_cache, self.v_cache,
+            jnp.int32(token), jnp.int32(self.pos))
+        counts = np.asarray(counts)
+        self.pos = int(pos)
+        return np.asarray(toks), counts
 
     def generate(self, input_ids, max_new_tokens: int = 32,
                  temperature: float = 0.0, top_k: int = 0, top_p: float = 0.0,

@@ -53,6 +53,26 @@ def test_speculative_matches(model, reference_tokens):
     assert strat.stats.tokens_generated >= N_NEW
 
 
+def test_speculative_device_loop_full_acceptance(model, reference_tokens):
+    """With the draft == the full target (n_draft_layers = num_layers) every
+    round must accept all gamma proposals + the bonus token — the mechanism
+    ceiling of the device-side loop."""
+    model.init_fixed_cache(64)
+    strat = DecodeSpeculative(
+        n_draft_layers=model.config.num_layers, gamma=3).bind(model)
+    out = strat.generate(PROMPT, N_NEW)
+    assert out == reference_tokens
+    assert strat.stats.rejected == 0
+    assert strat.stats.accepted >= strat.stats.steps - 1  # gamma per round
+
+
+def test_spec_chunk_worst_case_guard(model):
+    model.init_fixed_cache(64)
+    model.prefill(PROMPT)
+    with pytest.raises(ValueError):
+        model.decode_spec_chunk(1, n_rounds=64, gamma=3, n_draft=2)
+
+
 def test_speculative_separate_draft_matches(model, reference_tokens):
     """A SEPARATE (smaller, differently-shaped) draft model must leave the
     target's greedy stream unchanged — verification is exact."""
