@@ -224,6 +224,12 @@ def main() -> None:
             extra[f"decode_1b_{name}_gbps"] = round(r["gbps"], 1)
             extra[f"decode_1b_{name}_frac_hbm_peak"] = round(
                 r["frac_hbm_peak"], 4)
+            if extra.get("hbm_stream_gbps"):
+                # fraction of TODAY's measured stream rate — the number to
+                # read on degraded-chip days (spec-peak fractions collapse
+                # with the chip, this one stays comparable across rounds)
+                extra[f"decode_1b_{name}_frac_today"] = round(
+                    r["gbps"] / extra["hbm_stream_gbps"], 4)
         except Exception as e:
             extra[f"decode_1b_{name}_error"] = type(e).__name__
     if "decode_1b_bf16_gbps" in extra:

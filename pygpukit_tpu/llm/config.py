@@ -62,15 +62,22 @@ class ModelSpec:
     expert_up_proj: str | None = None
     expert_down_proj: str | None = None
 
+    # Gemma-style sandwich norms (post-attn / post-mlp, applied to the
+    # sublayer OUTPUT before the residual add)
+    post_attn_norm: str | None = None
+    post_mlp_norm: str | None = None
+
     # architecture flags
     norm_type: Literal["rmsnorm", "layernorm"] = "rmsnorm"
-    activation: Literal["gelu", "silu"] = "silu"
+    activation: Literal["gelu", "silu", "gelu_tanh"] = "silu"
     use_rope: bool = True
     use_qk_norm: bool = False
     use_position_embed: bool = False
     qkv_combined: bool = False       # GPT-2 fused c_attn
     hf_linear_layout: bool = True    # True: HF Linear [out,in] → transpose at load
     is_moe: bool = False
+    norm_plus_one: bool = False      # Gemma RMSNorm: effective weight = 1+w
+    #                                  (folded into the stored weight at load)
 
     default_norm_eps: float = 1e-5
     default_rope_theta: float = 10000.0
@@ -167,10 +174,42 @@ MIXTRAL_SPEC = ModelSpec(
 )
 
 
+GEMMA2_SPEC = ModelSpec(
+    name="gemma2",
+    lm_head=None,                    # tied embeddings (no lm_head tensor)
+    # gemma checkpoint naming: "post_attention_layernorm" is the POST-attn
+    # sandwich norm (NOT the pre-MLP norm it names in llama checkpoints);
+    # the pre-MLP norm is "pre_feedforward_layernorm"
+    mlp_norm="model.layers.{layer}.pre_feedforward_layernorm.weight",
+    post_attn_norm="model.layers.{layer}.post_attention_layernorm.weight",
+    post_mlp_norm="model.layers.{layer}.post_feedforward_layernorm.weight",
+    activation="gelu_tanh",
+    norm_plus_one=True,
+    default_norm_eps=1e-6,
+    hf_model_type="gemma2",
+)
+
+GEMMA3_SPEC = ModelSpec(
+    name="gemma3",
+    lm_head=None,
+    mlp_norm="model.layers.{layer}.pre_feedforward_layernorm.weight",
+    post_attn_norm="model.layers.{layer}.post_attention_layernorm.weight",
+    post_mlp_norm="model.layers.{layer}.post_feedforward_layernorm.weight",
+    q_norm="model.layers.{layer}.self_attn.q_norm.weight",
+    k_norm="model.layers.{layer}.self_attn.k_norm.weight",
+    use_qk_norm=True,
+    activation="gelu_tanh",
+    norm_plus_one=True,
+    default_norm_eps=1e-6,
+    default_rope_theta=1000000.0,
+    hf_model_type="gemma3_text",
+)
+
+
 MODEL_SPECS: dict[str, ModelSpec] = {
     s.name: s for s in (
         GPT2_SPEC, LLAMA_SPEC, QWEN2_SPEC, QWEN3_SPEC, QWEN3_MOE_SPEC,
-        MIXTRAL_SPEC,
+        MIXTRAL_SPEC, GEMMA2_SPEC, GEMMA3_SPEC,
     )
 }
 
@@ -183,6 +222,8 @@ def detect_model_spec(tensor_names: list[str]) -> ModelSpec:
         return MIXTRAL_SPEC
     has_experts = any("mlp.experts" in n for n in names)
     has_qk_norm = any(".q_norm." in n or n.endswith("q_norm.weight") for n in names)
+    if any("pre_feedforward_layernorm" in n for n in names):
+        return GEMMA3_SPEC if has_qk_norm else GEMMA2_SPEC
     if has_experts and has_qk_norm:
         return QWEN3_MOE_SPEC
     if has_qk_norm:
@@ -216,7 +257,7 @@ class TransformerConfig:
     moe_intermediate_size: int | None = None
 
     norm_type: Literal["rmsnorm", "layernorm"] = "rmsnorm"
-    activation: Literal["gelu", "silu"] = "silu"
+    activation: Literal["gelu", "silu", "gelu_tanh"] = "silu"
     use_rope: bool = True
     use_qk_norm: bool = False
     use_position_embed: bool = False
@@ -227,6 +268,20 @@ class TransformerConfig:
     rope_theta: float = 10000.0
     rope_scaling: dict | None = None   # {"type": "yarn"|"linear"|"ntk", ...}
     tie_word_embeddings: bool = True
+
+    # Gemma-family extensions
+    use_post_norms: bool = False       # sandwich norms on sublayer outputs
+    embed_scale: float | None = None   # h *= embed_scale after embedding
+    query_scale: float | None = None   # softmax scale override (gemma:
+    #                                    query_pre_attn_scalar**-0.5)
+    attn_logit_softcap: float | None = None    # cap*tanh(scores/cap)
+    final_logit_softcap: float | None = None   # cap*tanh(logits/cap)
+    sliding_window: int | None = None
+    # per-layer "sliding_attention"/"full_attention"; None with
+    # sliding_window set = every layer slides (mistral convention)
+    layer_types: tuple[str, ...] | None = None
+    # gemma3: sliding layers use a separate local rope theta
+    rope_local_theta: float | None = None
 
     def __post_init__(self):
         if self.num_kv_heads is None:
@@ -243,6 +298,22 @@ class TransformerConfig:
         return self.hidden_size // self.num_heads
 
     @property
+    def attn_scale(self) -> float:
+        if self.query_scale is not None:
+            return self.query_scale
+        return self.head_dim ** -0.5
+
+    def layer_windows(self) -> list[int] | None:
+        """Per-layer sliding windows, 0 = full attention; None when no
+        layer slides (the common case — keeps the param pytree unchanged)."""
+        if self.sliding_window is None:
+            return None
+        if self.layer_types is None:
+            return [self.sliding_window] * self.num_layers
+        return [self.sliding_window if t == "sliding_attention" else 0
+                for t in self.layer_types]
+
+    @property
     def is_moe(self) -> bool:
         return self.num_experts is not None and self.num_experts > 1
 
@@ -256,7 +327,9 @@ class TransformerConfig:
         """Build from a HuggingFace config.json dict."""
         mt = hf.get("model_type", "")
         if spec is None:
-            spec = MODEL_SPECS.get(mt, LLAMA_SPEC)
+            spec = MODEL_SPECS.get(mt) or next(
+                (s for s in MODEL_SPECS.values() if s.hf_model_type == mt),
+                LLAMA_SPEC)
         if mt == "gpt2" or spec.name == "gpt2":
             return cls(
                 vocab_size=hf.get("vocab_size", 50257),
@@ -268,7 +341,36 @@ class TransformerConfig:
                 max_position_embeddings=hf.get("n_positions", 1024),
                 norm_eps=hf.get("layer_norm_epsilon", 1e-5),
             )
-        return cls(
+        kw = {}
+        if spec.name in ("gemma2", "gemma3"):
+            n_layers = hf.get("num_hidden_layers", 22)
+            lt = hf.get("layer_types")
+            if lt is None:
+                # gemma2: sliding on even layers; gemma3: 5 sliding : 1 full
+                if spec.name == "gemma2":
+                    lt = ["sliding_attention" if i % 2 == 0
+                          else "full_attention" for i in range(n_layers)]
+                else:
+                    lt = ["full_attention" if (i + 1) % 6 == 0
+                          else "sliding_attention" for i in range(n_layers)]
+            kw = dict(
+                use_post_norms=True,
+                embed_scale=hf.get("hidden_size", 2304) ** 0.5,
+                query_scale=hf.get("query_pre_attn_scalar", 256) ** -0.5,
+                sliding_window=hf.get("sliding_window", 4096),
+                layer_types=tuple(lt),
+                head_dim_override=hf.get("head_dim", 256),
+                tie_word_embeddings=hf.get("tie_word_embeddings", True),
+            )
+            if spec.name == "gemma2":
+                kw["attn_logit_softcap"] = hf.get("attn_logit_softcapping",
+                                                  50.0)
+                kw["final_logit_softcap"] = hf.get("final_logit_softcapping",
+                                                   30.0)
+            else:
+                kw["rope_local_theta"] = hf.get("rope_local_base_freq",
+                                                10000.0)
+        base = dict(
             vocab_size=hf.get("vocab_size", 32000),
             hidden_size=hf.get("hidden_size", 2048),
             num_layers=hf.get("num_hidden_layers", 22),
@@ -289,6 +391,8 @@ class TransformerConfig:
             rope_scaling=hf.get("rope_scaling"),
             tie_word_embeddings=hf.get("tie_word_embeddings", False),
         )
+        base.update(kw)
+        return cls(**base)
 
 
 # =============================================================================

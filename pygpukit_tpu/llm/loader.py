@@ -142,6 +142,15 @@ def _infer_config(st, spec: ModelSpec, hf_cfg: dict | None) -> TransformerConfig
     max_pos = 1024
     if spec.position_embed and spec.position_embed in st:
         max_pos = st.tensor_shape(spec.position_embed)[0]
+    if spec.name in ("gemma2", "gemma3"):
+        # no config.json: fall back to the published arch defaults so the
+        # sandwich norms / softcaps / sliding pattern still apply
+        hf = {"model_type": spec.hf_model_type, "vocab_size": vocab,
+              "hidden_size": hidden, "num_hidden_layers": n_layers,
+              "num_attention_heads": num_heads,
+              "num_key_value_heads": num_kv, "intermediate_size": inter,
+              "head_dim": head_dim}
+        return TransformerConfig.from_hf_config(hf, spec)
     return TransformerConfig(
         vocab_size=vocab, hidden_size=hidden, num_layers=n_layers,
         num_heads=num_heads, num_kv_heads=num_kv, intermediate_size=inter,
@@ -221,6 +230,18 @@ def _build_params(st, spec, config, dtype) -> dict:
         if spec.mlp_norm_bias:
             lp["mlp_norm_b"] = _to_jnp(
                 st.tensor_numpy(spec.mlp_norm_bias.format(layer=l)), norm_dtype)
+        if spec.post_attn_norm:
+            lp["post_attn_norm_w"] = _to_jnp(
+                st.tensor_numpy(spec.post_attn_norm.format(layer=l)), norm_dtype)
+            lp["post_mlp_norm_w"] = _to_jnp(
+                st.tensor_numpy(spec.post_mlp_norm.format(layer=l)), norm_dtype)
+        wins = config.layer_windows()
+        if wins is not None:
+            lp["attn_window"] = jnp.int32(wins[l])
+        if (config.rope_local_theta is not None
+                and config.layer_types is not None):
+            lp["use_local_rope"] = jnp.int32(
+                1 if config.layer_types[l] == "sliding_attention" else 0)
 
         if spec.qkv_combined:
             w = np.asarray(st.tensor_numpy(spec.q_proj.format(layer=l)))
@@ -284,6 +305,16 @@ def _build_params(st, spec, config, dtype) -> dict:
     import jax
     layers = _resolve(layers)
     params = _resolve(params)
+    if spec.norm_plus_one:
+        # gemma RMSNorm stores w with effective weight (1+w) — fold the +1
+        # into the f32 stored weights so the shared rmsnorm path is exact
+        norm_keys = ("attn_norm_w", "mlp_norm_w", "post_attn_norm_w",
+                     "post_mlp_norm_w", "w_q_norm", "w_k_norm")
+        for lp in layers:
+            for k in norm_keys:
+                if k in lp:
+                    lp[k] = lp[k] + 1.0
+        params["final_norm_w"] = params["final_norm_w"] + 1.0
     params["layers"] = jax.tree.map(lambda *xs: jnp.stack(xs), *layers)
     return params
 

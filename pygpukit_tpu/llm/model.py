@@ -120,6 +120,26 @@ def _mm(x, w):
                 # a degraded-HBM day, ratio expected smaller when healthy).
                 # TPU default; PYGPUKIT_INT8_MODE=w8a16 opts out (quantizing
                 # the activation per-row adds ~0.4% matvec RMS error).
+                if os.environ.get("PYGPUKIT_ACT_QUANT", "f32") == "bf16":
+                    # EXPERIMENTAL lean chain: no f32 materialization of the
+                    # activation vector; multiply-by-reciprocal; 126 (not
+                    # 127) headroom so bf16 product rounding (rel 2^-8)
+                    # cannot push round(x*inv) past int8 range. Measured
+                    # 2.2x SLOWER end-to-end than the f32 chain on a
+                    # degraded-HBM day (8.6 vs 3.9 ms/tok 1B, same process,
+                    # RMS 0.94% vs 0.97%) — the formulation changes how the
+                    # int8 dot itself lowers. Off by default; re-A/B on a
+                    # healthy chip before promoting.
+                    xb = x.astype(jnp.bfloat16)
+                    amax = jnp.maximum(
+                        jnp.max(jnp.abs(xb), axis=-1, keepdims=True),
+                        jnp.bfloat16(1e-8))
+                    inv = jnp.bfloat16(126.0) / amax
+                    xi = jnp.round(xb * inv).astype(jnp.int8)
+                    acc = jnp.dot(xi, q, preferred_element_type=jnp.int32)
+                    sx = amax.astype(_F32) * (1.0 / 126.0)
+                    return (acc.astype(_F32) * (sx * w["scale"])
+                            ).astype(x.dtype)
                 amax = jnp.max(jnp.abs(x), axis=-1, keepdims=True)
                 sx = jnp.maximum(amax.astype(_F32) / 127.0, 1e-12)
                 xi = jnp.round(x.astype(_F32) / sx).astype(jnp.int8)
@@ -148,14 +168,20 @@ def _qk_headnorm(x, w, eps):
 def _mlp(cfg: TransformerConfig, lp, y):
     if cfg.is_moe:
         return _moe_mlp(cfg, lp, y)
-    if cfg.activation == "silu":
+    if "w_gate_up" in lp or "w_gate" in lp:
         if "w_gate_up" in lp:
             gu = _mm(y, lp["w_gate_up"])
             gate, up = jnp.split(gu, 2, axis=-1)
         else:
             gate = _mm(y, lp["w_gate"])
             up = _mm(y, lp["w_up"])
-        act = swiglu_fn(gate, up)
+        if cfg.activation == "gelu_tanh":
+            # gemma GeGLU: tanh-approx gelu on the gate (HF
+            # gelu_pytorch_tanh), f32 for parity with the f32 HF compute
+            act = (jax.nn.gelu(gate.astype(_F32), approximate=True)
+                   * up.astype(_F32)).astype(y.dtype)
+        else:
+            act = swiglu_fn(gate, up)
         return _mm(act, lp["w_down"])
     h = _mm(y, lp["w_fc1"]).astype(_F32)
     if "b_fc1" in lp:
@@ -226,36 +252,79 @@ def _out_proj(lp, attn, s, dtype):
 
 def _logits(cfg: TransformerConfig, params, h):
     if params.get("lm_head") is not None:
-        return jnp.dot(h, params["lm_head"], preferred_element_type=_F32,
-                       precision=_pf32(h, params["lm_head"]))
-    # tied embeddings: h @ embed.T (XLA transposes for free)
-    return lax.dot_general(
-        h, params["embed"], (((h.ndim - 1,), (1,)), ((), ())),
-        preferred_element_type=_F32,
-        precision=_pf32(h, params["embed"]))
+        logits = jnp.dot(h, params["lm_head"], preferred_element_type=_F32,
+                         precision=_pf32(h, params["lm_head"]))
+    else:
+        # tied embeddings: h @ embed.T (XLA transposes for free)
+        logits = lax.dot_general(
+            h, params["embed"], (((h.ndim - 1,), (1,)), ((), ())),
+            preferred_element_type=_F32,
+            precision=_pf32(h, params["embed"]))
+    if cfg.final_logit_softcap is not None:
+        cap = cfg.final_logit_softcap
+        logits = cap * jnp.tanh(logits * (1.0 / cap))
+    return logits
+
+
+def _embed_tokens(cfg: TransformerConfig, params, tokens):
+    h = jnp.take(params["embed"], tokens, axis=0)
+    if cfg.embed_scale is not None:
+        # HF gemma casts the scalar normalizer to the activation dtype
+        # BEFORE multiplying — match it exactly
+        h = h * jnp.asarray(cfg.embed_scale, h.dtype)
+    return h
+
+
+def _layer_rope(lp, cos, sin, cos_l, sin_l):
+    """Per-layer rope table choice (gemma3: sliding layers use the LOCAL
+    theta tables). cos/sin pre-sliced to the step's positions."""
+    if cos_l is None or not isinstance(lp, dict) or "use_local_rope" not in lp:
+        return cos, sin
+    use_l = lp["use_local_rope"] > 0
+    return jnp.where(use_l, cos_l, cos), jnp.where(use_l, sin_l, sin)
 
 
 # ---------------------------------------------------------------------------
 # Forward (no cache) — training/eval path and logits parity tests
 # ---------------------------------------------------------------------------
 
-def layer_stack_fn(cfg: TransformerConfig, layers, h, rope_cos, rope_sin):
+def _residual_tail(cfg: TransformerConfig, lp, h, attn, s):
+    """out-proj + residual + MLP sublayer, with gemma sandwich norms on the
+    sublayer OUTPUTS when cfg.use_post_norms."""
+    o = _out_proj(lp, attn, s, h.dtype)
+    if cfg.use_post_norms:
+        o = _norm(cfg, o, lp["post_attn_norm_w"], None)
+    h = h + o
+    y = _norm(cfg, h, lp["mlp_norm_w"], lp.get("mlp_norm_b"))
+    m = _mlp(cfg, lp, y)
+    if cfg.use_post_norms:
+        m = _norm(cfg, m, lp["post_mlp_norm_w"], None)
+    return h + m
+
+
+def layer_stack_fn(cfg: TransformerConfig, layers, h, rope_cos, rope_sin,
+                   rope_cos_local=None, rope_sin_local=None):
     """Run h [S, E] through a stacked-layer pytree (any [L', ...] slice of
     the full stack). Shared by forward_fn and the pipeline-parallel stage
     executor (parallel/pipeline.py), where each 'pp' stage scans its local
     contiguous layer slice."""
     s = h.shape[0]
+    softcap = cfg.attn_logit_softcap
+    scale = cfg.attn_scale
 
     def block(h, lp):
         x = _norm(cfg, h, lp["attn_norm_w"], lp.get("attn_norm_b"))
         q, k, v = _project_qkv(cfg, lp, x)
         if cfg.use_rope:
-            q = apply_rope_fn(q, rope_cos[:s], rope_sin[:s])
-            k = apply_rope_fn(k, rope_cos[:s], rope_sin[:s])
-        attn = flash_attention_fn(q, k, v)
-        h = h + _out_proj(lp, attn, s, h.dtype)
-        y = _norm(cfg, h, lp["mlp_norm_w"], lp.get("mlp_norm_b"))
-        h = h + _mlp(cfg, lp, y)
+            c, sn = _layer_rope(
+                lp, rope_cos[:s], rope_sin[:s],
+                None if rope_cos_local is None else rope_cos_local[:s],
+                None if rope_sin_local is None else rope_sin_local[:s])
+            q = apply_rope_fn(q, c, sn)
+            k = apply_rope_fn(k, c, sn)
+        attn = flash_attention_fn(q, k, v, scale=scale, softcap=softcap,
+                                  window=lp.get("attn_window"))
+        h = _residual_tail(cfg, lp, h, attn, s)
         return h, None
 
     h, _ = lax.scan(block, h, layers)
@@ -265,11 +334,13 @@ def layer_stack_fn(cfg: TransformerConfig, layers, h, rope_cos, rope_sin):
 def forward_fn(cfg: TransformerConfig, params, tokens):
     """tokens [S] int32 -> logits [S, V] f32."""
     s = tokens.shape[0]
-    h = jnp.take(params["embed"], tokens, axis=0)
+    h = _embed_tokens(cfg, params, tokens)
     if cfg.use_position_embed:
         h = h + params["pos_embed"][:s]
     h = layer_stack_fn(cfg, params["layers"], h,
-                       params.get("rope_cos"), params.get("rope_sin"))
+                       params.get("rope_cos"), params.get("rope_sin"),
+                       params.get("rope_cos_local"),
+                       params.get("rope_sin_local"))
     h = _norm(cfg, h, params["final_norm_w"], params.get("final_norm_b"))
     return _logits(cfg, params, h)
 
@@ -285,26 +356,31 @@ def prefill_fn(cfg: TransformerConfig, params, k_cache, v_cache, tokens, true_le
     >= true_len are masked out of attention and ignored for the last-logit.
     """
     s = tokens.shape[0]
-    h = jnp.take(params["embed"], tokens, axis=0)
+    h = _embed_tokens(cfg, params, tokens)
     if cfg.use_position_embed:
         h = h + params["pos_embed"][:s]
     rope_cos = params.get("rope_cos")
     rope_sin = params.get("rope_sin")
+    rope_cos_l = params.get("rope_cos_local")
+    rope_sin_l = params.get("rope_sin_local")
 
     def block(h, xs):
         lp, kc, vc = xs
         x = _norm(cfg, h, lp["attn_norm_w"], lp.get("attn_norm_b"))
         q, k, v = _project_qkv(cfg, lp, x)
         if cfg.use_rope:
-            q = apply_rope_fn(q, rope_cos[:s], rope_sin[:s])
-            k = apply_rope_fn(k, rope_cos[:s], rope_sin[:s])
+            c, sn = _layer_rope(
+                lp, rope_cos[:s], rope_sin[:s],
+                None if rope_cos_l is None else rope_cos_l[:s],
+                None if rope_sin_l is None else rope_sin_l[:s])
+            q = apply_rope_fn(q, c, sn)
+            k = apply_rope_fn(k, c, sn)
         kc = lax.dynamic_update_slice(kc, k.astype(kc.dtype), (0, 0, 0))
         vc = lax.dynamic_update_slice(vc, v.astype(vc.dtype), (0, 0, 0))
         # causal attention within the padded prompt; pad region masked
-        attn = _prefill_attn(q, k, v, true_len)
-        h = h + _out_proj(lp, attn, s, h.dtype)
-        y = _norm(cfg, h, lp["mlp_norm_w"], lp.get("mlp_norm_b"))
-        h = h + _mlp(cfg, lp, y)
+        attn = _prefill_attn(q, k, v, true_len, cfg.attn_scale,
+                             cfg.attn_logit_softcap, lp.get("attn_window"))
+        h = _residual_tail(cfg, lp, h, attn, s)
         return h, (kc, vc)
 
     h, (k_cache, v_cache) = lax.scan(block, h, (params["layers"], k_cache, v_cache))
@@ -313,7 +389,7 @@ def prefill_fn(cfg: TransformerConfig, params, k_cache, v_cache, tokens, true_le
     return k_cache, v_cache, _logits(cfg, params, last)
 
 
-def _prefill_attn(q, k, v, true_len):
+def _prefill_attn(q, k, v, true_len, scale=None, softcap=None, window=None):
     import math
     s, hq, d = q.shape
     hk = k.shape[1]
@@ -321,14 +397,20 @@ def _prefill_attn(q, k, v, true_len):
         k = jnp.repeat(k, hq // hk, axis=1)
         v = jnp.repeat(v, hq // hk, axis=1)
     prec = _pf32(q, k)          # pre-cast dtypes: f32 models need HIGHEST
+    scale = scale if scale is not None else 1.0 / math.sqrt(d)
     qh = jnp.transpose(q, (1, 0, 2)).astype(_F32)
     kh = jnp.transpose(k, (1, 0, 2)).astype(_F32)
     vh = jnp.transpose(v, (1, 0, 2)).astype(_F32)
-    scores = jnp.einsum("hqd,hkd->hqk", qh, kh,
-                        precision=prec) * (1.0 / math.sqrt(d))
+    scores = jnp.einsum("hqd,hkd->hqk", qh, kh, precision=prec) * scale
+    if softcap is not None:
+        scores = softcap * jnp.tanh(scores * (1.0 / softcap))
     i = jnp.arange(s)[:, None]
     j = jnp.arange(s)[None, :]
     mask = (j > i) | (j[None] >= true_len)
+    if window is not None:
+        w = jnp.where(jnp.asarray(window, jnp.int32) > 0,
+                      jnp.asarray(window, jnp.int32), jnp.int32(1 << 30))
+        mask = mask | (j <= i - w)
     scores = jnp.where(mask, -1e30, scores)
     out = jnp.einsum("hqk,hkd->hqd", jax.nn.softmax(scores, axis=-1), vh,
                      precision=prec)
@@ -349,6 +431,11 @@ def use_fused_decode(cfg: TransformerConfig, params, max_seq: int) -> bool:
 
 
 def fused_decode_eligible(cfg: TransformerConfig, params, max_seq: int) -> bool:
+    if (cfg.use_post_norms or cfg.attn_logit_softcap is not None
+            or cfg.final_logit_softcap is not None
+            or cfg.sliding_window is not None
+            or cfg.embed_scale is not None or cfg.query_scale is not None):
+        return False    # gemma-family features the kernel never learned
     lp = params["layers"]
     for leaf in ("w_q", "w_k", "w_v", "w_o", "w_gate", "w_up", "w_down"):
         if leaf not in lp or isinstance(lp[leaf], dict):
@@ -443,11 +530,13 @@ def decode_step_fn(cfg: TransformerConfig, params, k_cache, v_cache, token,
     """
     if allow_fused and use_fused_decode(cfg, params, k_cache.shape[1]):
         return fused_decode_step_fn(cfg, params, k_cache, v_cache, token, pos)
-    h = jnp.take(params["embed"], token[None], axis=0)           # [1, E]
+    h = _embed_tokens(cfg, params, token[None])                  # [1, E]
     if cfg.use_position_embed:
         h = h + lax.dynamic_slice_in_dim(params["pos_embed"], pos, 1, axis=0)
     rope_cos = params.get("rope_cos")
     rope_sin = params.get("rope_sin")
+    rope_cos_l = params.get("rope_cos_local")
+    rope_sin_l = params.get("rope_sin_local")
 
     def block(h, xs):
         lp, kc, vc = xs
@@ -456,14 +545,20 @@ def decode_step_fn(cfg: TransformerConfig, params, k_cache, v_cache, token,
         if cfg.use_rope:
             c = lax.dynamic_slice_in_dim(rope_cos, pos, 1, axis=0)
             sn = lax.dynamic_slice_in_dim(rope_sin, pos, 1, axis=0)
+            if rope_cos_l is not None:
+                c, sn = _layer_rope(
+                    lp, c, sn,
+                    lax.dynamic_slice_in_dim(rope_cos_l, pos, 1, axis=0),
+                    lax.dynamic_slice_in_dim(rope_sin_l, pos, 1, axis=0))
             q = apply_rope_fn(q, c, sn)
             k = apply_rope_fn(k, c, sn)
         kc = lax.dynamic_update_slice(kc, k.astype(kc.dtype), (pos, 0, 0))
         vc = lax.dynamic_update_slice(vc, v.astype(vc.dtype), (pos, 0, 0))
-        attn = sdpa_fixed_cache_fn(q, kc, vc, pos + 1)
-        h = h + _out_proj(lp, attn, 1, h.dtype)
-        y = _norm(cfg, h, lp["mlp_norm_w"], lp.get("mlp_norm_b"))
-        h = h + _mlp(cfg, lp, y)
+        attn = sdpa_fixed_cache_fn(q, kc, vc, pos + 1,
+                                   scale=cfg.attn_scale,
+                                   softcap=cfg.attn_logit_softcap,
+                                   window=lp.get("attn_window"))
+        h = _residual_tail(cfg, lp, h, attn, 1)
         return h, (kc, vc)
 
     h, (k_cache, v_cache) = lax.scan(block, h,
@@ -487,11 +582,13 @@ def decode_window_fn(cfg: TransformerConfig, params, k_cache, v_cache,
     reference's lookahead commit/rollback bookkeeping, attention.py:152-169).
     """
     t = tokens.shape[0]
-    h = jnp.take(params["embed"], tokens, axis=0)                # [T, E]
+    h = _embed_tokens(cfg, params, tokens)                       # [T, E]
     if cfg.use_position_embed:
         h = h + lax.dynamic_slice_in_dim(params["pos_embed"], pos, t, axis=0)
     rope_cos = params.get("rope_cos")
     rope_sin = params.get("rope_sin")
+    rope_cos_l = params.get("rope_cos_local")
+    rope_sin_l = params.get("rope_sin_local")
 
     def block(h, xs):
         lp, kc, vc = xs
@@ -500,14 +597,20 @@ def decode_window_fn(cfg: TransformerConfig, params, k_cache, v_cache,
         if cfg.use_rope:
             c = lax.dynamic_slice_in_dim(rope_cos, pos, t, axis=0)
             sn = lax.dynamic_slice_in_dim(rope_sin, pos, t, axis=0)
+            if rope_cos_l is not None:
+                c, sn = _layer_rope(
+                    lp, c, sn,
+                    lax.dynamic_slice_in_dim(rope_cos_l, pos, t, axis=0),
+                    lax.dynamic_slice_in_dim(rope_sin_l, pos, t, axis=0))
             q = apply_rope_fn(q, c, sn)
             k = apply_rope_fn(k, c, sn)
         kc = lax.dynamic_update_slice(kc, k.astype(kc.dtype), (pos, 0, 0))
         vc = lax.dynamic_update_slice(vc, v.astype(vc.dtype), (pos, 0, 0))
-        attn = sdpa_fixed_cache_fn(q, kc, vc, pos + t)
-        h = h + _out_proj(lp, attn, t, h.dtype)
-        y = _norm(cfg, h, lp["mlp_norm_w"], lp.get("mlp_norm_b"))
-        h = h + _mlp(cfg, lp, y)
+        attn = sdpa_fixed_cache_fn(q, kc, vc, pos + t,
+                                   scale=cfg.attn_scale,
+                                   softcap=cfg.attn_logit_softcap,
+                                   window=lp.get("attn_window"))
+        h = _residual_tail(cfg, lp, h, attn, t)
         return h, (kc, vc)
 
     h, (k_cache, v_cache) = lax.scan(block, h, (params["layers"], k_cache, v_cache))
@@ -700,13 +803,23 @@ def init_params(cfg: TransformerConfig, seed: int = 0, dtype=jnp.bfloat16) -> di
     if cfg.use_qk_norm:
         lp["w_q_norm"] = jnp.ones((cfg.num_layers, d), _F32)
         lp["w_k_norm"] = jnp.ones((cfg.num_layers, d), _F32)
+    if cfg.use_post_norms:
+        lp["post_attn_norm_w"] = jnp.ones((cfg.num_layers, e), _F32)
+        lp["post_mlp_norm_w"] = jnp.ones((cfg.num_layers, e), _F32)
+    _wins = cfg.layer_windows()
+    if _wins is not None:
+        lp["attn_window"] = jnp.asarray(_wins, jnp.int32)
+    if cfg.rope_local_theta is not None and cfg.layer_types is not None:
+        lp["use_local_rope"] = jnp.asarray(
+            [1 if t == "sliding_attention" else 0 for t in cfg.layer_types],
+            jnp.int32)
     if cfg.is_moe:
         lp["w_router"] = w(cfg.num_layers, e, cfg.num_experts, dt=_F32)
         mi = cfg.moe_intermediate_size
         lp["w_experts_gate"] = w(cfg.num_layers, cfg.num_experts, e, mi)
         lp["w_experts_up"] = w(cfg.num_layers, cfg.num_experts, e, mi)
         lp["w_experts_down"] = w(cfg.num_layers, cfg.num_experts, mi, e)
-    elif cfg.activation == "silu":
+    elif cfg.activation in ("silu", "gelu_tanh"):
         lp["w_gate"] = w(cfg.num_layers, e, inter)
         lp["w_up"] = w(cfg.num_layers, e, inter)
         lp["w_down"] = w(cfg.num_layers, inter, e)
@@ -760,13 +873,23 @@ def init_params_device(cfg: TransformerConfig, seed: int = 0,
     if cfg.use_qk_norm:
         lp["w_q_norm"] = jnp.ones((cfg.num_layers, d), _F32)
         lp["w_k_norm"] = jnp.ones((cfg.num_layers, d), _F32)
+    if cfg.use_post_norms:
+        lp["post_attn_norm_w"] = jnp.ones((cfg.num_layers, e), _F32)
+        lp["post_mlp_norm_w"] = jnp.ones((cfg.num_layers, e), _F32)
+    _wins = cfg.layer_windows()
+    if _wins is not None:
+        lp["attn_window"] = jnp.asarray(_wins, jnp.int32)
+    if cfg.rope_local_theta is not None and cfg.layer_types is not None:
+        lp["use_local_rope"] = jnp.asarray(
+            [1 if t == "sliding_attention" else 0 for t in cfg.layer_types],
+            jnp.int32)
     if cfg.is_moe:
         lp["w_router"] = w(cfg.num_layers, e, cfg.num_experts, dt=_F32)
         mi = cfg.moe_intermediate_size
         lp["w_experts_gate"] = w(cfg.num_layers, cfg.num_experts, e, mi)
         lp["w_experts_up"] = w(cfg.num_layers, cfg.num_experts, e, mi)
         lp["w_experts_down"] = w(cfg.num_layers, cfg.num_experts, mi, e)
-    elif cfg.activation == "silu":
+    elif cfg.activation in ("silu", "gelu_tanh"):
         lp["w_gate"] = w(cfg.num_layers, e, inter)
         lp["w_up"] = w(cfg.num_layers, e, inter)
         lp["w_down"] = w(cfg.num_layers, inter, e)
@@ -848,6 +971,13 @@ class CausalTransformerModel:
                 cos, sin = rope_mod.rope_init(n, d, config.rope_theta)
             params["rope_cos"] = cos.jax
             params["rope_sin"] = sin.jax
+            if config.rope_local_theta is not None:
+                # gemma3: sliding layers rotate with the LOCAL theta and no
+                # scaling; the global tables above keep theta+rope_scaling
+                cos_l, sin_l = rope_mod.rope_init(
+                    n, d, config.rope_local_theta)
+                params["rope_cos_local"] = cos_l.jax
+                params["rope_sin_local"] = sin_l.jax
 
     # -- forward (no cache) --------------------------------------------------
 

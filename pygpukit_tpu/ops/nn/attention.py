@@ -53,8 +53,28 @@ def _pf32(*arrs):
     return None
 
 
-def sdpa_causal_fn(q, k, v, scale: float | None = None):
-    """Causal SDPA, [S,H,D] layout. f32 softmax accumulation."""
+def _apply_softcap(scores, softcap):
+    """Gemma-2 attention logit soft-capping: cap*tanh(scores/cap)."""
+    if softcap is None:
+        return scores
+    return softcap * jnp.tanh(scores * (1.0 / softcap))
+
+
+def _window_or_inf(window):
+    """Effective sliding window as a traced scalar: 0/None = unbounded."""
+    if window is None:
+        return None
+    return jnp.where(jnp.asarray(window, jnp.int32) > 0,
+                     jnp.asarray(window, jnp.int32), jnp.int32(1 << 30))
+
+
+def sdpa_causal_fn(q, k, v, scale: float | None = None,
+                   softcap: float | None = None, window=None):
+    """Causal SDPA, [S,H,D] layout. f32 softmax accumulation.
+
+    ``window``: optional sliding window (traced scalar; 0 = full) — query i
+    attends keys j with i-window < j <= i. ``softcap``: Gemma-2 logit cap.
+    """
     s, h, d = q.shape
     scale = scale if scale is not None else 1.0 / math.sqrt(d)
     prec = _pf32(q, k)
@@ -64,9 +84,14 @@ def sdpa_causal_fn(q, k, v, scale: float | None = None):
     kh = jnp.transpose(k, (1, 0, 2)).astype(_F32)
     vh = jnp.transpose(v, (1, 0, 2)).astype(_F32)
     scores = jnp.einsum("hqd,hkd->hqk", qh, kh, precision=prec) * scale
+    scores = _apply_softcap(scores, softcap)
     i = jnp.arange(s)[:, None]
     j = jnp.arange(s)[None, :]
-    scores = jnp.where(j > i, _NEG_INF, scores)
+    mask = j > i
+    w = _window_or_inf(window)
+    if w is not None:
+        mask = mask | (j <= i - w)
+    scores = jnp.where(mask, _NEG_INF, scores)
     probs = jax.nn.softmax(scores, axis=-1)
     out = jnp.einsum("hqk,hkd->hqd", probs, vh, precision=prec)
     return jnp.transpose(out, (1, 0, 2)).astype(q.dtype)
@@ -99,16 +124,20 @@ def _attention_backend(q=None) -> str:
 
 
 def flash_attention_fn(q, k, v, scale: float | None = None,
-                       chunk_size: int = 512, causal: bool = True):
+                       chunk_size: int = 512, causal: bool = True,
+                       softcap: float | None = None, window=None):
     """Online-softmax chunked attention (flash-attention recurrence in XLA).
 
     Memory O(S·chunk); numerically identical to full softmax (same f32
     accumulation, running-max rescaling — reference FA3 math,
-    native/ops/nn/attention/fa3 online-softmax).
+    native/ops/nn/attention/fa3 online-softmax). ``softcap``/``window``
+    (Gemma-2 semantics) route through the XLA path only — the Pallas
+    kernels don't implement them.
     """
     s, h, d = q.shape
     scale = scale if scale is not None else 1.0 / math.sqrt(d)
-    backend = _attention_backend(q)
+    backend = "" if (softcap is not None or window is not None) \
+        else _attention_backend(q)
     if backend and scale == 1.0 / math.sqrt(d):
         if backend == "pallas":
             from ...kernels.flash_attention import flash_attention as _pfa
@@ -127,7 +156,10 @@ def flash_attention_fn(q, k, v, scale: float | None = None,
     k = _gqa_expand(k, h)
     v = _gqa_expand(v, h)
     if s <= chunk_size:
-        return sdpa_causal_fn(q, k, v, scale) if causal else _full_attn(q, k, v, scale)
+        if causal:
+            return sdpa_causal_fn(q, k, v, scale, softcap=softcap,
+                                  window=window)
+        return _full_attn(q, k, v, scale)
 
     pad = (-s) % chunk_size
     sp = s + pad
@@ -140,15 +172,20 @@ def flash_attention_fn(q, k, v, scale: float | None = None,
     vc = vh.reshape(h, n_chunks, chunk_size, d).transpose(1, 0, 2, 3)
     q_idx = jnp.arange(s)[None, :, None]                 # [1,S,1]
 
+    w_eff = _window_or_inf(window)
+
     def body(carry, inp):
         m, l, acc = carry                                # [H,S,1], [H,S,1], [H,S,D]
         k_blk, v_blk, c_start = inp
         scores = jnp.einsum("hqd,hkd->hqk", qh, k_blk,
                             precision=prec) * scale
+        scores = _apply_softcap(scores, softcap)
         kv_idx = c_start + jnp.arange(chunk_size)[None, None, :]
         mask = kv_idx >= s                                # padding
         if causal:
             mask = mask | (kv_idx > q_idx)
+        if w_eff is not None:
+            mask = mask | (kv_idx <= q_idx - w_eff)
         scores = jnp.where(mask, _NEG_INF, scores)
         m_new = jnp.maximum(m, jnp.max(scores, axis=-1, keepdims=True))
         p = jnp.exp(scores - m_new)
@@ -197,7 +234,9 @@ def _decode_backend(max_len: int) -> str:
     return "chunked" if max_len >= FLASH_DECODING_MIN_CACHE else "full"
 
 
-def sdpa_fixed_cache_fn(q, k_cache, v_cache, ctx_len, scale: float | None = None):
+def sdpa_fixed_cache_fn(q, k_cache, v_cache, ctx_len,
+                        scale: float | None = None,
+                        softcap: float | None = None, window=None):
     """Decode attention over a fixed preallocated cache.
 
     q: [1,Hq,D] (or [T,Hq,D] for lookahead windows), caches [MAX,Hk,D],
@@ -212,12 +251,15 @@ def sdpa_fixed_cache_fn(q, k_cache, v_cache, ctx_len, scale: float | None = None
     """
     if _decode_backend(k_cache.shape[0]) == "chunked":
         return sdpa_fixed_cache_chunked_fn(q, k_cache, v_cache, ctx_len,
-                                           scale)
-    return _sdpa_fixed_cache_full(q, k_cache, v_cache, ctx_len, scale)
+                                           scale, softcap=softcap,
+                                           window=window)
+    return _sdpa_fixed_cache_full(q, k_cache, v_cache, ctx_len, scale,
+                                  softcap=softcap, window=window)
 
 
 def _sdpa_fixed_cache_full(q, k_cache, v_cache, ctx_len,
-                           scale: float | None = None):
+                           scale: float | None = None,
+                           softcap: float | None = None, window=None):
     t, h, d = q.shape
     max_len, hk, _ = k_cache.shape
     g = h // hk
@@ -232,12 +274,17 @@ def _sdpa_fixed_cache_full(q, k_cache, v_cache, ctx_len,
     scores = jnp.einsum("hgtd,hkd->hgtk", qh, kk,
                         preferred_element_type=_F32,
                         precision=_pf32(q, k_cache)) * scale
+    scores = _apply_softcap(scores, softcap)
     kv_idx = jnp.arange(max_len)[None, None, None, :]
     # query row i (0-based within the lookahead window) attends cache
     # positions < ctx_len - (t-1) + i
     q_off = jnp.arange(t)[None, None, :, None]
     limit = ctx_len - (t - 1) + q_off
-    scores = jnp.where(kv_idx >= limit, _NEG_INF, scores)
+    mask = kv_idx >= limit
+    w_eff = _window_or_inf(window)
+    if w_eff is not None:
+        mask = mask | (kv_idx < limit - w_eff)
+    scores = jnp.where(mask, _NEG_INF, scores)
     probs = jax.nn.softmax(scores, axis=-1)
     out = jnp.einsum("hgtk,hkd->hgtd", probs.astype(v_cache.dtype), vv,
                      preferred_element_type=_F32,
@@ -247,7 +294,8 @@ def _sdpa_fixed_cache_full(q, k_cache, v_cache, ctx_len,
 
 def sdpa_fixed_cache_chunked_fn(q, k_cache, v_cache, ctx_len,
                                 scale: float | None = None,
-                                chunk: int = FLASH_DECODING_CHUNK):
+                                chunk: int = FLASH_DECODING_CHUNK,
+                                softcap: float | None = None, window=None):
     """kv-chunk LSE-combine decode (reference: flash_decoding.cuh — chunked
     partial softmax + log-sum-exp reduction, auto at kv_len>=1024).
 
@@ -269,6 +317,11 @@ def sdpa_fixed_cache_chunked_fn(q, k_cache, v_cache, ctx_len,
     qh = q.reshape(t, hk, g, d).transpose(1, 2, 0, 3)        # [Hk,G,T,D]
     q_off = jnp.arange(t)[None, None, :, None]
     limit = ctx_len - (t - 1) + q_off                        # [1,1,T,1]
+    w_eff = _window_or_inf(window)
+    # with a sliding window, chunks wholly below the window's lower edge
+    # contribute nothing — start the loop at the first live chunk
+    lo = jnp.int32(0) if w_eff is None else jnp.maximum(
+        jnp.int32(0), (ctx_len - t - w_eff + 1) // chunk)
 
     def cond(carry):
         i = carry[0]
@@ -287,10 +340,19 @@ def sdpa_fixed_cache_chunked_fn(q, k_cache, v_cache, ctx_len,
         vv = jnp.transpose(v_blk, (1, 0, 2))
         s = jnp.einsum("hgtd,hkd->hgtk", qh, kk,
                        preferred_element_type=_F32, precision=prec_k) * scale
+        s = _apply_softcap(s, softcap)
         kv_idx = start + jnp.arange(chunk)[None, None, None, :]
-        s = jnp.where((kv_idx >= limit) | (kv_idx < start_log), _NEG_INF, s)
+        dead = (kv_idx >= limit) | (kv_idx < start_log)
+        if w_eff is not None:
+            dead = dead | (kv_idx < limit - w_eff)
+        s = jnp.where(dead, _NEG_INF, s)
         m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
-        p = jnp.exp(s - m_new)
+        # explicit zero for dead slots: a chunk wholly dead for one query
+        # row while that row's running max is still at init (-1e30) would
+        # otherwise contribute exp(-1e30 - (-1e30)) = 1 per slot
+        # (reachable with sliding windows when a row's window starts in a
+        # later chunk than the loop's entry chunk)
+        p = jnp.where(dead, 0.0, jnp.exp(s - m_new))
         alpha = jnp.exp(m - m_new)
         l_new = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
         acc_new = acc * alpha + jnp.einsum(
@@ -298,7 +360,7 @@ def sdpa_fixed_cache_chunked_fn(q, k_cache, v_cache, ctx_len,
             preferred_element_type=_F32, precision=prec_v)
         return i + 1, m_new, l_new, acc_new
 
-    init = (jnp.int32(0),
+    init = (lo,
             jnp.full((hk, g, t, 1), _NEG_INF, _F32),
             jnp.zeros((hk, g, t, 1), _F32),
             jnp.zeros((hk, g, t, d), _F32))
@@ -308,10 +370,13 @@ def sdpa_fixed_cache_chunked_fn(q, k_cache, v_cache, ctx_len,
 
 
 def sdpa_batch_fixed_cache_fn(q, k_cache, v_cache, ctx_lens,
-                              scale: float | None = None):
+                              scale: float | None = None,
+                              softcap: float | None = None, window=None):
     """Batched decode: q [B,1,Hq,D], caches [B,MAX,Hk,D], ctx_lens [B]."""
-    return jax.vmap(sdpa_fixed_cache_fn, in_axes=(0, 0, 0, 0))(
-        q, k_cache, v_cache, ctx_lens)
+    def one(qq, kk, vv, cl):
+        return sdpa_fixed_cache_fn(qq, kk, vv, cl, scale, softcap=softcap,
+                                   window=window)
+    return jax.vmap(one, in_axes=(0, 0, 0, 0))(q, k_cache, v_cache, ctx_lens)
 
 
 # ---------------------------------------------------------------------------

@@ -88,6 +88,58 @@ class TestQwen3Moe:
         assert model.config.is_moe and model.config.use_qk_norm
 
 
+class TestGemma2:
+    def test_parity(self, tmp_path):
+        """Sliding window (< prompt len), attn+final softcaps, sandwich
+        norms, (1+w) RMSNorm fold, embed scaling, query_pre_attn_scalar —
+        every gemma2 mechanism live in one tiny model."""
+        cfg = transformers.Gemma2Config(
+            vocab_size=96, hidden_size=32, intermediate_size=64,
+            num_hidden_layers=4, num_attention_heads=4,
+            num_key_value_heads=2, head_dim=8, query_pre_attn_scalar=16,
+            sliding_window=8, attn_logit_softcapping=50.0,
+            final_logit_softcapping=30.0, max_position_embeddings=64,
+            attn_implementation="eager")
+        torch.manual_seed(5)
+        m = transformers.Gemma2ForCausalLM(cfg).eval()
+        m.save_pretrained(tmp_path, safe_serialization=True)
+        prompt = tuple(range(1, 13))          # 12 tokens > window of 8
+        model = _check_parity(tmp_path, m, "gemma2", prompt=prompt)
+        c = model.config
+        assert c.use_post_norms and c.sliding_window == 8
+        assert c.attn_logit_softcap == 50.0 and c.final_logit_softcap == 30.0
+        assert c.query_scale == 16 ** -0.5 and c.embed_scale == 32 ** 0.5
+        import numpy as np_
+        assert list(np_.asarray(model.params["layers"]["attn_window"])) == \
+            [8, 0, 8, 0]
+
+
+class TestGemma3:
+    def test_parity(self, tmp_path):
+        """Gemma3 text: 5:1 sliding pattern, DUAL rope tables (local theta
+        on sliding layers), per-head qk-norm with the (1+w) fold, no
+        softcaps."""
+        cfg = transformers.Gemma3TextConfig(
+            vocab_size=96, hidden_size=32, intermediate_size=64,
+            num_hidden_layers=6, num_attention_heads=4,
+            num_key_value_heads=2, head_dim=8, query_pre_attn_scalar=16,
+            sliding_window=8, rope_theta=1000000.0,
+            rope_local_base_freq=10000.0, max_position_embeddings=64,
+            attn_implementation="eager")
+        torch.manual_seed(6)
+        m = transformers.Gemma3ForCausalLM(cfg).eval()
+        m.save_pretrained(tmp_path, safe_serialization=True)
+        prompt = tuple(range(1, 13))
+        model = _check_parity(tmp_path, m, "gemma3", prompt=prompt)
+        c = model.config
+        assert c.use_qk_norm and c.rope_local_theta == 10000.0
+        assert c.attn_logit_softcap is None
+        import numpy as np_
+        assert list(np_.asarray(model.params["layers"]["use_local_rope"])) \
+            == [1, 1, 1, 1, 1, 0]
+        assert "rope_cos_local" in model.params
+
+
 class TestLlama4:
     def test_parity_text(self, tmp_path):
         """Tiny dense Llama4 text model vs transformers: exercises the
