@@ -52,14 +52,17 @@ def _pf32(*arrs):
     return None
 
 
-def _mm(x, w):
+def _mm(x, w, out_dtype=None):
     """Matmul against a possibly-quantized weight leaf.
 
     Dense leaf: jnp array [in, out]. Quantized leaf (reference LinearFP8 /
     W8A16, llm/layers/linear.py:25,106): {"q": fp8/int8 [in,out],
     "scale": f32 scalar or [1, out]} — fp8 bytes stream from HBM (half/quarter
     the traffic), the MXU computes in bf16, XLA fuses upconvert + scale.
+    ``out_dtype`` overrides the result dtype (default: x.dtype) — the logits
+    head passes f32 so a quantized lm_head keeps full-precision logits.
     """
+    out_dtype = out_dtype or x.dtype
     if isinstance(w, dict):
         if "q_packed" in w:
             import os
@@ -84,7 +87,7 @@ def _mm(x, w):
                 else:
                     from ..kernels.gemv_quant import gemv_int4_packed
                     y = gemv_int4_packed(packed, x, jnp.ravel(w["scale"]))
-                return y.astype(x.dtype)
+                return y.astype(out_dtype)
             from .quant import unpack_int4
             q_t = unpack_int4(packed)                  # [N, K(+pad)]
             k_un = q_t.shape[-1]
@@ -101,11 +104,11 @@ def _mm(x, w):
                       * s[:, None, :].astype(jnp.bfloat16)
                       ).reshape(k_un, -1)
                 return jnp.dot(xb, wd,
-                               preferred_element_type=_F32).astype(x.dtype)
+                               preferred_element_type=_F32).astype(out_dtype)
             acc = jax.lax.dot_general(
                 xb, q_t.astype(jnp.bfloat16), (((1,), (1,)), ((), ())),
                 preferred_element_type=_F32)
-            return (acc * w["scale"]).astype(x.dtype)
+            return (acc * w["scale"]).astype(out_dtype)
         q = w["q"]
         if q.dtype == jnp.int8:
             import os
@@ -139,17 +142,17 @@ def _mm(x, w):
                     acc = jnp.dot(xi, q, preferred_element_type=jnp.int32)
                     sx = amax.astype(_F32) * (1.0 / 126.0)
                     return (acc.astype(_F32) * (sx * w["scale"])
-                            ).astype(x.dtype)
+                            ).astype(out_dtype)
                 amax = jnp.max(jnp.abs(x), axis=-1, keepdims=True)
                 sx = jnp.maximum(amax.astype(_F32) / 127.0, 1e-12)
                 xi = jnp.round(x.astype(_F32) / sx).astype(jnp.int8)
                 acc = jnp.dot(xi, q, preferred_element_type=jnp.int32)
-                return (acc.astype(_F32) * sx * w["scale"]).astype(x.dtype)
+                return (acc.astype(_F32) * sx * w["scale"]).astype(out_dtype)
         xb = x.astype(jnp.bfloat16)
         acc = jnp.dot(xb, q.astype(jnp.bfloat16), preferred_element_type=_F32)
-        return (acc * w["scale"]).astype(x.dtype)
+        return (acc * w["scale"]).astype(out_dtype)
     return jnp.dot(x, w, preferred_element_type=_F32,
-                   precision=_pf32(x, w)).astype(x.dtype)
+                   precision=_pf32(x, w)).astype(out_dtype)
 
 
 def _norm(cfg: TransformerConfig, x, w, b):
@@ -252,8 +255,16 @@ def _out_proj(lp, attn, s, dtype):
 
 def _logits(cfg: TransformerConfig, params, h):
     if params.get("lm_head") is not None:
-        logits = jnp.dot(h, params["lm_head"], preferred_element_type=_F32,
-                         precision=_pf32(h, params["lm_head"]))
+        if isinstance(params["lm_head"], dict):
+            # quantized head ({"q","scale"} leaf): at decode the head is the
+            # single biggest weight read after the layer stack (131 MB bf16
+            # on the 1B bench model = ~170 us/tok at HBM rate, measured in
+            # the round-3 device trace); streaming it int8 halves that.
+            # f32 out keeps sampling numerics.
+            logits = _mm(h, params["lm_head"], out_dtype=_F32)
+        else:
+            logits = jnp.dot(h, params["lm_head"], preferred_element_type=_F32,
+                             precision=_pf32(h, params["lm_head"]))
     else:
         # tied embeddings: h @ embed.T (XLA transposes for free)
         logits = lax.dot_general(
@@ -1095,6 +1106,18 @@ class CausalTransformerModel:
                      top_k: int = 0, seed: int = 0) -> np.ndarray:
         """Run ``n_steps`` decode steps in one device program; returns the
         generated tokens. One executable per (n_steps, sampling-mode)."""
+        return np.asarray(
+            self.decode_chunk_device(token, n_steps, temperature, top_k,
+                                     seed))
+
+    def decode_chunk_device(self, token, n_steps: int,
+                            temperature: float = 0.0, top_k: int = 0,
+                            seed: int = 0) -> jax.Array:
+        """decode_chunk without the D2H sync: returns the generated tokens
+        as a DEVICE array, and accepts ``token`` as a device scalar — so the
+        prefill->first-chunk handoff never touches the host (each tunnel
+        roundtrip costs ~30 ms; round-3 wall-split measured prefill at 54 ms
+        of which the device work is ~2)."""
         key = (n_steps, float(temperature), int(top_k))
         if key not in self._gen_exes:
             fn = functools.partial(generate_scan_fn, self.config, n_steps,
@@ -1109,7 +1132,7 @@ class CausalTransformerModel:
             jnp.int32(token), jnp.int32(self.pos),
             jax.random.PRNGKey(seed + self.pos))
         self.pos += n_steps
-        return np.asarray(toks)
+        return toks
 
     def decode_spec_chunk(self, token: int, n_rounds: int, gamma: int,
                           n_draft: int) -> tuple[np.ndarray, np.ndarray]:
@@ -1160,30 +1183,52 @@ class CausalTransformerModel:
         if self.k_cache is None:
             self.init_fixed_cache(_bucket(max(len(ids) + max_new_tokens + 1, 256)))
         logits = self.prefill(ids)
-        cur = int(np.asarray(jnp.argmax(logits))) if temperature <= 0 else None
-        if cur is None:
+        # First token stays ON DEVICE: reading it here costs a full tunnel
+        # roundtrip (~30 ms) before the first chunk can even dispatch. The
+        # first decode chunk consumes the device scalar directly and the
+        # token value comes back with the chunk's own readback (one sync).
+        # Trade-off: an immediate-EOS first token decodes one wasted chunk
+        # before the host sees it — same one-chunk EOS lag the serving
+        # engine accepts by construction.
+        if temperature <= 0:
+            cur = jnp.argmax(logits).astype(jnp.int32)
+        else:
             from ..ops.sampling import sample_topk_fn, sample_temperature_fn
             k0 = jax.random.PRNGKey(seed)
             if top_k > 0:
-                cur = int(sample_topk_fn(logits, k0, top_k, temperature))
+                cur = sample_topk_fn(logits, k0, top_k, temperature)
             else:
-                cur = int(sample_temperature_fn(logits, k0, temperature))
-        out = [cur]
+                cur = sample_temperature_fn(logits, k0, temperature)
+            cur = jnp.asarray(cur).astype(jnp.int32)
+        out: list[int] = []
+        first = True
         while len(out) < max_new_tokens:
-            if eos_token_id is not None and cur == eos_token_id:
+            if (not first and eos_token_id is not None
+                    and out and out[-1] == eos_token_id):
                 break
-            n = min(chunk_size, max_new_tokens - len(out),
-                    self.max_seq_len - self.pos)
+            # the first chunk's readback also delivers the deferred token,
+            # so it only needs max_new_tokens-1 steps
+            n = min(max_new_tokens - len(out) - (1 if first else 0),
+                    chunk_size, self.max_seq_len - self.pos)
             if n <= 0:
+                if first:
+                    out.append(int(np.asarray(cur)))
                 break
-            toks = self.decode_chunk(cur, n, temperature, top_k, seed)
+            toks_d = self.decode_chunk_device(cur, n, temperature, top_k,
+                                              seed)
+            if first:
+                toks = np.asarray(
+                    jnp.concatenate([jnp.reshape(cur, (1,)), toks_d]))
+                first = False
+            else:
+                toks = np.asarray(toks_d)
             toks_l = [int(t) for t in toks]
             if eos_token_id is not None and eos_token_id in toks_l:
                 idx = toks_l.index(eos_token_id)
                 out.extend(toks_l[:idx + 1])
                 return out[:max_new_tokens]
             out.extend(toks_l)
-            cur = out[-1]
+            cur = toks_l[-1]
         return out[:max_new_tokens]
 
     def generate_stream(self, input_ids, max_new_tokens: int = 32,

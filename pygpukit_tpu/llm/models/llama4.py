@@ -73,6 +73,9 @@ class Llama4Config:
 
 
 def _dot(x, w):
+    if isinstance(w, dict):  # quantized {"q","scale"} leaf (quant.py)
+        from ..model import _mm
+        return _mm(x, w, out_dtype=_F32)
     prec = (_f32_precision()
             if x.dtype == _F32 and w.dtype == _F32 else None)
     return jnp.dot(x, w, preferred_element_type=_F32, precision=prec)

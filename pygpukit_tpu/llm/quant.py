@@ -175,7 +175,8 @@ def dequantize_weight(wq: dict, dtype=jnp.bfloat16) -> jnp.ndarray:
 
 
 def quantize_model_params(params: dict, mode: str = "fp8",
-                          keys: set[str] | None = None) -> dict:
+                          keys: set[str] | None = None,
+                          head: bool = True) -> dict:
     """Quantize the projection weights of a model param pytree in place of
     their dense leaves (reference: load_fp8_weight_direct, quant.py:376 —
     here quantization happens post-load; direct-load of fp8 checkpoints
@@ -189,6 +190,15 @@ def quantize_model_params(params: dict, mode: str = "fp8",
         if k in keys and not isinstance(layers[k], dict):
             layers[k] = quantize_weight(layers[k], mode)
     out["layers"] = layers
+    if (head and mode in ("fp8", "int8")
+            and isinstance(out.get("lm_head"), jnp.ndarray)):
+        # Untied lm head: the largest single weight read per decoded token
+        # (vocab x hidden — ~170 us/tok at HBM rate on the 1B bench model,
+        # round-3 device trace). Per-column scales keep greedy tokens stable
+        # (~0.1% logit RMS); packed-int4 modes keep the head dense — logit
+        # error there shifts greedy order. head=False opts out. Tied-embed
+        # models are untouched (the embed gather shares the table).
+        out["lm_head"] = quantize_weight(out["lm_head"], mode)
     return out
 
 
@@ -199,13 +209,18 @@ def dequantize_model_params(params: dict, dtype=jnp.bfloat16) -> dict:
         if isinstance(v, dict) and ("q" in v or "q_packed" in v):
             layers[k] = dequantize_weight(v, dtype)
     out["layers"] = layers
+    if isinstance(out.get("lm_head"), dict):
+        out["lm_head"] = dequantize_weight(out["lm_head"], dtype)
     return out
 
 
 def model_quant_bytes(params: dict) -> tuple[int, int]:
     """(quantized_bytes, dense_equivalent_bytes) for the layer stack."""
     qb = db = 0
-    for k, v in params["layers"].items():
+    leaves = dict(params["layers"])
+    if isinstance(params.get("lm_head"), dict):
+        leaves["lm_head"] = params["lm_head"]
+    for k, v in leaves.items():
         if isinstance(v, dict) and ("q" in v or "q_packed" in v):
             q = v.get("q", v.get("q_packed"))
             n = q.size

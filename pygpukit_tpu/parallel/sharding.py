@@ -36,17 +36,47 @@ def _layer_spec(name: str, ndim: int) -> P:
     return P(*([None] * ndim))
 
 
+def _leaf_spec(name: str, leaf) -> P | dict:
+    """Spec for one layer leaf; quantized {"q","scale"} dicts shard ``q``
+    like the dense weight would be and cut per-column scales the same way
+    along their trailing (out) axis. Packed-int4 leaves are replicated —
+    their transposed [out, in/2] layout is a decode-GEMV artifact, not a
+    TP layout."""
+    if not isinstance(leaf, dict):
+        return _layer_spec(name, leaf.ndim)
+    if "q" not in leaf:
+        return {kk: P(*([None] * vv.ndim)) for kk, vv in leaf.items()}
+    qspec = _layer_spec(name, leaf["q"].ndim)
+    col = len(qspec) > 0 and qspec[-1] == "tp"
+    out = {}
+    for kk, vv in leaf.items():
+        if kk == "q":
+            out[kk] = qspec
+        elif col and vv.ndim >= 1 and vv.shape[-1] == leaf["q"].shape[-1]:
+            out[kk] = P(*([None] * (vv.ndim - 1) + ["tp"]))
+        else:
+            out[kk] = P(*([None] * vv.ndim))
+    return out
+
+
 def param_specs(params: dict) -> dict:
     """PartitionSpec pytree matching ``params`` (model.py layout)."""
     specs: dict = {}
     for k, v in params.items():
         if k == "layers":
-            specs[k] = {name: _layer_spec(name, leaf.ndim)
+            specs[k] = {name: _leaf_spec(name, leaf)
                         for name, leaf in v.items()}
         elif k == "lm_head" and v is not None:
-            specs[k] = P(None, "tp")
+            if isinstance(v, dict):
+                specs[k] = {kk: (P(None, "tp") if vv.ndim == 2
+                                 else P(*([None] * vv.ndim)))
+                            for kk, vv in v.items()}
+            else:
+                specs[k] = P(None, "tp")
         elif v is None:
             specs[k] = None
+        elif isinstance(v, dict):
+            specs[k] = {kk: P(*([None] * vv.ndim)) for kk, vv in v.items()}
         else:
             specs[k] = P(*([None] * v.ndim))
     return specs
@@ -59,6 +89,8 @@ def shard_params(params: dict, mesh: Mesh) -> dict:
     def place(leaf, spec):
         if leaf is None:
             return None
+        if isinstance(leaf, dict):
+            return {kk: place(vv, spec[kk]) for kk, vv in leaf.items()}
         return jax.device_put(leaf, NamedSharding(mesh, spec))
 
     out = {}

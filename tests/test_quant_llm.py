@@ -306,3 +306,71 @@ class TestInt4Block:
         assert not isinstance(qparams["layers"]["w_experts_gate"], dict)
         assert isinstance(qparams["layers"]["w_o"], dict)
         assert "scale_block" in qparams["layers"]["w_o"]
+
+
+class TestQuantizedHead:
+    """Untied lm_head joins int8/fp8 quantization (round 3): it is the
+    largest single weight read per decoded token (vocab x hidden — measured
+    ~170 us/tok bf16 at HBM rate on the 1B model in the round-3 device
+    trace, exactly halved by int8). Packed-int4 modes keep the head dense."""
+
+    @pytest.fixture(scope="class")
+    def ucfg(self):
+        return TransformerConfig(
+            vocab_size=96, hidden_size=32, num_layers=2, num_heads=4,
+            num_kv_heads=2, intermediate_size=64, head_dim_override=8,
+            norm_type="rmsnorm", activation="silu", use_rope=True,
+            max_position_embeddings=64, tie_word_embeddings=False)
+
+    def test_head_leaf_policy(self, ucfg, cfg):
+        up = init_params(ucfg, seed=2, dtype=jnp.bfloat16)
+        assert isinstance(quantize_model_params(up, "int8")["lm_head"], dict)
+        assert isinstance(quantize_model_params(up, "fp8")["lm_head"], dict)
+        # packed-int4 and explicit opt-out keep the head dense
+        assert not isinstance(
+            quantize_model_params(up, "int4")["lm_head"], dict)
+        assert not isinstance(
+            quantize_model_params(up, "int8", head=False)["lm_head"], dict)
+        # tied embeddings: nothing to quantize
+        tp = init_params(cfg, seed=2, dtype=jnp.bfloat16)
+        assert quantize_model_params(tp, "int8")["lm_head"] is None
+
+    def test_logits_close_and_f32(self, ucfg):
+        params = init_params(ucfg, seed=9, dtype=jnp.float32)
+        model = CausalTransformerModel(ucfg, params, dtype=jnp.float32)
+        ids = [3, 9, 27]
+        ref = np.asarray(model.get_logits(ids))
+        qp = quantize_model_params(
+            init_params(ucfg, seed=9, dtype=jnp.float32), "int8")
+        qmodel = CausalTransformerModel(ucfg, qp, dtype=jnp.float32)
+        got = qmodel.get_logits(ids)
+        assert got.dtype == np.float32
+        rel = np.abs(np.asarray(got) - ref).max() / (np.abs(ref).max() + 1e-9)
+        assert rel < 0.05, rel
+
+    def test_dequant_and_checkpoint_roundtrip(self, ucfg, tmp_path):
+        from pygpukit_tpu.llm.quant import dequantize_model_params
+        from pygpukit_tpu.llm.safetensors import (load_model_params,
+                                                  save_model_params)
+        params = init_params(ucfg, seed=4, dtype=jnp.bfloat16)
+        qp = quantize_model_params(params, "int8")
+        path = tmp_path / "q.safetensors"
+        save_model_params(path, qp)
+        back = load_model_params(path)
+        assert isinstance(back["lm_head"], dict)
+        np.testing.assert_array_equal(np.asarray(back["lm_head"]["q"]),
+                                      np.asarray(qp["lm_head"]["q"]))
+        dq = dequantize_model_params(qp)
+        assert not isinstance(dq["lm_head"], dict)
+
+    def test_sharding_specs_handle_quantized_leaves(self, ucfg):
+        from pygpukit_tpu.parallel.sharding import param_specs
+        qp = quantize_model_params(
+            init_params(ucfg, seed=4, dtype=jnp.bfloat16), "int8")
+        specs = param_specs(qp)
+        assert specs["lm_head"]["q"] == specs["lm_head"]["scale"]
+        wq = specs["layers"]["w_q"]
+        assert isinstance(wq, dict)
+        # q shards like the dense column-parallel weight; per-column scales
+        # cut the same out axis
+        assert wq["q"][-1] == "tp" and wq["scale"][-1] == "tp"
