@@ -375,8 +375,14 @@ def prefill_fn(cfg: TransformerConfig, params, k_cache, v_cache, tokens, true_le
     rope_cos_l = params.get("rope_cos_local")
     rope_sin_l = params.get("rope_sin_local")
 
-    def block(h, xs):
-        lp, kc, vc = xs
+    # fori_loop carrying the caches (not scan ys) so XLA updates the
+    # donated buffers in place instead of copying both full [L, MAX, Hk, D]
+    # arrays per call — see decode_step_fn for the trace that found this.
+    def body(i, st):
+        h, kc_all, vc_all = st
+        lp = jax.tree.map(
+            lambda a: lax.dynamic_index_in_dim(a, i, 0, keepdims=False),
+            params["layers"])
         x = _norm(cfg, h, lp["attn_norm_w"], lp.get("attn_norm_b"))
         q, k, v = _project_qkv(cfg, lp, x)
         if cfg.use_rope:
@@ -386,15 +392,18 @@ def prefill_fn(cfg: TransformerConfig, params, k_cache, v_cache, tokens, true_le
                 None if rope_sin_l is None else rope_sin_l[:s])
             q = apply_rope_fn(q, c, sn)
             k = apply_rope_fn(k, c, sn)
-        kc = lax.dynamic_update_slice(kc, k.astype(kc.dtype), (0, 0, 0))
-        vc = lax.dynamic_update_slice(vc, v.astype(vc.dtype), (0, 0, 0))
+        kc_all = lax.dynamic_update_slice(
+            kc_all, k[None].astype(kc_all.dtype), (i, 0, 0, 0))
+        vc_all = lax.dynamic_update_slice(
+            vc_all, v[None].astype(vc_all.dtype), (i, 0, 0, 0))
         # causal attention within the padded prompt; pad region masked
         attn = _prefill_attn(q, k, v, true_len, cfg.attn_scale,
                              cfg.attn_logit_softcap, lp.get("attn_window"))
         h = _residual_tail(cfg, lp, h, attn, s)
-        return h, (kc, vc)
+        return (h, kc_all, vc_all)
 
-    h, (k_cache, v_cache) = lax.scan(block, h, (params["layers"], k_cache, v_cache))
+    h, k_cache, v_cache = lax.fori_loop(0, cfg.num_layers, body,
+                                        (h, k_cache, v_cache))
     h = _norm(cfg, h, params["final_norm_w"], params.get("final_norm_b"))
     last = jnp.take(h, true_len - 1, axis=0)
     return k_cache, v_cache, _logits(cfg, params, last)
@@ -549,8 +558,17 @@ def decode_step_fn(cfg: TransformerConfig, params, k_cache, v_cache, token,
     rope_cos_l = params.get("rope_cos_local")
     rope_sin_l = params.get("rope_sin_local")
 
-    def block(h, xs):
-        lp, kc, vc = xs
+    # Layer loop is a fori_loop CARRYING the caches, not a scan emitting
+    # them as stacked ys: scan ys are fresh outputs, so XLA copied BOTH
+    # full [L, MAX, Hk, D] caches every decode step (cost scales with
+    # capacity — device-traced at 2x556 us/tok at MAX=16384, 2x18 at 1024).
+    # While-loop carries alias in place; each layer writes its (i, pos)
+    # row into the donated buffers and attends against its own slice.
+    def body(i, st):
+        h, kc_all, vc_all = st
+        lp = jax.tree.map(
+            lambda a: lax.dynamic_index_in_dim(a, i, 0, keepdims=False),
+            params["layers"])
         x = _norm(cfg, h, lp["attn_norm_w"], lp.get("attn_norm_b"))
         q, k, v = _project_qkv(cfg, lp, x)                       # [1,H,D]
         if cfg.use_rope:
@@ -563,18 +581,22 @@ def decode_step_fn(cfg: TransformerConfig, params, k_cache, v_cache, token,
                     lax.dynamic_slice_in_dim(rope_sin_l, pos, 1, axis=0))
             q = apply_rope_fn(q, c, sn)
             k = apply_rope_fn(k, c, sn)
-        kc = lax.dynamic_update_slice(kc, k.astype(kc.dtype), (pos, 0, 0))
-        vc = lax.dynamic_update_slice(vc, v.astype(vc.dtype), (pos, 0, 0))
-        attn = sdpa_fixed_cache_fn(q, kc, vc, pos + 1,
-                                   scale=cfg.attn_scale,
-                                   softcap=cfg.attn_logit_softcap,
-                                   window=lp.get("attn_window"))
+        kc_all = lax.dynamic_update_slice(
+            kc_all, k[None].astype(kc_all.dtype), (i, pos, 0, 0))
+        vc_all = lax.dynamic_update_slice(
+            vc_all, v[None].astype(vc_all.dtype), (i, pos, 0, 0))
+        attn = sdpa_fixed_cache_fn(
+            q, lax.dynamic_index_in_dim(kc_all, i, 0, keepdims=False),
+            lax.dynamic_index_in_dim(vc_all, i, 0, keepdims=False),
+            pos + 1, scale=cfg.attn_scale,
+            softcap=cfg.attn_logit_softcap,
+            window=lp.get("attn_window"))
         h = _residual_tail(cfg, lp, h, attn, 1)
-        return h, (kc, vc)
+        return (h, kc_all, vc_all)
 
-    h, (k_cache, v_cache) = lax.scan(block, h,
-                                     (params["layers"], k_cache, v_cache),
-                                     unroll=_scan_unroll())
+    h, k_cache, v_cache = lax.fori_loop(
+        0, cfg.num_layers, body, (h, k_cache, v_cache),
+        unroll=_scan_unroll())
     h = _norm(cfg, h, params["final_norm_w"], params.get("final_norm_b"))
     logits = _logits(cfg, params, h[0])
     return k_cache, v_cache, logits
@@ -601,8 +623,13 @@ def decode_window_fn(cfg: TransformerConfig, params, k_cache, v_cache,
     rope_cos_l = params.get("rope_cos_local")
     rope_sin_l = params.get("rope_sin_local")
 
-    def block(h, xs):
-        lp, kc, vc = xs
+    # fori_loop carrying the caches — in-place row writes, no per-call
+    # full-cache copies (see decode_step_fn)
+    def body(i, st):
+        h, kc_all, vc_all = st
+        lp = jax.tree.map(
+            lambda a: lax.dynamic_index_in_dim(a, i, 0, keepdims=False),
+            params["layers"])
         x = _norm(cfg, h, lp["attn_norm_w"], lp.get("attn_norm_b"))
         q, k, v = _project_qkv(cfg, lp, x)                       # [T,H,D]
         if cfg.use_rope:
@@ -615,16 +642,21 @@ def decode_window_fn(cfg: TransformerConfig, params, k_cache, v_cache,
                     lax.dynamic_slice_in_dim(rope_sin_l, pos, t, axis=0))
             q = apply_rope_fn(q, c, sn)
             k = apply_rope_fn(k, c, sn)
-        kc = lax.dynamic_update_slice(kc, k.astype(kc.dtype), (pos, 0, 0))
-        vc = lax.dynamic_update_slice(vc, v.astype(vc.dtype), (pos, 0, 0))
-        attn = sdpa_fixed_cache_fn(q, kc, vc, pos + t,
-                                   scale=cfg.attn_scale,
-                                   softcap=cfg.attn_logit_softcap,
-                                   window=lp.get("attn_window"))
+        kc_all = lax.dynamic_update_slice(
+            kc_all, k[None].astype(kc_all.dtype), (i, pos, 0, 0))
+        vc_all = lax.dynamic_update_slice(
+            vc_all, v[None].astype(vc_all.dtype), (i, pos, 0, 0))
+        attn = sdpa_fixed_cache_fn(
+            q, lax.dynamic_index_in_dim(kc_all, i, 0, keepdims=False),
+            lax.dynamic_index_in_dim(vc_all, i, 0, keepdims=False),
+            pos + t, scale=cfg.attn_scale,
+            softcap=cfg.attn_logit_softcap,
+            window=lp.get("attn_window"))
         h = _residual_tail(cfg, lp, h, attn, t)
-        return h, (kc, vc)
+        return (h, kc_all, vc_all)
 
-    h, (k_cache, v_cache) = lax.scan(block, h, (params["layers"], k_cache, v_cache))
+    h, k_cache, v_cache = lax.fori_loop(0, cfg.num_layers, body,
+                                        (h, k_cache, v_cache))
     h = _norm(cfg, h, params["final_norm_w"], params.get("final_norm_b"))
     return k_cache, v_cache, _logits(cfg, params, h)
 
@@ -972,6 +1004,12 @@ class CausalTransformerModel:
                 cos, sin = rope_mod.rope_init_yarn(
                     n, d, config.rope_theta, scaling.get("factor", 1.0),
                     scaling.get("original_max_position_embeddings", n))
+            elif st in ("llama3",):
+                cos, sin = rope_mod.rope_init_llama3(
+                    n, d, config.rope_theta, scaling.get("factor", 8.0),
+                    scaling.get("original_max_position_embeddings", 8192),
+                    scaling.get("low_freq_factor", 1.0),
+                    scaling.get("high_freq_factor", 4.0))
             elif st in ("linear",):
                 cos, sin = rope_mod.rope_init_linear(
                     n, d, config.rope_theta, scaling.get("factor", 1.0))

@@ -77,6 +77,34 @@ def rope_init_yarn(max_seq_len: int, head_dim: int, base: float = 10000.0,
     return wrap(cos), wrap(sin)
 
 
+def rope_init_llama3(max_seq_len: int, head_dim: int, base: float = 500000.0,
+                     scale: float = 8.0, original_max_len: int = 8192,
+                     low_freq_factor: float = 1.0,
+                     high_freq_factor: float = 4.0) -> tuple[Array, Array]:
+    """Llama-3.1 frequency-dependent scaling (HF ``rope_type: "llama3"`` —
+    every Llama-3.1/3.2/3.3 checkpoint; the reference never implemented it,
+    its loaders only ship the llama3 CHAT template, chat.py:108).
+
+    Components whose wavelength exceeds ``original_max_len /
+    low_freq_factor`` are interpolated by ``scale``; wavelengths under
+    ``original_max_len / high_freq_factor`` are untouched; a smooth ramp
+    joins the two regimes (matches transformers
+    ``_compute_llama3_parameters``)."""
+    inv_freq = _base_inv_freq(head_dim, base)
+    wavelen = 2 * np.pi / inv_freq
+    low_w = original_max_len / low_freq_factor
+    high_w = original_max_len / high_freq_factor
+    # smooth factor in [0,1]: 0 -> fully interpolated, 1 -> untouched
+    smooth = jnp.clip(
+        (original_max_len / wavelen - low_freq_factor)
+        / (high_freq_factor - low_freq_factor), 0.0, 1.0)
+    scaled = (1 - smooth) * (inv_freq / scale) + smooth * inv_freq
+    interp = jnp.where(wavelen > low_w, inv_freq / scale,
+                       jnp.where(wavelen < high_w, inv_freq, scaled))
+    cos, sin = _tables_from_inv_freq(max_seq_len, head_dim, interp)
+    return wrap(cos), wrap(sin)
+
+
 def rope_init_linear(max_seq_len: int, head_dim: int, base: float = 10000.0,
                      scale: float = 1.0) -> tuple[Array, Array]:
     """Linear position interpolation: pos' = pos / scale (reference: rope.py:321)."""

@@ -170,3 +170,39 @@ class TestLlama4:
         hf_out = m.generate(torch.tensor([prompt]), max_new_tokens=6,
                             do_sample=False, pad_token_id=0)[0, 3:].tolist()
         assert out == hf_out, (out, hf_out)
+
+
+class TestLlama31RopeScaling:
+    """Llama-3.1 frequency-dependent rope scaling (HF rope_type "llama3")
+    must reach the tables — random-weight tests with near-uniform attention
+    do NOT catch scaled-vs-unscaled rope, so this parity test uses prompts
+    longer than original_max_position_embeddings/4 to force position
+    sensitivity."""
+
+    def test_parity(self, tmp_path):
+        cfg = transformers.LlamaConfig(
+            vocab_size=96, hidden_size=32, intermediate_size=64,
+            num_hidden_layers=2, num_attention_heads=4,
+            num_key_value_heads=2, max_position_embeddings=64,
+            rope_theta=10000.0,
+            rope_scaling={"rope_type": "llama3", "factor": 4.0,
+                          "low_freq_factor": 1.0, "high_freq_factor": 4.0,
+                          "original_max_position_embeddings": 16},
+            tie_word_embeddings=False)
+        torch.manual_seed(5)
+        m = transformers.LlamaForCausalLM(cfg).eval()
+        m.save_pretrained(tmp_path, safe_serialization=True)
+        prompt = tuple(range(1, 25))   # spans past original_max/4
+        model = _check_parity(tmp_path, m, "llama", prompt=prompt)
+        assert model.config.rope_scaling["rope_type"] == "llama3"
+
+    def test_scaled_tables_differ_from_unscaled(self):
+        import jax.numpy as jnp
+        from pygpukit_tpu.ops.nn.rope import rope_init, rope_init_llama3
+        # original_max=64, high_freq_factor=4 -> wavelengths under 16 are
+        # untouched: only component 0 (wavelen 2*pi) qualifies at dim 16
+        cos_s, _ = rope_init_llama3(64, 16, 10000.0, 4.0, 64, 1.0, 4.0)
+        cos_u, _ = rope_init(64, 16, 10000.0)
+        assert not np.allclose(np.asarray(cos_s.jax), np.asarray(cos_u.jax))
+        np.testing.assert_allclose(np.asarray(cos_s.jax)[:, 0],
+                                   np.asarray(cos_u.jax)[:, 0], rtol=1e-6)
