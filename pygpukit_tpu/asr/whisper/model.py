@@ -168,14 +168,26 @@ def decoder_step_fn(cfg: WhisperConfig, params, k_self, v_self, cross_k,
         lax.dynamic_slice_in_dim(params["dec_pos"], pos, 1, axis=0)
     max_len = k_self.shape[1]
 
-    def block(x, xs):
-        lp, kc, vc, kx, vx = xs
+    # fori_loop carrying the self-attn caches so the donated buffers update
+    # in place — scan stacked-ys outputs forced XLA to copy both full
+    # [L, MAX, E] caches every step (see llm/model.decode_step_fn)
+    def body(i, st):
+        x, kc_all, vc_all = st
+        lp = jax.tree.map(
+            lambda a: lax.dynamic_index_in_dim(a, i, 0, keepdims=False),
+            params["dec_layers"])
+        kx = lax.dynamic_index_in_dim(cross_k, i, 0, keepdims=False)
+        vx = lax.dynamic_index_in_dim(cross_v, i, 0, keepdims=False)
         h = layernorm_fn(x, lp["ln1.w"], lp["ln1.b"])
         q = _linear(lp, "self.q", h)
         k_new = _linear(lp, "self.k", h)
         v_new = _linear(lp, "self.v", h)
-        kc = lax.dynamic_update_slice(kc, k_new.astype(kc.dtype), (pos, 0))
-        vc = lax.dynamic_update_slice(vc, v_new.astype(vc.dtype), (pos, 0))
+        kc_all = lax.dynamic_update_slice(
+            kc_all, k_new[None].astype(kc_all.dtype), (i, pos, 0))
+        vc_all = lax.dynamic_update_slice(
+            vc_all, v_new[None].astype(vc_all.dtype), (i, pos, 0))
+        kc = lax.dynamic_index_in_dim(kc_all, i, 0, keepdims=False)
+        vc = lax.dynamic_index_in_dim(vc_all, i, 0, keepdims=False)
         qh = q.reshape(1, h_heads, d).transpose(1, 0, 2).astype(_F32)
         kh = kc.reshape(max_len, h_heads, d).transpose(1, 0, 2).astype(_F32)
         vh = vc.reshape(max_len, h_heads, d).transpose(1, 0, 2).astype(_F32)
@@ -192,10 +204,10 @@ def decoder_step_fn(cfg: WhisperConfig, params, k_self, v_self, cross_k,
         h = layernorm_fn(x, lp["ln3.w"], lp["ln3.b"])
         h = gelu_fn(_linear(lp, "fc1", h))
         x = x + _linear(lp, "fc2", h)
-        return x, (kc, vc)
+        return (x, kc_all, vc_all)
 
-    x, (k_self, v_self) = lax.scan(
-        block, x, (params["dec_layers"], k_self, v_self, cross_k, cross_v))
+    x, k_self, v_self = lax.fori_loop(
+        0, params["dec_layers"]["ln1.w"].shape[0], body, (x, k_self, v_self))
     x = layernorm_fn(x, params["dec_ln.w"], params["dec_ln.b"])
     logits = lax.dot_general(x[0], params["tok_embed"],
                              (((0,), (1,)), ((), ())),

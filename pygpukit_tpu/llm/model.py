@@ -52,7 +52,7 @@ def _pf32(*arrs):
     return None
 
 
-def _mm(x, w, out_dtype=None):
+def _mm(x, w, out_dtype=None, int8_mode=None):
     """Matmul against a possibly-quantized weight leaf.
 
     Dense leaf: jnp array [in, out]. Quantized leaf (reference LinearFP8 /
@@ -61,6 +61,8 @@ def _mm(x, w, out_dtype=None):
     the traffic), the MXU computes in bf16, XLA fuses upconvert + scale.
     ``out_dtype`` overrides the result dtype (default: x.dtype) — the logits
     head passes f32 so a quantized lm_head keeps full-precision logits.
+    ``int8_mode`` ("w8a8"/"w8a16") overrides the PYGPUKIT_INT8_MODE env
+    selection per call site.
     """
     out_dtype = out_dtype or x.dtype
     if isinstance(w, dict):
@@ -115,7 +117,8 @@ def _mm(x, w, out_dtype=None):
             from ..core.backend import get_backend
             default = ("w8a8" if get_backend().platform == "tpu"
                        else "w8a16")
-            if os.environ.get("PYGPUKIT_INT8_MODE", default) == "w8a8":
+            if (int8_mode or os.environ.get("PYGPUKIT_INT8_MODE",
+                                            default)) == "w8a8":
                 # native int8 MXU dot (int32 accumulation, ~300 TOPS
                 # measured): the int8 operand feeds the MXU WITHOUT a bf16
                 # materialization — 4.5x over the int8->bf16 convert path
@@ -261,7 +264,9 @@ def _logits(cfg: TransformerConfig, params, h):
             # on the 1B bench model = ~170 us/tok at HBM rate, measured in
             # the round-3 device trace); streaming it int8 halves that.
             # f32 out keeps sampling numerics.
-            logits = _mm(h, params["lm_head"], out_dtype=_F32)
+            import os
+            logits = _mm(h, params["lm_head"], out_dtype=_F32,
+                         int8_mode=os.environ.get("PYGPUKIT_INT8_HEAD"))
         else:
             logits = jnp.dot(h, params["lm_head"], preferred_element_type=_F32,
                              precision=_pf32(h, params["lm_head"]))
