@@ -73,7 +73,8 @@ class ModelSpec:
     use_rope: bool = True
     use_qk_norm: bool = False
     use_position_embed: bool = False
-    qkv_combined: bool = False       # GPT-2 fused c_attn
+    qkv_combined: bool = False       # GPT-2 c_attn / Phi-3 qkv_proj fused
+    gate_up_combined: bool = False   # Phi-3 gate_up_proj fused [2I, E]
     hf_linear_layout: bool = True    # True: HF Linear [out,in] → transpose at load
     is_moe: bool = False
     norm_plus_one: bool = False      # Gemma RMSNorm: effective weight = 1+w
@@ -206,12 +207,41 @@ GEMMA3_SPEC = ModelSpec(
 )
 
 
+PHI3_SPEC = ModelSpec(
+    name="phi3",
+    # fused checkpoint projections: qkv_proj [(Hq+2Hk)D, E] and
+    # gate_up_proj [2I, E] — split at load into the standard leaves
+    q_proj="model.layers.{layer}.self_attn.qkv_proj.weight",
+    o_proj="model.layers.{layer}.self_attn.o_proj.weight",
+    gate_proj="model.layers.{layer}.mlp.gate_up_proj.weight",
+    up_proj=None,
+    down_proj="model.layers.{layer}.mlp.down_proj.weight",
+    qkv_combined=True,
+    gate_up_combined=True,
+    default_rope_theta=10000.0,
+    hf_model_type="phi3",
+)
+
+
 MODEL_SPECS: dict[str, ModelSpec] = {
     s.name: s for s in (
         GPT2_SPEC, LLAMA_SPEC, QWEN2_SPEC, QWEN3_SPEC, QWEN3_MOE_SPEC,
-        MIXTRAL_SPEC, GEMMA2_SPEC, GEMMA3_SPEC,
+        MIXTRAL_SPEC, GEMMA2_SPEC, GEMMA3_SPEC, PHI3_SPEC,
     )
 }
+
+
+def _merge_rope_scaling(hf: dict) -> dict | None:
+    """rope_scaling dict with original_max_position_embeddings folded in —
+    Phi-3 stores it at the TOP level of config.json while the longrope
+    table math needs it alongside short_factor/long_factor."""
+    rs = hf.get("rope_scaling")
+    if (rs and "original_max_position_embeddings" not in rs
+            and "original_max_position_embeddings" in hf):
+        rs = {**rs,
+              "original_max_position_embeddings":
+                  hf["original_max_position_embeddings"]}
+    return rs
 
 
 def detect_model_spec(tensor_names: list[str]) -> ModelSpec:
@@ -228,6 +258,8 @@ def detect_model_spec(tensor_names: list[str]) -> ModelSpec:
         return QWEN3_MOE_SPEC
     if has_qk_norm:
         return QWEN3_SPEC
+    if "model.layers.0.self_attn.qkv_proj.weight" in names:
+        return PHI3_SPEC
     if "model.embed_tokens.weight" in names:
         if "model.layers.0.self_attn.q_proj.bias" in names:
             return QWEN2_SPEC
@@ -388,7 +420,7 @@ class TransformerConfig:
             max_position_embeddings=hf.get("max_position_embeddings", 2048),
             norm_eps=hf.get("rms_norm_eps", spec.default_norm_eps),
             rope_theta=hf.get("rope_theta", spec.default_rope_theta),
-            rope_scaling=hf.get("rope_scaling"),
+            rope_scaling=_merge_rope_scaling(hf),
             tie_word_embeddings=hf.get("tie_word_embeddings", False),
         )
         base.update(kw)

@@ -288,6 +288,15 @@ def _build_params(st, spec, config, dtype) -> dict:
             lp["w_experts_gate"] = jnp.stack(_resolve(gates))
             lp["w_experts_up"] = jnp.stack(_resolve(ups))
             lp["w_experts_down"] = jnp.stack(_resolve(downs))
+        elif spec.gate_proj and spec.gate_up_combined:
+            # Phi-3: one gate_up_proj tensor, gate rows first
+            w = np.asarray(st.tensor_numpy(spec.gate_proj.format(layer=l)))
+            if tr:
+                w = w.T                                  # → [in, 2I]
+            ii = w.shape[1] // 2
+            lp["w_gate"] = _to_jnp(w[:, :ii], dtype)
+            lp["w_up"] = _to_jnp(w[:, ii:], dtype)
+            lp["w_down"] = _linear(st, spec.down_proj.format(layer=l), dtype, tr)
         elif spec.gate_proj:
             lp["w_gate"] = _linear(st, spec.gate_proj.format(layer=l), dtype, tr)
             lp["w_up"] = _linear(st, spec.up_proj.format(layer=l), dtype, tr)

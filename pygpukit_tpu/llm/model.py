@@ -158,6 +158,27 @@ def _mm(x, w, out_dtype=None, int8_mode=None):
                    precision=_pf32(x, w)).astype(out_dtype)
 
 
+def _rope_rows_for(params, pos, t, total_len):
+    """Rope table rows [t, D] starting at ``pos`` for a forward whose TOTAL
+    sequence length is ``total_len`` (traced). LongRoPE models (Phi-3) carry
+    a second table pair used when total_len exceeds the checkpoint's
+    original_max (HF's dynamic factor switch); everyone else has one pair.
+    """
+    c = lax.dynamic_slice_in_dim(params["rope_cos"], pos, t, axis=0)
+    s = lax.dynamic_slice_in_dim(params["rope_sin"], pos, t, axis=0)
+    if "rope_cos_long" in params:
+        use_long = total_len > params["rope_long_threshold"]
+        c = jnp.where(
+            use_long,
+            lax.dynamic_slice_in_dim(params["rope_cos_long"], pos, t, axis=0),
+            c)
+        s = jnp.where(
+            use_long,
+            lax.dynamic_slice_in_dim(params["rope_sin_long"], pos, t, axis=0),
+            s)
+    return c, s
+
+
 def _norm(cfg: TransformerConfig, x, w, b):
     if cfg.norm_type == "rmsnorm":
         return rmsnorm_fn(x, w, cfg.norm_eps)
@@ -353,8 +374,11 @@ def forward_fn(cfg: TransformerConfig, params, tokens):
     h = _embed_tokens(cfg, params, tokens)
     if cfg.use_position_embed:
         h = h + params["pos_embed"][:s]
-    h = layer_stack_fn(cfg, params["layers"], h,
-                       params.get("rope_cos"), params.get("rope_sin"),
+    if cfg.use_rope and "rope_cos_long" in params:
+        rc, rs = _rope_rows_for(params, 0, s, jnp.int32(s))
+    else:
+        rc, rs = params.get("rope_cos"), params.get("rope_sin")
+    h = layer_stack_fn(cfg, params["layers"], h, rc, rs,
                        params.get("rope_cos_local"),
                        params.get("rope_sin_local"))
     h = _norm(cfg, h, params["final_norm_w"], params.get("final_norm_b"))
@@ -391,8 +415,9 @@ def prefill_fn(cfg: TransformerConfig, params, k_cache, v_cache, tokens, true_le
         x = _norm(cfg, h, lp["attn_norm_w"], lp.get("attn_norm_b"))
         q, k, v = _project_qkv(cfg, lp, x)
         if cfg.use_rope:
+            rc, rs = _rope_rows_for(params, 0, s, true_len)
             c, sn = _layer_rope(
-                lp, rope_cos[:s], rope_sin[:s],
+                lp, rc, rs,
                 None if rope_cos_l is None else rope_cos_l[:s],
                 None if rope_sin_l is None else rope_sin_l[:s])
             q = apply_rope_fn(q, c, sn)
@@ -577,8 +602,7 @@ def decode_step_fn(cfg: TransformerConfig, params, k_cache, v_cache, token,
         x = _norm(cfg, h, lp["attn_norm_w"], lp.get("attn_norm_b"))
         q, k, v = _project_qkv(cfg, lp, x)                       # [1,H,D]
         if cfg.use_rope:
-            c = lax.dynamic_slice_in_dim(rope_cos, pos, 1, axis=0)
-            sn = lax.dynamic_slice_in_dim(rope_sin, pos, 1, axis=0)
+            c, sn = _rope_rows_for(params, pos, 1, pos + 1)
             if rope_cos_l is not None:
                 c, sn = _layer_rope(
                     lp, c, sn,
@@ -638,8 +662,7 @@ def decode_window_fn(cfg: TransformerConfig, params, k_cache, v_cache,
         x = _norm(cfg, h, lp["attn_norm_w"], lp.get("attn_norm_b"))
         q, k, v = _project_qkv(cfg, lp, x)                       # [T,H,D]
         if cfg.use_rope:
-            c = lax.dynamic_slice_in_dim(rope_cos, pos, t, axis=0)
-            sn = lax.dynamic_slice_in_dim(rope_sin, pos, t, axis=0)
+            c, sn = _rope_rows_for(params, pos, t, pos + t)
             if rope_cos_l is not None:
                 c, sn = _layer_rope(
                     lp, c, sn,
@@ -1015,6 +1038,30 @@ class CausalTransformerModel:
                     scaling.get("original_max_position_embeddings", 8192),
                     scaling.get("low_freq_factor", 1.0),
                     scaling.get("high_freq_factor", 4.0))
+            elif st in ("longrope",):
+                # Phi-3 family: per-dim short/long factor lists. HF switches
+                # factor sets per FORWARD when total length exceeds
+                # original_max — we build both tables and select by traced
+                # length (rope_long_threshold leaf) so cached decode matches
+                # transformers in both regimes.
+                import math as _math
+                orig = int(scaling.get(
+                    "original_max_position_embeddings", n))
+                factor = n / orig
+                attn_f = scaling.get("attention_factor")
+                if attn_f is None:
+                    attn_f = (1.0 if factor <= 1.0 else _math.sqrt(
+                        1 + _math.log(factor) / _math.log(orig)))
+                cos, sin = rope_mod.rope_init_longrope(
+                    n, d, config.rope_theta,
+                    scaling.get("short_factor", [1.0] * (d // 2)), attn_f)
+                if n > orig and "long_factor" in scaling:
+                    cos_l, sin_l = rope_mod.rope_init_longrope(
+                        n, d, config.rope_theta, scaling["long_factor"],
+                        attn_f)
+                    params["rope_cos_long"] = cos_l.jax
+                    params["rope_sin_long"] = sin_l.jax
+                    params["rope_long_threshold"] = jnp.int32(orig)
             elif st in ("linear",):
                 cos, sin = rope_mod.rope_init_linear(
                     n, d, config.rope_theta, scaling.get("factor", 1.0))

@@ -80,15 +80,22 @@ def paged_decode_step_fn(cfg: TransformerConfig, params, k_pool, v_pool,
     blocks = tables[jnp.arange(b), poss // bs]               # [B]
     offs = poss % bs
 
-    def block_fn(h, xs):
-        lp, kp_l, vp_l = xs
+    # fori_loop carrying the pools — in-place block writes; scan ys forced
+    # a full 2x pool copy per step (see llm/model.decode_step_fn)
+    def body(i, st):
+        h, kp, vp = st
+        lp = jax.tree.map(
+            lambda a: lax.dynamic_index_in_dim(a, i, 0, keepdims=False),
+            params["layers"])
         x = _norm(cfg, h, lp["attn_norm_w"], lp.get("attn_norm_b"))
         q, k, v = _project_qkv(cfg, lp, x)                   # [B, H*, D]
         if cfg.use_rope:
-            q = _rope_rows(q, rope_cos, rope_sin, poss)
-            k = _rope_rows(k, rope_cos, rope_sin, poss)
-        kp_l = kp_l.at[blocks, :, offs, :].set(k.astype(kp_l.dtype))
-        vp_l = vp_l.at[blocks, :, offs, :].set(v.astype(vp_l.dtype))
+            q = _rope_rows(q, rope_cos, rope_sin, poss, params)
+            k = _rope_rows(k, rope_cos, rope_sin, poss, params)
+        kp = kp.at[i, blocks, :, offs, :].set(k.astype(kp.dtype))
+        vp = vp.at[i, blocks, :, offs, :].set(v.astype(vp.dtype))
+        kp_l = lax.dynamic_index_in_dim(kp, i, 0, keepdims=False)
+        vp_l = lax.dynamic_index_in_dim(vp, i, 0, keepdims=False)
         if _use_pallas_paged():
             # scalar-prefetch Pallas kernel (PYGPUKIT_PAGED_ATTENTION=pallas):
             # per-slot calls — the kernel's block-table prefetch DMAs only
@@ -105,18 +112,24 @@ def paged_decode_step_fn(cfg: TransformerConfig, params, k_pool, v_pool,
         h = h + _out_proj(lp, attn.reshape(b, -1), b, h.dtype)
         y = _norm(cfg, h, lp["mlp_norm_w"], lp.get("mlp_norm_b"))
         h = h + _mlp(cfg, lp, y)
-        return h, (kp_l, vp_l)
+        return (h, kp, vp)
 
-    h, (k_pool, v_pool) = lax.scan(
-        block_fn, h, (params["layers"], k_pool, v_pool))
+    h, k_pool, v_pool = lax.fori_loop(0, cfg.num_layers, body,
+                                      (h, k_pool, v_pool))
     h = _norm(cfg, h, params["final_norm_w"], params.get("final_norm_b"))
     return k_pool, v_pool, _logits(cfg, params, h)
 
 
-def _rope_rows(x, cos, sin, poss):
-    """x [B, Hx, D] roped at per-row positions poss [B]."""
+def _rope_rows(x, cos, sin, poss, params=None):
+    """x [B, Hx, D] roped at per-row positions poss [B]. LongRoPE models
+    (params carries rope_cos_long) select factor tables per row by each
+    sequence's own length (model.py _rope_rows_for semantics)."""
     c = cos[poss]                                            # [B, D]
     s = sin[poss]
+    if params is not None and "rope_cos_long" in params:
+        use = (poss + 1 > params["rope_long_threshold"])[:, None]
+        c = jnp.where(use, params["rope_cos_long"][poss], c)
+        s = jnp.where(use, params["rope_sin_long"][poss], s)
     return jax.vmap(lambda xv, cv, sv: apply_rope_fn(
         xv[None], cv[None], sv[None])[0])(x, c, s)
 
@@ -207,26 +220,31 @@ def paged_prefill_fn(cfg: TransformerConfig, params, k_pool, v_pool,
     blocks = jnp.where(valid, table[idx // bs], 0)
     offs = jnp.where(valid, idx % bs, 0)
 
-    def block_fn(h, xs):
-        lp, kp_l, vp_l = xs
+    def body(i, st):
+        h, kp, vp = st
+        lp = jax.tree.map(
+            lambda a: lax.dynamic_index_in_dim(a, i, 0, keepdims=False),
+            params["layers"])
         x = _norm(cfg, h, lp["attn_norm_w"], lp.get("attn_norm_b"))
         q, k, v = _project_qkv(cfg, lp, x)
         if cfg.use_rope:
-            q = apply_rope_fn(q, rope_cos[:s], rope_sin[:s])
-            k = apply_rope_fn(k, rope_cos[:s], rope_sin[:s])
-        kp_l = kp_l.at[blocks, :, offs, :].set(
-            jnp.where(valid[:, None, None], k, 0).astype(kp_l.dtype))
-        vp_l = vp_l.at[blocks, :, offs, :].set(
-            jnp.where(valid[:, None, None], v, 0).astype(vp_l.dtype))
+            from .model import _rope_rows_for
+            rc, rs = _rope_rows_for(params, 0, s, true_len)
+            q = apply_rope_fn(q, rc, rs)
+            k = apply_rope_fn(k, rc, rs)
+        kp = kp.at[i, blocks, :, offs, :].set(
+            jnp.where(valid[:, None, None], k, 0).astype(kp.dtype))
+        vp = vp.at[i, blocks, :, offs, :].set(
+            jnp.where(valid[:, None, None], v, 0).astype(vp.dtype))
         from .model import _prefill_attn
         attn = _prefill_attn(q, k, v, true_len)
         h = h + _out_proj(lp, attn, s, h.dtype)
         y = _norm(cfg, h, lp["mlp_norm_w"], lp.get("mlp_norm_b"))
         h = h + _mlp(cfg, lp, y)
-        return h, (kp_l, vp_l)
+        return (h, kp, vp)
 
-    h, (k_pool, v_pool) = lax.scan(
-        block_fn, h, (params["layers"], k_pool, v_pool))
+    h, k_pool, v_pool = lax.fori_loop(0, cfg.num_layers, body,
+                                      (h, k_pool, v_pool))
     h = _norm(cfg, h, params["final_norm_w"], params.get("final_norm_b"))
     last = jnp.take(h, true_len - 1, axis=0)
     return k_pool, v_pool, _logits(cfg, params, last)

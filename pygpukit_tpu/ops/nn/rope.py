@@ -105,6 +105,22 @@ def rope_init_llama3(max_seq_len: int, head_dim: int, base: float = 500000.0,
     return wrap(cos), wrap(sin)
 
 
+def rope_init_longrope(max_seq_len: int, head_dim: int, base: float,
+                       ext_factors, attention_factor: float = 1.0
+                       ) -> tuple[Array, Array]:
+    """LongRoPE (Phi-3 family; HF ``rope_type: "longrope"``): per-dimension
+    rescale of the inverse frequencies by ``ext_factors`` (the checkpoint's
+    short_factor or long_factor list, one per head_dim/2), with the paper's
+    attention scaling folded into the cos/sin tables (matches transformers
+    _compute_longrope_parameters: inv_freq = 1/(ext * base^(2i/d)), tables
+    scaled by attention_factor)."""
+    ext = jnp.asarray(np.asarray(ext_factors, np.float32))
+    inv_freq = _base_inv_freq(head_dim, base) / ext
+    cos, sin = _tables_from_inv_freq(max_seq_len, head_dim, inv_freq)
+    return (wrap(cos * np.float32(attention_factor)),
+            wrap(sin * np.float32(attention_factor)))
+
+
 def rope_init_linear(max_seq_len: int, head_dim: int, base: float = 10000.0,
                      scale: float = 1.0) -> tuple[Array, Array]:
     """Linear position interpolation: pos' = pos / scale (reference: rope.py:321)."""

@@ -206,3 +206,48 @@ class TestLlama31RopeScaling:
         assert not np.allclose(np.asarray(cos_s.jax), np.asarray(cos_u.jax))
         np.testing.assert_allclose(np.asarray(cos_s.jax)[:, 0],
                                    np.asarray(cos_u.jax)[:, 0], rtol=1e-6)
+
+
+class TestPhi3:
+    """Phi-3: fused qkv_proj/gate_up_proj checkpoints + LongRoPE scaling
+    (HF rope_type "longrope": per-dim short/long factor lists switched by
+    total sequence length vs original_max — we carry dual tables and select
+    by traced length). Reference has no phi family at all."""
+
+    def _cfg(self, **kw):
+        return transformers.Phi3Config(
+            vocab_size=96, hidden_size=32, intermediate_size=64,
+            num_hidden_layers=2, num_attention_heads=4,
+            num_key_value_heads=2, max_position_embeddings=64,
+            tie_word_embeddings=False, pad_token_id=0,
+            bos_token_id=1, eos_token_id=2, **kw)
+
+    def test_parity_plain(self, tmp_path):
+        torch.manual_seed(7)
+        m = transformers.Phi3ForCausalLM(self._cfg()).eval()
+        m.save_pretrained(tmp_path, safe_serialization=True)
+        model = _check_parity(tmp_path, m, "phi3")
+        # fused checkpoint split into the standard leaves (then re-fused)
+        assert "w_qkv" in model.params["layers"] or "w_q" in model.params["layers"]
+
+    def test_parity_longrope_both_regimes(self, tmp_path):
+        half = (32 // 4) // 2
+        cfg = self._cfg(
+            original_max_position_embeddings=32,
+            rope_scaling={"type": "longrope",
+                          "short_factor": [1.0 + 0.05 * i for i in range(half)],
+                          "long_factor": [1.5 + 0.3 * i for i in range(half)]})
+        torch.manual_seed(8)
+        m = transformers.Phi3ForCausalLM(cfg).eval()
+        m.save_pretrained(tmp_path, safe_serialization=True)
+        # short regime: total length stays under original_max (32)
+        model = _check_parity(tmp_path, m, "phi3", prompt=tuple(range(1, 20)))
+        assert "rope_cos_long" in model.params
+        # long regime: prompt longer than original_max -> HF switches to
+        # long_factor for the whole forward; our traced select must follow
+        prompt = list(range(1, 40))
+        ours = model.generate(prompt, max_new_tokens=6, temperature=0.0)
+        hf_out = m.generate(
+            torch.tensor([prompt]), max_new_tokens=6, do_sample=False,
+            pad_token_id=0)[0, len(prompt):].tolist()
+        assert ours == hf_out, (ours, hf_out)
