@@ -251,3 +251,41 @@ class TestPhi3:
             torch.tensor([prompt]), max_new_tokens=6, do_sample=False,
             pad_token_id=0)[0, len(prompt):].tolist()
         assert ours == hf_out, (ours, hf_out)
+
+
+class TestDeepseekV3:
+    """DeepSeek-V3/R1 class: Multi-head Latent Attention (q/kv low-rank,
+    decoupled shared rope key) + sigmoid group-limited MoE routing with
+    shared experts and a dense layer prefix. Decode runs the ABSORBED MLA
+    form off the compressed [kv_lora + rope] cache — greedy must still
+    match transformers' naive-expansion cache exactly."""
+
+    def test_parity(self, tmp_path):
+        import jax.numpy as jnp
+        from pygpukit_tpu.llm.models.deepseek import DeepseekV3Model
+        cfg = transformers.DeepseekV3Config(
+            vocab_size=96, hidden_size=48, num_hidden_layers=3,
+            num_attention_heads=2, num_key_value_heads=2,
+            q_lora_rank=24, kv_lora_rank=16, qk_rope_head_dim=4,
+            qk_nope_head_dim=8, v_head_dim=8, intermediate_size=64,
+            moe_intermediate_size=32, n_routed_experts=8,
+            n_shared_experts=1, num_experts_per_tok=2, n_group=4,
+            topk_group=2, norm_topk_prob=True, routed_scaling_factor=2.5,
+            first_k_dense_replace=1, max_position_embeddings=64,
+            tie_word_embeddings=False, pad_token_id=0)
+        torch.manual_seed(9)
+        m = transformers.DeepseekV3ForCausalLM(cfg).eval()
+        m.save_pretrained(tmp_path, safe_serialization=True)
+        ours = DeepseekV3Model.from_safetensors(tmp_path, dtype=jnp.float32)
+        assert ours.params["moe_layers"]["w_experts_gate"].shape[:2] == (2, 8)
+        prompt = [1, 7, 23, 40, 4]
+        got = ours.get_logits(prompt)
+        with torch.no_grad():
+            ref = m(torch.tensor([prompt])).logits[0].numpy()
+        np.testing.assert_allclose(got, ref, rtol=5e-3, atol=5e-3)
+        # absorbed-cache cached decode == HF generate (greedy)
+        out = ours.generate(prompt, max_new_tokens=8, chunk_size=4)
+        hf_out = m.generate(
+            torch.tensor([prompt]), max_new_tokens=8, do_sample=False,
+            pad_token_id=0)[0, len(prompt):].tolist()
+        assert out == hf_out, (out, hf_out)
