@@ -1031,7 +1031,13 @@ class CausalTransformerModel:
             if st in ("yarn",):
                 cos, sin = rope_mod.rope_init_yarn(
                     n, d, config.rope_theta, scaling.get("factor", 1.0),
-                    scaling.get("original_max_position_embeddings", n))
+                    scaling.get("original_max_position_embeddings", n),
+                    beta_fast=scaling.get("beta_fast") or 32.0,
+                    beta_slow=scaling.get("beta_slow") or 1.0,
+                    mscale=scaling.get("mscale"),
+                    mscale_all_dim=scaling.get("mscale_all_dim"),
+                    attention_factor=scaling.get("attention_factor"),
+                    truncate=scaling.get("truncate", True))
             elif st in ("llama3",):
                 cos, sin = rope_mod.rope_init_llama3(
                     n, d, config.rope_theta, scaling.get("factor", 8.0),

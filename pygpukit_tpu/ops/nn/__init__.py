@@ -8,7 +8,8 @@ from .llama4 import irope_scale_q, sdpa_irope
 from .rope import (
     alibi_add_bias, alibi_compute_bias, alibi_init_slopes,
     pope_init_encoding, pope_inplace,
-    rope_init, rope_init_linear, rope_init_ntk_aware, rope_init_yarn,
+    rope_init, rope_init_linear, rope_init_llama3, rope_init_longrope,
+    rope_init_ntk_aware, rope_init_yarn,
     rope_inplace, rope_inplace_f32table, rope_inplace_interleaved,
 )
 
@@ -19,6 +20,7 @@ __all__ = [
     "groupnorm", "l2norm", "layernorm", "rmsnorm",
     "alibi_add_bias", "alibi_compute_bias", "alibi_init_slopes",
     "pope_init_encoding", "pope_inplace",
-    "rope_init", "rope_init_linear", "rope_init_ntk_aware", "rope_init_yarn",
+    "rope_init", "rope_init_linear", "rope_init_llama3",
+    "rope_init_longrope", "rope_init_ntk_aware", "rope_init_yarn",
     "rope_inplace", "rope_inplace_f32table", "rope_inplace_interleaved",
 ]

@@ -63,18 +63,49 @@ def rope_init_ntk_aware(max_seq_len: int, head_dim: int, base: float = 10000.0,
 def rope_init_yarn(max_seq_len: int, head_dim: int, base: float = 10000.0,
                    scale: float = 1.0, original_max_len: int = 4096,
                    beta_fast: float = 32.0, beta_slow: float = 1.0,
-                   mscale: float = 0.1) -> tuple[Array, Array]:
-    """YaRN dimension-wise interpolation (reference: rope.py:209-320):
-    low-frequency dims get full interpolation, high-frequency none, with a
-    smooth ramp between the beta_fast/beta_slow wavelength thresholds."""
+                   mscale: float | None = None,
+                   mscale_all_dim: float | None = None,
+                   attention_factor: float | None = None,
+                   truncate: bool = True) -> tuple[Array, Array]:
+    """YaRN dimension-wise interpolation, transformers-exact
+    (_compute_yarn_parameters): the interpolation ramp runs over DIMENSION
+    indices between the log-derived correction bounds (not wavelength
+    thresholds — round 3 fixed the earlier approximation, which produced a
+    different ramp and would mismatch real yarn checkpoints), and the
+    paper's attention factor sqrt-free mscale is folded into the tables."""
+    import math
+
+    def get_mscale(s, m=1.0):
+        return 1.0 if s <= 1 else 0.1 * m * math.log(s) + 1.0
+
+    if attention_factor is None:
+        if mscale and mscale_all_dim:
+            attention_factor = float(get_mscale(scale, mscale)
+                                     / get_mscale(scale, mscale_all_dim))
+        else:
+            attention_factor = get_mscale(scale)
+
+    def corr_dim(rot):
+        return (head_dim
+                * math.log(original_max_len / (rot * 2 * math.pi))
+                / (2 * math.log(base)))
+
+    low, high = corr_dim(beta_fast), corr_dim(beta_slow)
+    if truncate:
+        low, high = math.floor(low), math.ceil(high)
+    low, high = max(low, 0), min(high, head_dim - 1)
+    if low == high:
+        high += 0.001
+    half = head_dim // 2
+    ramp = jnp.clip((jnp.arange(half, dtype=_F32) - low) / (high - low),
+                    0.0, 1.0)
+    extrap_factor = 1.0 - ramp
     inv_freq = _base_inv_freq(head_dim, base)
-    wavelengths = 2 * np.pi / inv_freq
-    low_w = original_max_len / beta_slow
-    high_w = original_max_len / beta_fast
-    smooth = jnp.clip((wavelengths - high_w) / (low_w - high_w), 0.0, 1.0)
-    interp = (1 - smooth) * (inv_freq / scale) + smooth * inv_freq
+    interp = (inv_freq / scale) * (1 - extrap_factor) \
+        + inv_freq * extrap_factor
     cos, sin = _tables_from_inv_freq(max_seq_len, head_dim, interp)
-    return wrap(cos), wrap(sin)
+    return (wrap(cos * np.float32(attention_factor)),
+            wrap(sin * np.float32(attention_factor)))
 
 
 def rope_init_llama3(max_seq_len: int, head_dim: int, base: float = 500000.0,

@@ -289,3 +289,25 @@ class TestDeepseekV3:
             torch.tensor([prompt]), max_new_tokens=8, do_sample=False,
             pad_token_id=0)[0, len(prompt):].tolist()
         assert out == hf_out, (out, hf_out)
+
+
+class TestYarnRopeScaling:
+    """HF-exact YaRN (log-derived correction-dim ramp + attention factor on
+    the tables): parity vs transformers with a Qwen3 config carrying yarn
+    rope_scaling — the regime every long-context Qwen/DeepSeek checkpoint
+    ships with."""
+
+    def test_parity(self, tmp_path):
+        cfg = transformers.Qwen3Config(
+            vocab_size=96, hidden_size=32, intermediate_size=64,
+            num_hidden_layers=2, num_attention_heads=4,
+            num_key_value_heads=2, head_dim=8,
+            max_position_embeddings=128, rope_theta=10000.0,
+            rope_scaling={"rope_type": "yarn", "factor": 4.0,
+                          "original_max_position_embeddings": 32},
+            tie_word_embeddings=False)
+        torch.manual_seed(10)
+        m = transformers.Qwen3ForCausalLM(cfg).eval()
+        m.save_pretrained(tmp_path, safe_serialization=True)
+        # prompt crossing original_max so the interpolated dims matter
+        _check_parity(tmp_path, m, "qwen3", prompt=tuple(range(1, 40)))
