@@ -69,6 +69,10 @@ class DeepseekV3Config:
     norm_topk_prob: bool = True
     routed_scaling_factor: float = 2.5
     first_k_dense: int = 3
+    # V3/R1: "noaux_tc" (sigmoid scores, bias-corrected group-limited
+    # selection). V2: "greedy" (V2-Lite — plain softmax top-k) or
+    # "group_limited_greedy" (V2/V2-Chat — group MAX selection).
+    router_mode: str = "noaux_tc"
     rope_theta: float = 10000.0
     rope_interleave: bool = True
     rope_scaling: dict | None = None
@@ -114,6 +118,9 @@ class DeepseekV3Config:
             norm_topk_prob=hf.get("norm_topk_prob", True),
             routed_scaling_factor=hf.get("routed_scaling_factor", 2.5),
             first_k_dense=hf.get("first_k_dense_replace", 3),
+            router_mode=(hf.get("topk_method", "greedy")
+                         if hf.get("model_type") == "deepseek_v2"
+                         else hf.get("topk_method", "noaux_tc")),
             rope_theta=hf.get("rope_theta", 10000.0),
             rope_interleave=hf.get("rope_interleave", True),
             rope_scaling=hf.get("rope_scaling"),
@@ -203,24 +210,48 @@ def _dense_mlp(lp, x):
     return (jax.nn.silu(g.astype(_F32)).astype(x.dtype) * u) @ lp["w_down"]
 
 
-def _router(cfg: DeepseekV3Config, lp, x):
-    """HF DeepseekV3TopkRouter: sigmoid scores; bias + group-limited
-    selection; PRE-bias weights. Returns (weights [T,N] dense one-hot)."""
-    t = x.shape[0]
-    n, g = cfg.n_routed_experts, cfg.n_group
-    scores = jax.nn.sigmoid(x.astype(_F32) @ lp["w_router"])   # [T, N]
-    sfc = scores + lp["b_router"][None, :]
-    per = n // g
-    grp = sfc.reshape(t, g, per)
-    top2, _ = lax.top_k(grp, min(2, per))
-    group_scores = top2.sum(-1)                                # [T, G]
-    _, gidx = lax.top_k(group_scores, cfg.topk_group)
+def _group_mask(sel_scores, t, g, per, topk_group):
+    """Boolean [T, N] mask of experts inside the top ``topk_group``
+    groups, ranked by ``sel_scores`` [T, G]."""
+    _, gidx = lax.top_k(sel_scores, topk_group)
     gmask = jnp.zeros((t, g), bool).at[
         jnp.arange(t)[:, None], gidx].set(True)
-    emask = jnp.repeat(gmask, per, axis=-1)                    # [T, N]
-    masked = jnp.where(emask, sfc, 0.0)
-    _, eidx = lax.top_k(masked, cfg.num_experts_per_tok)       # [T, K]
-    w = jnp.take_along_axis(scores, eidx, axis=-1)             # pre-bias!
+    return jnp.repeat(gmask, per, axis=-1)
+
+
+def _router(cfg: DeepseekV3Config, lp, x):
+    """Router -> dense one-hot weights [T, N].
+
+    noaux_tc (V3/R1, HF DeepseekV3TopkRouter): sigmoid scores; selection
+    by bias-corrected scores with group top-2-SUM limiting; weights from
+    the PRE-bias scores. greedy / group_limited_greedy (V2, HF
+    DeepseekV2MoEGate): softmax scores; plain or group-MAX-limited top-k;
+    weights are the selected scores (normalised only if norm_topk_prob).
+    """
+    t = x.shape[0]
+    n = cfg.n_routed_experts
+    logits = x.astype(_F32) @ lp["w_router"]                   # [T, N]
+    if cfg.router_mode == "noaux_tc":
+        g = cfg.n_group
+        per = n // g
+        scores = jax.nn.sigmoid(logits)
+        sfc = scores + lp["b_router"][None, :]
+        top2, _ = lax.top_k(sfc.reshape(t, g, per), min(2, per))
+        emask = _group_mask(top2.sum(-1), t, g, per, cfg.topk_group)
+        masked = jnp.where(emask, sfc, 0.0)
+        _, eidx = lax.top_k(masked, cfg.num_experts_per_tok)   # [T, K]
+        w = jnp.take_along_axis(scores, eidx, axis=-1)         # pre-bias!
+    else:
+        scores = jax.nn.softmax(logits, axis=-1)
+        if cfg.router_mode == "group_limited_greedy":
+            g = cfg.n_group
+            per = n // g
+            gmax = scores.reshape(t, g, per).max(-1)
+            emask = _group_mask(gmax, t, g, per, cfg.topk_group)
+            masked = jnp.where(emask, scores, 0.0)
+        else:                                                  # greedy
+            masked = scores
+        w, eidx = lax.top_k(masked, cfg.num_experts_per_tok)
     if cfg.norm_topk_prob:
         w = w / (w.sum(-1, keepdims=True) + 1e-20)
     w = w * cfg.routed_scaling_factor

@@ -311,3 +311,50 @@ class TestYarnRopeScaling:
         m.save_pretrained(tmp_path, safe_serialization=True)
         # prompt crossing original_max so the interpolated dims matter
         _check_parity(tmp_path, m, "qwen3", prompt=tuple(range(1, 40)))
+
+
+class TestDeepseekV2:
+    """DeepSeek-V2 rides the same module with V2 router modes: softmax
+    scores with plain top-k (V2-Lite "greedy", also no q-lora) or
+    group-MAX-limited top-k ("group_limited_greedy")."""
+
+    def _run(self, tmp_path, seed, **kw):
+        import jax.numpy as jnp
+        from pygpukit_tpu.llm.models.deepseek import DeepseekV3Model
+        cfg = transformers.DeepseekV2Config(
+            vocab_size=96, hidden_size=48, num_hidden_layers=2,
+            num_attention_heads=2, num_key_value_heads=2,
+            kv_lora_rank=16, qk_rope_head_dim=4, qk_nope_head_dim=8,
+            v_head_dim=8, intermediate_size=64, moe_intermediate_size=32,
+            n_routed_experts=8, n_shared_experts=1, num_experts_per_tok=2,
+            first_k_dense_replace=0, max_position_embeddings=64,
+            tie_word_embeddings=False, pad_token_id=0, **kw)
+        torch.manual_seed(seed)
+        m = transformers.DeepseekV2ForCausalLM(cfg).eval()
+        m.save_pretrained(tmp_path, safe_serialization=True)
+        ours = DeepseekV3Model.from_safetensors(tmp_path, dtype=jnp.float32)
+        prompt = [1, 7, 23, 40]
+        got = ours.get_logits(prompt)
+        with torch.no_grad():
+            ref = m(torch.tensor([prompt])).logits[0].numpy()
+        np.testing.assert_allclose(got, ref, rtol=5e-3, atol=5e-3)
+        out = ours.generate(prompt, max_new_tokens=6, chunk_size=3)
+        hf_out = m.generate(
+            torch.tensor([prompt]), max_new_tokens=6, do_sample=False,
+            pad_token_id=0)[0, len(prompt):].tolist()
+        assert out == hf_out, (out, hf_out)
+        return ours
+
+    def test_v2_lite_greedy_no_qlora(self, tmp_path):
+        ours = self._run(tmp_path, 11, q_lora_rank=None,
+                         topk_method="greedy", norm_topk_prob=False,
+                         routed_scaling_factor=1.0)
+        assert ours.config.router_mode == "greedy"
+        assert "w_q" in ours.params["moe_layers"]
+
+    def test_v2_group_limited(self, tmp_path):
+        ours = self._run(tmp_path, 12, q_lora_rank=24,
+                         topk_method="group_limited_greedy", n_group=4,
+                         topk_group=2, norm_topk_prob=False,
+                         routed_scaling_factor=1.0)
+        assert ours.config.router_mode == "group_limited_greedy"
