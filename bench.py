@@ -200,9 +200,26 @@ def bench_decode(mode: str, n_tokens: int = 256) -> dict:
     out = model.generate(list(range(1, 17)), max_new_tokens=n_tokens,
                          chunk_size=n_tokens)
     dt = (time.perf_counter() - t0) / len(out)
-    return {"toks_per_s": 1.0 / dt, "ms_per_tok": dt * 1e3,
-            "gbps": wbytes / dt / 1e9, "frac_hbm_peak": wbytes / dt / 1e9
-            / V5E_HBM_GBPS}
+    res = {"toks_per_s": 1.0 / dt, "ms_per_tok": dt * 1e3,
+           "gbps": wbytes / dt / 1e9, "frac_hbm_peak": wbytes / dt / 1e9
+           / V5E_HBM_GBPS}
+    if mode == "bf16":
+        # long-context row: decode at live ctx 4096 over an 8192 cache
+        # (the kv-chunk LSE path auto-gates at >= 8192). Cache content at
+        # the skipped positions is garbage — timing-only, masked reads
+        # cost the same (round-3 in-place-cache + LSE work made this
+        # regime ~flat; the row keeps it honest across rounds).
+        model.init_fixed_cache(8192)
+        model.generate(list(range(1, 17)), max_new_tokens=129,
+                       chunk_size=128)
+        model.pos = 4096
+        model.decode_chunk(5, 128)          # warm at the jump pos
+        model.pos = 4096
+        t0 = time.perf_counter()
+        toks = model.decode_chunk(5, 128)
+        dt2 = (time.perf_counter() - t0) / len(toks)
+        res["ctx4k_toks_per_s"] = 1.0 / dt2
+    return res
 
 
 def main() -> None:
@@ -239,6 +256,9 @@ def main() -> None:
         try:
             r = bench_decode(name)
             extra[f"decode_1b_{name}_toks_per_s"] = round(r["toks_per_s"], 1)
+            if "ctx4k_toks_per_s" in r:
+                extra["decode_1b_bf16_ctx4k_toks_per_s"] = round(
+                    r["ctx4k_toks_per_s"], 1)
             extra[f"decode_1b_{name}_gbps"] = round(r["gbps"], 1)
             extra[f"decode_1b_{name}_frac_hbm_peak"] = round(
                 r["frac_hbm_peak"], 4)
