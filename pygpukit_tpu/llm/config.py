@@ -374,6 +374,10 @@ class TransformerConfig:
                 norm_eps=hf.get("layer_norm_epsilon", 1e-5),
             )
         kw = {}
+        if spec.name == "phi3":
+            # phi3 applies one sliding window to EVERY layer (mistral
+            # convention) when config.json sets it (mini-4k: 2047)
+            kw = dict(sliding_window=hf.get("sliding_window"))
         if spec.name in ("gemma2", "gemma3"):
             n_layers = hf.get("num_hidden_layers", 22)
             lt = hf.get("layer_types")

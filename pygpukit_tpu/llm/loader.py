@@ -118,6 +118,14 @@ def _infer_config(st, spec: ModelSpec, hf_cfg: dict | None) -> TransformerConfig
     kn = spec.k_proj.format(layer=0)
     q_shape = st.tensor_shape(qn)
     if spec.qkv_combined:
+        if spec.name == "phi3":
+            # the fused qkv/gate_up shapes cannot disambiguate the head
+            # split (Phi-3-mini uses 96-dim heads; hidden//64 would infer
+            # 48 heads that reshape "successfully" into garbage) — demand
+            # the config.json that every HF phi3 checkpoint ships
+            raise ValueError(
+                "phi3 checkpoints need config.json next to the weights: "
+                "the fused qkv_proj cannot disambiguate num_heads/head_dim")
         num_heads = max(1, hidden // 64)
         num_kv = num_heads
     else:
@@ -136,6 +144,8 @@ def _infer_config(st, spec: ModelSpec, hf_cfg: dict | None) -> TransformerConfig
     if spec.gate_proj:
         g = st.tensor_shape(spec.gate_proj.format(layer=0))
         inter = g[0] if spec.hf_linear_layout else g[1]
+        if spec.gate_up_combined:
+            inter //= 2                   # fused gate_up tensor is [2I, E]
     elif spec.fc1:
         g = st.tensor_shape(spec.fc1.format(layer=0))
         inter = g[1] if not spec.hf_linear_layout else g[0]

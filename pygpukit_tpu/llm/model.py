@@ -1298,10 +1298,9 @@ class CausalTransformerModel:
             cur = jnp.asarray(cur).astype(jnp.int32)
         out: list[int] = []
         first = True
+        # (EOS can only surface inside a chunk's readback, which returns
+        # from the loop body directly — no loop-top EOS check needed)
         while len(out) < max_new_tokens:
-            if (not first and eos_token_id is not None
-                    and out and out[-1] == eos_token_id):
-                break
             # the first chunk's readback also delivers the deferred token,
             # so it only needs max_new_tokens-1 steps
             n = min(max_new_tokens - len(out) - (1 if first else 0),

@@ -98,6 +98,7 @@ class DeepseekV3Config:
 
     @classmethod
     def from_hf(cls, hf: dict) -> "DeepseekV3Config":
+        v2 = hf.get("model_type") == "deepseek_v2"
         return cls(
             vocab_size=hf.get("vocab_size", 129280),
             hidden_size=hf.get("hidden_size", 7168),
@@ -115,12 +116,12 @@ class DeepseekV3Config:
             num_experts_per_tok=hf.get("num_experts_per_tok", 8),
             n_group=hf.get("n_group", 8),
             topk_group=hf.get("topk_group", 4),
-            norm_topk_prob=hf.get("norm_topk_prob", True),
-            routed_scaling_factor=hf.get("routed_scaling_factor", 2.5),
-            first_k_dense=hf.get("first_k_dense_replace", 3),
-            router_mode=(hf.get("topk_method", "greedy")
-                         if hf.get("model_type") == "deepseek_v2"
-                         else hf.get("topk_method", "noaux_tc")),
+            norm_topk_prob=hf.get("norm_topk_prob", not v2),
+            routed_scaling_factor=hf.get("routed_scaling_factor",
+                                          1.0 if v2 else 2.5),
+            first_k_dense=hf.get("first_k_dense_replace", 0 if v2 else 3),
+            router_mode=hf.get("topk_method",
+                               "greedy" if v2 else "noaux_tc"),
             rope_theta=hf.get("rope_theta", 10000.0),
             rope_interleave=hf.get("rope_interleave", True),
             rope_scaling=hf.get("rope_scaling"),
@@ -129,6 +130,16 @@ class DeepseekV3Config:
             tie_word_embeddings=hf.get("tie_word_embeddings", False),
         )
 
+
+
+def _prec(*arrs):
+    """precision=HIGHEST when the PRE-cast information is genuinely f32 —
+    JAX DEFAULT runs f32 dots through bf16 MXU passes on TPU (the llama4
+    lesson, CLAUDE.md); bf16 models keep fast DEFAULT."""
+    if all(a.dtype == _F32 for a in arrs):
+        from ...ops.matmul import _f32_precision
+        return _f32_precision()
+    return None
 
 def _rope(cfg, x, cos, sin):
     fn = apply_rope_interleaved_fn if cfg.rope_interleave else apply_rope_fn
@@ -141,12 +152,16 @@ def _mla_qkv(cfg: DeepseekV3Config, lp, x, cos, sin):
     t = x.shape[0]
     hq, dn, dr = cfg.num_heads, cfg.qk_nope_head_dim, cfg.qk_rope_head_dim
     if "w_qa" in lp:
-        qa = rmsnorm_fn(x @ lp["w_qa"], lp["w_qa_norm"], cfg.norm_eps)
-        q = (qa @ lp["w_qb"]).reshape(t, hq, dn + dr)
+        qa = rmsnorm_fn(jnp.dot(x, lp["w_qa"], precision=_prec(x, lp["w_qa"])),
+                        lp["w_qa_norm"], cfg.norm_eps)
+        q = jnp.dot(qa, lp["w_qb"],
+                    precision=_prec(qa, lp["w_qb"])).reshape(t, hq, dn + dr)
     else:
-        q = (x @ lp["w_q"]).reshape(t, hq, dn + dr)
+        q = jnp.dot(x, lp["w_q"],
+                    precision=_prec(x, lp["w_q"])).reshape(t, hq, dn + dr)
     q_nope, q_pe = q[..., :dn], q[..., dn:]
-    ckv = x @ lp["w_kva"]                          # [T, c + dr]
+    ckv = jnp.dot(x, lp["w_kva"],
+                  precision=_prec(x, lp["w_kva"]))       # [T, c + dr]
     c_kv = rmsnorm_fn(ckv[:, :cfg.kv_lora_rank], lp["w_kva_norm"],
                       cfg.norm_eps)
     k_pe = ckv[:, cfg.kv_lora_rank:]               # [T, dr]
@@ -161,19 +176,23 @@ def _mla_attn_naive(cfg: DeepseekV3Config, lp, q_nope, q_pe, c_kv, k_pe,
     matches transformers' formulation) with causal + pad masking."""
     t = q_nope.shape[0]
     hq, dn, dv = cfg.num_heads, cfg.qk_nope_head_dim, cfg.v_head_dim
-    kv = (c_kv @ lp["w_kvb"]).reshape(t, hq, dn + dv)
+    kv = jnp.dot(c_kv, lp["w_kvb"],
+                 precision=_prec(c_kv, lp["w_kvb"])).reshape(t, hq, dn + dv)
     k_nope, v = kv[..., :dn], kv[..., dn:]
     # scores over nope and rope parts separately (k_pe shared across heads)
+    pr = _prec(q_nope, k_nope)        # gate on PRE-cast dtypes
     qn = q_nope.astype(_F32)
-    s_nope = jnp.einsum("thd,shd->hts", qn, k_nope.astype(_F32))
-    s_rope = jnp.einsum("thd,sd->hts", q_pe.astype(_F32), k_pe.astype(_F32))
+    s_nope = jnp.einsum("thd,shd->hts", qn, k_nope.astype(_F32),
+                        precision=pr)
+    s_rope = jnp.einsum("thd,sd->hts", q_pe.astype(_F32), k_pe.astype(_F32),
+                        precision=pr)
     scores = (s_nope + s_rope) * cfg.attn_scale
     idx = jnp.arange(t)
     mask = (idx[None, :, None] >= idx[None, None, :]) & (
         idx[None, None, :] < true_len)
     scores = jnp.where(mask, scores, -1e30)
     p = jax.nn.softmax(scores, axis=-1)
-    out = jnp.einsum("hts,shd->thd", p, v.astype(_F32))
+    out = jnp.einsum("hts,shd->thd", p, v.astype(_F32), precision=pr)
     return out.reshape(t, hq * dv)
 
 
@@ -190,24 +209,30 @@ def _mla_attn_absorbed(cfg: DeepseekV3Config, lp, q_nope, q_pe, ckv_cache,
     wkvb = lp["w_kvb"].reshape(c, hq, dn + dv)
     w_uk = jnp.transpose(wkvb[..., :dn], (1, 2, 0))      # [H, dn, c]
     w_uv = jnp.transpose(wkvb[..., dn:], (1, 0, 2))      # [H, c, dv]
+    pr = _prec(q_nope, ckv_cache)     # gate on PRE-cast dtypes
     qn = q_nope[0].astype(_F32)                          # [H, dn]
-    q_lat = jnp.einsum("hd,hdc->hc", qn, w_uk.astype(_F32))
-    s_lat = jnp.einsum("hc,sc->hs", q_lat, ckv_cache.astype(_F32))
+    q_lat = jnp.einsum("hd,hdc->hc", qn, w_uk.astype(_F32), precision=pr)
+    s_lat = jnp.einsum("hc,sc->hs", q_lat, ckv_cache.astype(_F32),
+                       precision=pr)
     s_pe = jnp.einsum("hd,sd->hs", q_pe[0].astype(_F32),
-                      kpe_cache.astype(_F32))
+                      kpe_cache.astype(_F32), precision=pr)
     scores = (s_lat + s_pe) * cfg.attn_scale
     mask = jnp.arange(ckv_cache.shape[0]) < ctx_len
     scores = jnp.where(mask[None, :], scores, -1e30)
     p = jax.nn.softmax(scores, axis=-1)
-    attn_lat = jnp.einsum("hs,sc->hc", p, ckv_cache.astype(_F32))
-    out = jnp.einsum("hc,hcd->hd", attn_lat, w_uv.astype(_F32))
+    attn_lat = jnp.einsum("hs,sc->hc", p, ckv_cache.astype(_F32),
+                          precision=pr)
+    out = jnp.einsum("hc,hcd->hd", attn_lat, w_uv.astype(_F32),
+                     precision=pr)
     return out.reshape(1, hq * dv)
 
 
 def _dense_mlp(lp, x):
-    g = x @ lp["w_gate"]
-    u = x @ lp["w_up"]
-    return (jax.nn.silu(g.astype(_F32)).astype(x.dtype) * u) @ lp["w_down"]
+    pr = _prec(x, lp["w_gate"])
+    g = jnp.dot(x, lp["w_gate"], precision=pr)
+    u = jnp.dot(x, lp["w_up"], precision=pr)
+    return jnp.dot(jax.nn.silu(g.astype(_F32)).astype(x.dtype) * u,
+                   lp["w_down"], precision=pr)
 
 
 def _group_mask(sel_scores, t, g, per, topk_group):
@@ -230,7 +255,8 @@ def _router(cfg: DeepseekV3Config, lp, x):
     """
     t = x.shape[0]
     n = cfg.n_routed_experts
-    logits = x.astype(_F32) @ lp["w_router"]                   # [T, N]
+    logits = jnp.dot(x.astype(_F32), lp["w_router"],
+                     precision=_prec(x, x))                    # [T, N]
     if cfg.router_mode == "noaux_tc":
         g = cfg.n_group
         per = n // g
@@ -252,7 +278,9 @@ def _router(cfg: DeepseekV3Config, lp, x):
         else:                                                  # greedy
             masked = scores
         w, eidx = lax.top_k(masked, cfg.num_experts_per_tok)
-    if cfg.norm_topk_prob:
+    # HF's V2 MoEGate never normalises topk weights (the config flag is
+    # stored but unused in its forward); only the V3 router does.
+    if cfg.norm_topk_prob and cfg.router_mode == "noaux_tc":
         w = w / (w.sum(-1, keepdims=True) + 1e-20)
     w = w * cfg.routed_scaling_factor
     dense = jnp.zeros((t, n), _F32)
@@ -263,13 +291,15 @@ def _router(cfg: DeepseekV3Config, lp, x):
 def _moe_mlp(cfg: DeepseekV3Config, lp, x):
     """Routed experts (dense one-hot dispatch — exact) + shared experts."""
     w = _router(cfg, lp, x)                                    # [T, N]
+    pr = _prec(x, lp["w_experts_gate"])
     xg = jnp.einsum("te,neI->tnI", x.astype(_F32),
-                    lp["w_experts_gate"].astype(_F32))
+                    lp["w_experts_gate"].astype(_F32), precision=pr)
     xu = jnp.einsum("te,neI->tnI", x.astype(_F32),
-                    lp["w_experts_up"].astype(_F32))
+                    lp["w_experts_up"].astype(_F32), precision=pr)
     act = jax.nn.silu(xg) * xu
-    yo = jnp.einsum("tnI,nIe->tne", act, lp["w_experts_down"].astype(_F32))
-    routed = jnp.einsum("tne,tn->te", yo, w)
+    yo = jnp.einsum("tnI,nIe->tne", act,
+                    lp["w_experts_down"].astype(_F32), precision=pr)
+    routed = jnp.einsum("tne,tn->te", yo, w, precision=pr)
     shared = _dense_mlp(_shared_leaves(lp), x)
     return routed.astype(x.dtype) + shared
 
@@ -280,7 +310,8 @@ def _shared_leaves(lp):
 
 
 def _block(cfg: DeepseekV3Config, lp, h, attn_out, moe: bool):
-    h = h + (attn_out @ lp["w_o"]).astype(h.dtype)
+    h = h + jnp.dot(attn_out, lp["w_o"],
+                    precision=_prec(attn_out, lp["w_o"])).astype(h.dtype)
     y = rmsnorm_fn(h, lp["mlp_norm_w"], cfg.norm_eps)
     if moe:
         h = h + _moe_mlp(cfg, lp, y).astype(h.dtype)
@@ -315,7 +346,8 @@ def forward_fn(cfg: DeepseekV3Config, p, tokens):
     h = run_group(h, p.get("moe_layers"), True)
     h = rmsnorm_fn(h, p["final_norm_w"], cfg.norm_eps)
     head = p["lm_head"] if p.get("lm_head") is not None else p["embed"].T
-    return jnp.dot(h, head, preferred_element_type=_F32)
+    return jnp.dot(h, head, preferred_element_type=_F32,
+                   precision=_prec(h, head))
 
 
 def prefill_fn(cfg: DeepseekV3Config, p, ckv_cache, kpe_cache, tokens,
@@ -358,7 +390,8 @@ def prefill_fn(cfg: DeepseekV3Config, p, ckv_cache, kpe_cache, tokens,
     last = jnp.take(h, true_len - 1, axis=0)
     head = p["lm_head"] if p.get("lm_head") is not None else p["embed"].T
     return ckv_cache, kpe_cache, jnp.dot(last, head,
-                                         preferred_element_type=_F32)
+                                         preferred_element_type=_F32,
+                                         precision=_prec(last, head))
 
 
 def decode_step_fn(cfg: DeepseekV3Config, p, ckv_cache, kpe_cache, token,
@@ -400,7 +433,8 @@ def decode_step_fn(cfg: DeepseekV3Config, p, ckv_cache, kpe_cache, token,
         (h, ckv_cache, kpe_cache), p.get("moe_layers"), True, kd)
     h = rmsnorm_fn(h, p["final_norm_w"], cfg.norm_eps)
     head = p["lm_head"] if p.get("lm_head") is not None else p["embed"].T
-    logits = jnp.dot(h[0], head, preferred_element_type=_F32)
+    logits = jnp.dot(h[0], head, preferred_element_type=_F32,
+                     precision=_prec(h, head))
     return ckv_cache, kpe_cache, logits
 
 
@@ -427,8 +461,31 @@ class DeepseekV3Model:
         self.params = params
         self.dtype = dtype
         if "rope_cos" not in params:
-            cos, sin = rope_init(config.max_position_embeddings,
-                                 config.qk_rope_head_dim, config.rope_theta)
+            scaling = config.rope_scaling or {}
+            st = scaling.get("rope_type", scaling.get("type", ""))
+            if st == "yarn":
+                # every real DeepSeek-V2/V3/R1 checkpoint ships yarn
+                # scaling; rope_init_yarn folds the HF attention factor
+                # (mscale/mscale_all_dim ratio) into the tables while
+                # cfg.attn_scale carries the softmax-side mscale^2 — the
+                # same split transformers uses.
+                from ...ops.nn.rope import rope_init_yarn
+                cos, sin = rope_init_yarn(
+                    config.max_position_embeddings,
+                    config.qk_rope_head_dim, config.rope_theta,
+                    scaling.get("factor", 1.0),
+                    scaling.get("original_max_position_embeddings",
+                                config.max_position_embeddings),
+                    beta_fast=scaling.get("beta_fast") or 32.0,
+                    beta_slow=scaling.get("beta_slow") or 1.0,
+                    mscale=scaling.get("mscale"),
+                    mscale_all_dim=scaling.get("mscale_all_dim"),
+                    attention_factor=scaling.get("attention_factor"),
+                    truncate=scaling.get("truncate", True))
+            else:
+                cos, sin = rope_init(config.max_position_embeddings,
+                                     config.qk_rope_head_dim,
+                                     config.rope_theta)
             params["rope_cos"], params["rope_sin"] = cos.jax, sin.jax
         self._fwd = jax.jit(functools.partial(forward_fn, config))
         self.ckv_cache = None

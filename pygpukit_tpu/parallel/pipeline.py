@@ -89,8 +89,15 @@ def pipeline_forward_fn(cfg, params, tokens_mb, mesh: Mesh):
         out_specs=P(),
         **{flag: False},
     )
-    h = body(params["layers"], h,
-             params.get("rope_cos"), params.get("rope_sin"))
+    if cfg.use_rope and "rope_cos_long" in params:
+        # LongRoPE models: same per-forward factor-table selection the
+        # unsharded forward does (model._rope_rows_for)
+        from ..llm.model import _rope_rows_for
+        s = tokens_mb.shape[1]
+        rc, rs = _rope_rows_for(params, 0, s, jnp.int32(s))
+    else:
+        rc, rs = params.get("rope_cos"), params.get("rope_sin")
+    h = body(params["layers"], h, rc, rs)
     h = _norm(cfg, h, params["final_norm_w"], params.get("final_norm_b"))
     return _logits(cfg, params, h)
 

@@ -230,6 +230,19 @@ class TestPhi3:
         # fused checkpoint split into the standard leaves (then re-fused)
         assert "w_qkv" in model.params["layers"] or "w_q" in model.params["layers"]
 
+    def test_parity_sliding_window(self, tmp_path):
+        # phi3 slides EVERY layer when config.json sets sliding_window
+        # (mini-4k ships 2047); prompt longer than the window
+        torch.manual_seed(13)
+        cfg = self._cfg(sliding_window=8, attn_implementation="eager")
+        m = transformers.Phi3ForCausalLM(cfg).eval()
+        m.save_pretrained(tmp_path, safe_serialization=True)
+        model = _check_parity(tmp_path, m, "phi3", prompt=tuple(range(1, 14)))
+        assert model.config.sliding_window == 8
+        import numpy as np_
+        assert list(np_.asarray(model.params["layers"]["attn_window"])) == \
+            [8, 8]
+
     def test_parity_longrope_both_regimes(self, tmp_path):
         half = (32 // 4) // 2
         cfg = self._cfg(
@@ -353,8 +366,10 @@ class TestDeepseekV2:
         assert "w_q" in ours.params["moe_layers"]
 
     def test_v2_group_limited(self, tmp_path):
+        # norm_topk_prob=True on purpose: HF's V2 MoEGate stores the flag
+        # but never normalises — ours must ignore it for V2 modes too
         ours = self._run(tmp_path, 12, q_lora_rank=24,
                          topk_method="group_limited_greedy", n_group=4,
-                         topk_group=2, norm_topk_prob=False,
+                         topk_group=2, norm_topk_prob=True,
                          routed_scaling_factor=1.0)
         assert ours.config.router_mode == "group_limited_greedy"
