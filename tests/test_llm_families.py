@@ -373,3 +373,43 @@ class TestDeepseekV2:
                          topk_group=2, norm_topk_prob=True,
                          routed_scaling_factor=1.0)
         assert ours.config.router_mode == "group_limited_greedy"
+
+
+class TestGptOss:
+    """GPT-OSS class: attention SINKS (per-head learned softmax column),
+    alternating sliding/full layers, clamped gated-SwiGLU MoE with biases
+    and interleaved gate/up, softmax-over-topk router, yarn rope with
+    truncate=False. Reference has no openai-oss support."""
+
+    def test_parity(self, tmp_path):
+        import jax.numpy as jnp
+        from pygpukit_tpu.llm.models.gptoss import GptOssModel
+        cfg = transformers.GptOssConfig(
+            vocab_size=96, hidden_size=32, intermediate_size=48,
+            num_hidden_layers=4, num_attention_heads=4,
+            num_key_value_heads=2, head_dim=8, num_local_experts=4,
+            num_experts_per_tok=2, sliding_window=8,
+            layer_types=["sliding_attention", "full_attention"] * 2,
+            rope_scaling={"rope_type": "yarn", "factor": 4.0,
+                          "original_max_position_embeddings": 16,
+                          "beta_fast": 32.0, "beta_slow": 1.0,
+                          "truncate": False},
+            max_position_embeddings=64, tie_word_embeddings=False,
+            pad_token_id=0, attn_implementation="eager")
+        torch.manual_seed(14)
+        m = transformers.GptOssForCausalLM(cfg).eval()
+        m.save_pretrained(tmp_path, safe_serialization=True)
+        ours = GptOssModel.from_safetensors(tmp_path, dtype=jnp.float32)
+        assert list(np.asarray(ours.params["layers"]["attn_window"])) == \
+            [8, 0, 8, 0]
+        # prompt longer than the sliding window AND past original_max/4
+        prompt = list(range(1, 21))
+        got = ours.get_logits(prompt)
+        with torch.no_grad():
+            ref = m(torch.tensor([prompt])).logits[0].numpy()
+        np.testing.assert_allclose(got, ref, rtol=5e-3, atol=5e-3)
+        out = ours.generate(prompt, max_new_tokens=8, chunk_size=4)
+        hf_out = m.generate(
+            torch.tensor([prompt]), max_new_tokens=8, do_sample=False,
+            pad_token_id=0)[0, len(prompt):].tolist()
+        assert out == hf_out, (out, hf_out)
