@@ -378,6 +378,22 @@ class TransformerConfig:
             # phi3 applies one sliding window to EVERY layer (mistral
             # convention) when config.json sets it (mini-4k: 2047)
             kw = dict(sliding_window=hf.get("sliding_window"))
+        elif mt == "mistral":
+            # mistral-v0.1 class: sliding_window set -> every layer slides
+            kw = dict(sliding_window=hf.get("sliding_window"))
+        elif mt in ("qwen2", "qwen3", "qwen3_moe"):
+            # qwen configs CARRY sliding_window but gate it behind
+            # use_sliding_window (default off); layers >= max_window_layers
+            # slide (HF serialises the derived layer_types — prefer it)
+            if hf.get("use_sliding_window", False) and hf.get(
+                    "sliding_window") is not None:
+                n_layers = hf.get("num_hidden_layers", 22)
+                mwl = hf.get("max_window_layers", n_layers)
+                lt = hf.get("layer_types") or [
+                    "sliding_attention" if i >= mwl else "full_attention"
+                    for i in range(n_layers)]
+                kw = dict(sliding_window=hf.get("sliding_window"),
+                          layer_types=tuple(lt))
         if spec.name in ("gemma2", "gemma3"):
             n_layers = hf.get("num_hidden_layers", 22)
             lt = hf.get("layer_types")

@@ -413,3 +413,46 @@ class TestGptOss:
             torch.tensor([prompt]), max_new_tokens=8, do_sample=False,
             pad_token_id=0)[0, len(prompt):].tolist()
         assert out == hf_out, (out, hf_out)
+
+
+class TestMistralSlidingWindow:
+    """Mistral-v0.1 class rides the llama spec + every-layer sliding
+    window from config.json (round 3: the generic path previously dropped
+    sliding_window for every non-gemma family — full attention silently)."""
+
+    def test_parity(self, tmp_path):
+        cfg = transformers.MistralConfig(
+            vocab_size=96, hidden_size=32, intermediate_size=64,
+            num_hidden_layers=2, num_attention_heads=4,
+            num_key_value_heads=2, sliding_window=8,
+            max_position_embeddings=64, tie_word_embeddings=False,
+            attn_implementation="eager")
+        torch.manual_seed(15)
+        m = transformers.MistralForCausalLM(cfg).eval()
+        m.save_pretrained(tmp_path, safe_serialization=True)
+        model = _check_parity(tmp_path, m, "llama", prompt=tuple(range(1, 14)))
+        assert model.config.sliding_window == 8
+        import numpy as np_
+        assert list(np_.asarray(model.params["layers"]["attn_window"])) == \
+            [8, 8]
+
+
+class TestQwen2SlidingWindow:
+    def test_parity(self, tmp_path):
+        """use_sliding_window=True: layers >= max_window_layers slide
+        (HF-derived layer_types honoured)."""
+        cfg = transformers.Qwen2Config(
+            vocab_size=96, hidden_size=32, intermediate_size=64,
+            num_hidden_layers=4, num_attention_heads=4,
+            num_key_value_heads=2, use_sliding_window=True,
+            sliding_window=8, max_window_layers=2,
+            max_position_embeddings=64, tie_word_embeddings=False,
+            attn_implementation="eager")
+        torch.manual_seed(16)
+        m = transformers.Qwen2ForCausalLM(cfg).eval()
+        m.save_pretrained(tmp_path, safe_serialization=True)
+        model = _check_parity(tmp_path, m, "qwen2",
+                              prompt=tuple(range(1, 14)))
+        import numpy as np_
+        assert list(np_.asarray(model.params["layers"]["attn_window"])) == \
+            [0, 0, 8, 8]
