@@ -178,7 +178,8 @@ def load_model_from_safetensors(path, dtype=jnp.bfloat16,
                                 spec: ModelSpec | None = None,
                                 config: TransformerConfig | None = None,
                                 max_seq_len: int | None = None,
-                                fuse: bool = True
+                                fuse: bool = True,
+                                kv_dtype=None,
                                 ) -> CausalTransformerModel:
     """Load any supported checkpoint into a CausalTransformerModel
     (reference: load_model_from_safetensors, llm/loader.py:132).
@@ -203,7 +204,14 @@ def load_model_from_safetensors(path, dtype=jnp.bfloat16,
     if fuse:
         from .model import fuse_params
         params = fuse_params(params)
-    model = CausalTransformerModel(config, params, spec=spec, dtype=dtype)
+    if kv_dtype is None and hf_cfg:
+        # checkpoint-declared KV quantization (reference:
+        # kv_cache_quant_algo, src/pygpukit/llm/quant.py:76)
+        from .quant import kv_dtype_from_quant_config
+        kv_dtype = kv_dtype_from_quant_config(
+            hf_cfg.get("quantization_config"))
+    model = CausalTransformerModel(config, params, spec=spec, dtype=dtype,
+                                   kv_dtype=kv_dtype)
     if max_seq_len is not None:
         model.init_fixed_cache(max_seq_len)
     return model

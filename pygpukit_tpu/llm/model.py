@@ -30,6 +30,7 @@ import numpy as np
 from jax import lax
 
 from ..core.executable import Executable, capture
+from ..ops.embedding import kv_write
 from ..ops.nn.activation import gelu_fn, swiglu_fn
 from ..ops.nn.attention import flash_attention_fn, sdpa_fixed_cache_fn
 from ..ops.nn.norm import layernorm_fn, l2norm_fn, rmsnorm_fn
@@ -50,6 +51,30 @@ def _pf32(*arrs):
         from ..ops.matmul import _f32_precision
         return _f32_precision()
     return None
+
+
+def resolve_kv_dtype(kv_dtype, model_dtype):
+    """KV-cache storage dtype: explicit arg > PYGPUKIT_KV_DTYPE env >
+    the model dtype. Accepted names: fp8 / fp8_e4m3 (aliases), fp8_e5m2,
+    bf16 / bfloat16, f32 / float32."""
+    import os
+    if kv_dtype is None:
+        kv_dtype = os.environ.get("PYGPUKIT_KV_DTYPE", "") or None
+    if kv_dtype is None:
+        return model_dtype
+    if isinstance(kv_dtype, str):
+        names = {
+            "fp8": jnp.float8_e4m3fn, "fp8_e4m3": jnp.float8_e4m3fn,
+            "e4m3": jnp.float8_e4m3fn, "fp8_e5m2": jnp.float8_e5m2,
+            "e5m2": jnp.float8_e5m2, "bf16": jnp.bfloat16,
+            "bfloat16": jnp.bfloat16, "f32": jnp.float32,
+            "float32": jnp.float32,
+        }
+        if kv_dtype not in names:
+            raise ValueError(f"unknown kv_dtype {kv_dtype!r}; "
+                             f"one of {sorted(names)}")
+        return names[kv_dtype]
+    return kv_dtype
 
 
 def _mm(x, w, out_dtype=None, int8_mode=None):
@@ -422,10 +447,8 @@ def prefill_fn(cfg: TransformerConfig, params, k_cache, v_cache, tokens, true_le
                 None if rope_sin_l is None else rope_sin_l[:s])
             q = apply_rope_fn(q, c, sn)
             k = apply_rope_fn(k, c, sn)
-        kc_all = lax.dynamic_update_slice(
-            kc_all, k[None].astype(kc_all.dtype), (i, 0, 0, 0))
-        vc_all = lax.dynamic_update_slice(
-            vc_all, v[None].astype(vc_all.dtype), (i, 0, 0, 0))
+        kc_all = kv_write(kc_all, k[None], (i, 0, 0, 0))
+        vc_all = kv_write(vc_all, v[None], (i, 0, 0, 0))
         # causal attention within the padded prompt; pad region masked
         attn = _prefill_attn(q, k, v, true_len, cfg.attn_scale,
                              cfg.attn_logit_softcap, lp.get("attn_window"))
@@ -578,7 +601,8 @@ def decode_step_fn(cfg: TransformerConfig, params, k_cache, v_cache, token,
     opts a call site out — the speculative draft runs on sliced layer
     stacks the fused kernel was never prepared for).
     """
-    if allow_fused and use_fused_decode(cfg, params, k_cache.shape[1]):
+    if (allow_fused and k_cache.dtype == jnp.bfloat16
+            and use_fused_decode(cfg, params, k_cache.shape[1])):
         return fused_decode_step_fn(cfg, params, k_cache, v_cache, token, pos)
     h = _embed_tokens(cfg, params, token[None])                  # [1, E]
     if cfg.use_position_embed:
@@ -610,10 +634,8 @@ def decode_step_fn(cfg: TransformerConfig, params, k_cache, v_cache, token,
                     lax.dynamic_slice_in_dim(rope_sin_l, pos, 1, axis=0))
             q = apply_rope_fn(q, c, sn)
             k = apply_rope_fn(k, c, sn)
-        kc_all = lax.dynamic_update_slice(
-            kc_all, k[None].astype(kc_all.dtype), (i, pos, 0, 0))
-        vc_all = lax.dynamic_update_slice(
-            vc_all, v[None].astype(vc_all.dtype), (i, pos, 0, 0))
+        kc_all = kv_write(kc_all, k[None], (i, pos, 0, 0))
+        vc_all = kv_write(vc_all, v[None], (i, pos, 0, 0))
         attn = sdpa_fixed_cache_fn(
             q, lax.dynamic_index_in_dim(kc_all, i, 0, keepdims=False),
             lax.dynamic_index_in_dim(vc_all, i, 0, keepdims=False),
@@ -670,10 +692,8 @@ def decode_window_fn(cfg: TransformerConfig, params, k_cache, v_cache,
                     lax.dynamic_slice_in_dim(rope_sin_l, pos, t, axis=0))
             q = apply_rope_fn(q, c, sn)
             k = apply_rope_fn(k, c, sn)
-        kc_all = lax.dynamic_update_slice(
-            kc_all, k[None].astype(kc_all.dtype), (i, pos, 0, 0))
-        vc_all = lax.dynamic_update_slice(
-            vc_all, v[None].astype(vc_all.dtype), (i, pos, 0, 0))
+        kc_all = kv_write(kc_all, k[None], (i, pos, 0, 0))
+        vc_all = kv_write(vc_all, v[None], (i, pos, 0, 0))
         attn = sdpa_fixed_cache_fn(
             q, lax.dynamic_index_in_dim(kc_all, i, 0, keepdims=False),
             lax.dynamic_index_in_dim(vc_all, i, 0, keepdims=False),
@@ -1006,10 +1026,18 @@ class CausalTransformerModel:
     """Unified causal LM with AOT-compiled cached decode."""
 
     def __init__(self, config: TransformerConfig, params: dict,
-                 spec: ModelSpec | None = None, dtype=jnp.bfloat16):
+                 spec: ModelSpec | None = None, dtype=jnp.bfloat16,
+                 kv_dtype=None):
         self.config = config
         self.spec = spec
         self.dtype = dtype
+        # KV-cache storage dtype (reference: kv_cache_quant_algo,
+        # src/pygpukit/llm/quant.py:76 + the FA3 fp8-KV kernel family).
+        # fp8 halves cache HBM traffic and doubles paged capacity; writes
+        # clamp to the format range, reads dequantise to bf16
+        # (ops/embedding.to_kv_dtype / ops.nn.attention._kv_load).
+        # PYGPUKIT_KV_DTYPE=fp8|fp8_e4m3|fp8_e5m2 sets it process-wide.
+        self.kv_dtype = resolve_kv_dtype(kv_dtype, dtype)
         self.params = params
         self.max_seq_len: int | None = None
         self.k_cache = None
@@ -1110,9 +1138,9 @@ class CausalTransformerModel:
         cfg = self.config
         shape = (cfg.num_layers, max_seq_len, cfg.num_kv_heads, cfg.head_dim)
         same = (self.k_cache is not None and self.max_seq_len == max_seq_len
-                and self.k_cache.dtype == self.dtype)
-        self.k_cache = jnp.zeros(shape, self.dtype)
-        self.v_cache = jnp.zeros(shape, self.dtype)
+                and self.k_cache.dtype == self.kv_dtype)
+        self.k_cache = jnp.zeros(shape, self.kv_dtype)
+        self.v_cache = jnp.zeros(shape, self.kv_dtype)
         self.max_seq_len = max_seq_len
         self.pos = 0
         if same:
@@ -1376,6 +1404,8 @@ class CausalTransformerModel:
             k=np.asarray(self.k_cache), v=np.asarray(self.v_cache), pos=self.pos)
 
     def restore_kv_cache(self, snap: KVSnapshot) -> None:
-        self.k_cache = jnp.asarray(snap.k, self.dtype)
-        self.v_cache = jnp.asarray(snap.v, self.dtype)
+        # np.asarray preserves fp8 (ml_dtypes) — restore in the cache's
+        # storage dtype, not the model dtype
+        self.k_cache = jnp.asarray(snap.k, self.kv_dtype)
+        self.v_cache = jnp.asarray(snap.v, self.kv_dtype)
         self.pos = snap.pos

@@ -69,6 +69,24 @@ class QuantizationMetadata:
     fp8: FP8QuantConfig = field(default_factory=FP8QuantConfig)
     qat: QATConfig = field(default_factory=QATConfig)
     pruning: PruningConfig = field(default_factory=PruningConfig)
+    #: KV-cache quantization algo from the checkpoint's quantization_config
+    #: (reference: kv_cache_quant_algo, src/pygpukit/llm/quant.py:76). "FP8"
+    #: maps to a float8_e4m3fn cache (model.resolve_kv_dtype).
+    kv_cache_quant_algo: str | None = None
+
+
+def kv_dtype_from_quant_config(qc: dict | None) -> str | None:
+    """Map a HF quantization_config's kv_cache_quant_algo to a kv_dtype
+    name accepted by model.resolve_kv_dtype (None = no KV quantization)."""
+    algo = (qc or {}).get("kv_cache_quant_algo")
+    if algo is None:
+        return None
+    a = str(algo).lower()
+    if "e5m2" in a:
+        return "fp8_e5m2"
+    if "fp8" in a or "e4m3" in a:
+        return "fp8_e4m3"
+    raise ValueError(f"unsupported kv_cache_quant_algo {algo!r}")
 
 
 # ---------------------------------------------------------------------------

@@ -187,8 +187,8 @@ class ContinuousBatchingEngine:
             nb = num_blocks or (max_batch * self.max_blocks + 2)
             pool_shape = (cfg.num_layers, nb, cfg.num_kv_heads, block_size,
                           cfg.head_dim)
-            self.k_cache = jnp.zeros(pool_shape, model.dtype)
-            self.v_cache = jnp.zeros(pool_shape, model.dtype)
+            self.k_cache = jnp.zeros(pool_shape, model.kv_dtype)
+            self.v_cache = jnp.zeros(pool_shape, model.kv_dtype)
             self._alloc = BlockAllocator(nb, block_size)
             self._tables_np = np.zeros((max_batch, self.max_blocks), np.int32)
             self._tables_dev = jnp.asarray(self._tables_np)
@@ -196,8 +196,8 @@ class ContinuousBatchingEngine:
         else:
             shape = (max_batch, cfg.num_layers, max_seq_len,
                      cfg.num_kv_heads, cfg.head_dim)
-            self.k_cache = jnp.zeros(shape, model.dtype)
-            self.v_cache = jnp.zeros(shape, model.dtype)
+            self.k_cache = jnp.zeros(shape, model.kv_dtype)
+            self.v_cache = jnp.zeros(shape, model.kv_dtype)
         self._slots: list[Request | None] = [None] * max_batch
         self._queue: list[Request] = []
         self._next_id = 1

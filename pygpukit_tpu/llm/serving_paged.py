@@ -30,6 +30,7 @@ from jax import lax
 
 from .config import TransformerConfig
 from .model import _logits, _mlp, _norm, _out_proj, _project_qkv
+from ..ops.embedding import to_kv_dtype
 from ..ops.nn.rope import apply_rope_fn
 
 _F32 = jnp.float32
@@ -50,8 +51,11 @@ def _paged_attn_one(q, k_pool_l, v_pool_l, table, ctx_len, scale):
     nb, hk, bs, _ = k_pool_l.shape
     g = hq // hk
     mb = table.shape[0]
-    kseq = k_pool_l[table].transpose(1, 0, 2, 3).reshape(hk, mb * bs, d)
-    vseq = v_pool_l[table].transpose(1, 0, 2, 3).reshape(hk, mb * bs, d)
+    from ..ops.nn.attention import _kv_load
+    kseq = _kv_load(k_pool_l[table]).transpose(1, 0, 2, 3).reshape(
+        hk, mb * bs, d)
+    vseq = _kv_load(v_pool_l[table]).transpose(1, 0, 2, 3).reshape(
+        hk, mb * bs, d)
     qh = q.reshape(hk, g, d)
     scores = jnp.einsum("hgd,hkd->hgk", qh, kseq,
                         preferred_element_type=_F32) * scale
@@ -92,11 +96,13 @@ def paged_decode_step_fn(cfg: TransformerConfig, params, k_pool, v_pool,
         if cfg.use_rope:
             q = _rope_rows(q, rope_cos, rope_sin, poss, params)
             k = _rope_rows(k, rope_cos, rope_sin, poss, params)
-        kp = kp.at[i, blocks, :, offs, :].set(k.astype(kp.dtype))
-        vp = vp.at[i, blocks, :, offs, :].set(v.astype(vp.dtype))
+        kp = kp.at[i, blocks, :, offs, :].set(to_kv_dtype(k, kp.dtype))
+        vp = vp.at[i, blocks, :, offs, :].set(to_kv_dtype(v, vp.dtype))
         kp_l = lax.dynamic_index_in_dim(kp, i, 0, keepdims=False)
         vp_l = lax.dynamic_index_in_dim(vp, i, 0, keepdims=False)
-        if _use_pallas_paged():
+        if _use_pallas_paged() and kp_l.dtype == jnp.bfloat16:
+            # (fp8 pools take the XLA gather path — the Pallas kernel
+            # reads raw cache blocks and never learned fp8 dequant)
             # scalar-prefetch Pallas kernel (PYGPUKIT_PAGED_ATTENTION=pallas):
             # per-slot calls — the kernel's block-table prefetch DMAs only
             # the sequence's blocks, never a gathered max_seq copy
@@ -233,9 +239,9 @@ def paged_prefill_fn(cfg: TransformerConfig, params, k_pool, v_pool,
             q = apply_rope_fn(q, rc, rs)
             k = apply_rope_fn(k, rc, rs)
         kp = kp.at[i, blocks, :, offs, :].set(
-            jnp.where(valid[:, None, None], k, 0).astype(kp.dtype))
+            to_kv_dtype(jnp.where(valid[:, None, None], k, 0), kp.dtype))
         vp = vp.at[i, blocks, :, offs, :].set(
-            jnp.where(valid[:, None, None], v, 0).astype(vp.dtype))
+            to_kv_dtype(jnp.where(valid[:, None, None], v, 0), vp.dtype))
         from .model import _prefill_attn
         attn = _prefill_attn(q, k, v, true_len)
         h = h + _out_proj(lp, attn, s, h.dtype)

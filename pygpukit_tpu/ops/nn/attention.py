@@ -53,6 +53,16 @@ def _pf32(*arrs):
     return None
 
 
+def _kv_load(blk):
+    """Dequantise a cache block for attention math: fp8 storage (see
+    ops/embedding.KV_FP8_MAX) reads as bf16 — the dot has no fp8 MXU to
+    gain from, the halved HBM stream is the win."""
+    from ..embedding import KV_FP8_MAX
+    if jnp.dtype(blk.dtype) in KV_FP8_MAX:
+        return blk.astype(jnp.bfloat16)
+    return blk
+
+
 def _apply_softcap(scores, softcap):
     """Gemma-2 attention logit soft-capping: cap*tanh(scores/cap)."""
     if softcap is None:
@@ -269,8 +279,8 @@ def _sdpa_fixed_cache_full(q, k_cache, v_cache, ctx_len,
     # hot loop; a cache-sized f32 temp per layer per step would dominate HBM
     # traffic at batch size > 1)
     qh = q.reshape(t, hk, g, d).transpose(1, 2, 0, 3)       # [Hk,G,T,D]
-    kk = jnp.transpose(k_cache, (1, 0, 2))                   # [Hk,MAX,D]
-    vv = jnp.transpose(v_cache, (1, 0, 2))
+    kk = _kv_load(jnp.transpose(k_cache, (1, 0, 2)))         # [Hk,MAX,D]
+    vv = _kv_load(jnp.transpose(v_cache, (1, 0, 2)))
     scores = jnp.einsum("hgtd,hkd->hgtk", qh, kk,
                         preferred_element_type=_F32,
                         precision=_pf32(q, k_cache)) * scale
@@ -286,7 +296,7 @@ def _sdpa_fixed_cache_full(q, k_cache, v_cache, ctx_len,
         mask = mask | (kv_idx < limit - w_eff)
     scores = jnp.where(mask, _NEG_INF, scores)
     probs = jax.nn.softmax(scores, axis=-1)
-    out = jnp.einsum("hgtk,hkd->hgtd", probs.astype(v_cache.dtype), vv,
+    out = jnp.einsum("hgtk,hkd->hgtd", probs.astype(vv.dtype), vv,
                      preferred_element_type=_F32,
                      precision=_pf32(q, v_cache))
     return out.transpose(2, 0, 1, 3).reshape(t, h, d).astype(q.dtype)
@@ -334,8 +344,12 @@ def sdpa_fixed_cache_chunked_fn(q, k_cache, v_cache, ctx_len,
         # max_len; slice from the clamped start and mask to the logical
         # [start_log, start_log+chunk) range so no position double-counts
         start = jnp.minimum(start_log, max_len - chunk)
-        k_blk = lax.dynamic_slice(k_cache, (start, 0, 0), (chunk, hk, d))
-        v_blk = lax.dynamic_slice(v_cache, (start, 0, 0), (chunk, hk, d))
+        # slice the stored (possibly fp8) block, THEN dequantise — only
+        # live chunks ever stream from HBM or convert
+        k_blk = _kv_load(lax.dynamic_slice(k_cache, (start, 0, 0),
+                                           (chunk, hk, d)))
+        v_blk = _kv_load(lax.dynamic_slice(v_cache, (start, 0, 0),
+                                           (chunk, hk, d)))
         kk = jnp.transpose(k_blk, (1, 0, 2))                 # [Hk,C,D]
         vv = jnp.transpose(v_blk, (1, 0, 2))
         s = jnp.einsum("hgtd,hkd->hgtk", qh, kk,
@@ -356,7 +370,7 @@ def sdpa_fixed_cache_chunked_fn(q, k_cache, v_cache, ctx_len,
         alpha = jnp.exp(m - m_new)
         l_new = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
         acc_new = acc * alpha + jnp.einsum(
-            "hgtk,hkd->hgtd", p.astype(v_cache.dtype), vv,
+            "hgtk,hkd->hgtd", p.astype(vv.dtype), vv,
             preferred_element_type=_F32, precision=prec_v)
         return i + 1, m_new, l_new, acc_new
 

@@ -31,8 +31,9 @@ def reshape_and_cache_fn(k_pool, v_pool, k_new, v_new, slot_mapping):
     nb, bs, hk, d = k_pool.shape
     k_flat = k_pool.reshape(nb * bs, hk, d)
     v_flat = v_pool.reshape(nb * bs, hk, d)
-    k_flat = k_flat.at[slot_mapping].set(k_new.astype(k_flat.dtype))
-    v_flat = v_flat.at[slot_mapping].set(v_new.astype(v_flat.dtype))
+    from .embedding import to_kv_dtype
+    k_flat = k_flat.at[slot_mapping].set(to_kv_dtype(k_new, k_flat.dtype))
+    v_flat = v_flat.at[slot_mapping].set(to_kv_dtype(v_new, v_flat.dtype))
     return k_flat.reshape(nb, bs, hk, d), v_flat.reshape(nb, bs, hk, d)
 
 
