@@ -31,8 +31,9 @@ class ModelSpec:
     final_norm: str = "model.norm.weight"
     final_norm_bias: str | None = None
 
-    # per-layer attention ({layer} placeholder)
-    attn_norm: str = "model.layers.{layer}.input_layernorm.weight"
+    # per-layer attention ({layer} placeholder; None = no pre-norm, the
+    # OLMo-2 post-norm-only scheme)
+    attn_norm: str | None = "model.layers.{layer}.input_layernorm.weight"
     attn_norm_bias: str | None = None
     q_proj: str = "model.layers.{layer}.self_attn.q_proj.weight"
     k_proj: str = "model.layers.{layer}.self_attn.k_proj.weight"
@@ -46,7 +47,7 @@ class ModelSpec:
     k_norm: str | None = None
 
     # per-layer mlp
-    mlp_norm: str = "model.layers.{layer}.post_attention_layernorm.weight"
+    mlp_norm: str | None = "model.layers.{layer}.post_attention_layernorm.weight"
     mlp_norm_bias: str | None = None
     fc1: str | None = None          # GELU-style
     fc1_bias: str | None = None
@@ -72,6 +73,10 @@ class ModelSpec:
     activation: Literal["gelu", "silu", "gelu_tanh"] = "silu"
     use_rope: bool = True
     use_qk_norm: bool = False
+    pre_norms: bool = True           # False: OLMo-2 post-norm-only blocks
+    qk_norm_wide: bool = False       # OLMo-2 whole-width q/k norms
+    parallel_block: bool = False     # Cohere parallel attn+mlp residual
+    rope_interleaved: bool = False   # Cohere/Llama-4 even/odd rope pairs
     use_position_embed: bool = False
     qkv_combined: bool = False       # GPT-2 c_attn / Phi-3 qkv_proj fused
     gate_up_combined: bool = False   # Phi-3 gate_up_proj fused [2I, E]
@@ -161,6 +166,43 @@ QWEN3_MOE_SPEC = ModelSpec(
     hf_model_type="qwen3_moe",
 )
 
+COHERE_SPEC = ModelSpec(
+    name="cohere",
+    # Command-R (HF modeling_cohere): ONE input LayerNorm (no bias, no
+    # second norm) feeding attention AND mlp in PARALLEL; interleaved
+    # rope; tied embeddings with a logit_scale multiplier
+    lm_head=None,
+    mlp_norm=None,
+    norm_type="layernorm",
+    parallel_block=True,
+    rope_interleaved=True,
+    q_norm="model.layers.{layer}.self_attn.q_norm.weight",
+    k_norm="model.layers.{layer}.self_attn.k_norm.weight",
+    default_norm_eps=1e-5,
+    default_rope_theta=10000.0,
+    hf_model_type="cohere",
+)
+
+OLMO2_SPEC = ModelSpec(
+    name="olmo2",
+    # OLMo-2 (HF modeling_olmo2): NO input norms — sublayers read the raw
+    # residual stream; post_attention/post_feedforward norms on the
+    # sublayer OUTPUTS before the residual add; q/k RMS norms over the
+    # WHOLE projection width (Hq*D / Hk*D) before the head reshape
+    attn_norm=None,
+    mlp_norm=None,
+    post_attn_norm="model.layers.{layer}.post_attention_layernorm.weight",
+    post_mlp_norm="model.layers.{layer}.post_feedforward_layernorm.weight",
+    q_norm="model.layers.{layer}.self_attn.q_norm.weight",
+    k_norm="model.layers.{layer}.self_attn.k_norm.weight",
+    use_qk_norm=True,
+    pre_norms=False,
+    qk_norm_wide=True,
+    default_norm_eps=1e-6,
+    default_rope_theta=500000.0,
+    hf_model_type="olmo2",
+)
+
 MIXTRAL_SPEC = ModelSpec(
     name="mixtral",
     gate_proj=None, up_proj=None, down_proj=None,
@@ -226,7 +268,8 @@ PHI3_SPEC = ModelSpec(
 MODEL_SPECS: dict[str, ModelSpec] = {
     s.name: s for s in (
         GPT2_SPEC, LLAMA_SPEC, QWEN2_SPEC, QWEN3_SPEC, QWEN3_MOE_SPEC,
-        MIXTRAL_SPEC, GEMMA2_SPEC, GEMMA3_SPEC, PHI3_SPEC,
+        MIXTRAL_SPEC, GEMMA2_SPEC, GEMMA3_SPEC, PHI3_SPEC, OLMO2_SPEC,
+        COHERE_SPEC,
     )
 }
 
@@ -254,6 +297,14 @@ def detect_model_spec(tensor_names: list[str]) -> ModelSpec:
     has_qk_norm = any(".q_norm." in n or n.endswith("q_norm.weight") for n in names)
     if any("pre_feedforward_layernorm" in n for n in names):
         return GEMMA3_SPEC if has_qk_norm else GEMMA2_SPEC
+    if any("post_feedforward_layernorm" in n for n in names):
+        return OLMO2_SPEC    # post-only norms (gemma has BOTH pre+post)
+    if ("model.layers.0.input_layernorm.weight" in names
+            and "model.layers.0.post_attention_layernorm.weight"
+            not in names):
+        # ONE shared input norm = cohere's parallel block (its optional
+        # qk-norms must not fall through to the qwen3 branch)
+        return COHERE_SPEC
     if has_experts and has_qk_norm:
         return QWEN3_MOE_SPEC
     if has_qk_norm:
@@ -314,6 +365,24 @@ class TransformerConfig:
     layer_types: tuple[str, ...] | None = None
     # gemma3: sliding layers use a separate local rope theta
     rope_local_theta: float | None = None
+
+    # OLMo-2 extensions: no pre-norms (sublayers read the raw residual
+    # stream; combined with use_post_norms this gives
+    # h += post_norm(sublayer(h)) — HF modeling_olmo2.Olmo2DecoderLayer),
+    # and q/k norms applied over the WHOLE projection width before the
+    # head reshape (Olmo2Attention.q_norm, width Hq*D) instead of
+    # per-head (Qwen3 convention)
+    pre_norms: bool = True
+    qk_norm_wide: bool = False
+
+    # Cohere (Command-R) extensions: PARALLEL residual block
+    # (h += attn(norm(h)) + mlp(norm(h)) — ONE shared input norm,
+    # HF modeling_cohere.CohereDecoderLayer), interleaved even/odd rope
+    # pairs (repeat_interleave tables + pairwise rotate_half), and a
+    # constant logits multiplier
+    parallel_block: bool = False
+    rope_interleaved: bool = False
+    logit_scale: float | None = None
 
     def __post_init__(self):
         if self.num_kv_heads is None:
@@ -394,6 +463,13 @@ class TransformerConfig:
                     for i in range(n_layers)]
                 kw = dict(sliding_window=hf.get("sliding_window"),
                           layer_types=tuple(lt))
+        if mt == "cohere" or spec.name == "cohere":
+            kw = dict(
+                logit_scale=hf.get("logit_scale", 0.0625),
+                norm_eps=hf.get("layer_norm_eps", 1e-5),
+                use_qk_norm=hf.get("use_qk_norm", False),
+                tie_word_embeddings=hf.get("tie_word_embeddings", True),
+            )
         if spec.name in ("gemma2", "gemma3"):
             n_layers = hf.get("num_hidden_layers", 22)
             lt = hf.get("layer_types")
@@ -437,6 +513,11 @@ class TransformerConfig:
             activation=spec.activation,
             use_rope=spec.use_rope,
             use_qk_norm=spec.use_qk_norm,
+            pre_norms=spec.pre_norms,
+            qk_norm_wide=spec.qk_norm_wide,
+            use_post_norms=not spec.pre_norms,  # olmo2; gemma overrides via kw
+            parallel_block=spec.parallel_block,
+            rope_interleaved=spec.rope_interleaved,
             max_position_embeddings=hf.get("max_position_embeddings", 2048),
             norm_eps=hf.get("rms_norm_eps", spec.default_norm_eps),
             rope_theta=hf.get("rope_theta", spec.default_rope_theta),

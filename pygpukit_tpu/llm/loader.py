@@ -110,7 +110,7 @@ def _infer_config(st, spec: ModelSpec, hf_cfg: dict | None) -> TransformerConfig
     # heuristic inference from tensor shapes (no config.json)
     names = st.keys()
     n_layers = 0
-    probe = spec.attn_norm
+    probe = spec.attn_norm or spec.post_attn_norm   # olmo2: post-only norms
     while probe.format(layer=n_layers) in st:
         n_layers += 1
     vocab, hidden = st.tensor_shape(spec.embed_tokens)
@@ -134,9 +134,11 @@ def _infer_config(st, spec: ModelSpec, hf_cfg: dict | None) -> TransformerConfig
         # head_dim is not recoverable from projection shapes alone; q_norm
         # weight (Qwen3-family) is exactly [head_dim] when present, else
         # default 64 (config.json is the reliable source)
-        if spec.q_norm and spec.q_norm.format(layer=0) in st:
+        if (spec.q_norm and not spec.qk_norm_wide
+                and spec.q_norm.format(layer=0) in st):
             head_dim = st.tensor_shape(spec.q_norm.format(layer=0))[0]
         else:
+            # olmo2's q_norm is the WHOLE projection width, not [head_dim]
             head_dim = 64
         num_heads = q_out // head_dim
         num_kv = k_out // head_dim
@@ -167,6 +169,8 @@ def _infer_config(st, spec: ModelSpec, hf_cfg: dict | None) -> TransformerConfig
         head_dim_override=(head_dim if not spec.qkv_combined else None),
         norm_type=spec.norm_type, activation=spec.activation,
         use_rope=spec.use_rope, use_qk_norm=spec.use_qk_norm,
+        pre_norms=spec.pre_norms, qk_norm_wide=spec.qk_norm_wide,
+        use_post_norms=not spec.pre_norms,
         use_position_embed=spec.use_position_embed,
         max_position_embeddings=max_pos,
         norm_eps=spec.default_norm_eps, rope_theta=spec.default_rope_theta,
@@ -238,13 +242,15 @@ def _build_params(st, spec, config, dtype) -> dict:
     layers = []
     for l in range(config.num_layers):
         lp: dict = {}
-        lp["attn_norm_w"] = _to_jnp(
-            st.tensor_numpy(spec.attn_norm.format(layer=l)), norm_dtype)
+        if spec.attn_norm:            # None = OLMo-2 post-norm-only scheme
+            lp["attn_norm_w"] = _to_jnp(
+                st.tensor_numpy(spec.attn_norm.format(layer=l)), norm_dtype)
         if spec.attn_norm_bias:
             lp["attn_norm_b"] = _to_jnp(
                 st.tensor_numpy(spec.attn_norm_bias.format(layer=l)), norm_dtype)
-        lp["mlp_norm_w"] = _to_jnp(
-            st.tensor_numpy(spec.mlp_norm.format(layer=l)), norm_dtype)
+        if spec.mlp_norm:
+            lp["mlp_norm_w"] = _to_jnp(
+                st.tensor_numpy(spec.mlp_norm.format(layer=l)), norm_dtype)
         if spec.mlp_norm_bias:
             lp["mlp_norm_b"] = _to_jnp(
                 st.tensor_numpy(spec.mlp_norm_bias.format(layer=l)), norm_dtype)
@@ -286,7 +292,10 @@ def _build_params(st, spec, config, dtype) -> dict:
         lp["w_o"] = _linear(st, spec.o_proj.format(layer=l), dtype, tr)
         if spec.o_bias and spec.o_bias.format(layer=l) in st:
             lp["b_o"] = _to_jnp(st.tensor_numpy(spec.o_bias.format(layer=l)), dtype)
-        if spec.use_qk_norm:
+        if spec.use_qk_norm or (config.use_qk_norm and spec.q_norm
+                                and spec.q_norm.format(layer=l) in st):
+            # cohere: q/k norms are config-OPTIONAL (use_qk_norm in
+            # config.json); qwen3/olmo2 always carry them (spec flag)
             lp["w_q_norm"] = _to_jnp(
                 st.tensor_numpy(spec.q_norm.format(layer=l)), norm_dtype)
             lp["w_k_norm"] = _to_jnp(

@@ -210,9 +210,22 @@ def _norm(cfg: TransformerConfig, x, w, b):
     return layernorm_fn(x, w, b, cfg.norm_eps)
 
 
-def _qk_headnorm(x, w, eps):
-    """Per-head RMS norm over head_dim (Qwen3 q_norm/k_norm), w [D]."""
+def _attn_in(cfg: TransformerConfig, lp, h):
+    """Attention sublayer input: pre-norm of the residual stream, or the
+    raw stream for post-norm-only models (OLMo-2,
+    HF modeling_olmo2.Olmo2DecoderLayer — no input_layernorm)."""
+    if not cfg.pre_norms:
+        return h
+    return _norm(cfg, h, lp["attn_norm_w"], lp.get("attn_norm_b"))
+
+
+def _qk_headnorm(x, w, eps, subtract_mean: bool = False):
+    """Per-head norm over head_dim (Qwen3 q_norm/k_norm), w [D] (or [H, D]
+    for per-head weights — Cohere). ``subtract_mean``: LayerNorm flavour
+    (mean-centred, no bias — CohereLayerNorm) instead of RMS."""
     xf = x.astype(_F32)
+    if subtract_mean:
+        xf = xf - jnp.mean(xf, axis=-1, keepdims=True)
     var = jnp.mean(xf * xf, axis=-1, keepdims=True)
     return (xf * lax.rsqrt(var + eps) * w.astype(_F32)).astype(x.dtype)
 
@@ -286,12 +299,20 @@ def _project_qkv(cfg: TransformerConfig, lp, x):
         q = q + lp["b_q"].astype(_F32)
         k = k + lp["b_k"].astype(_F32)
         v = v + lp["b_v"].astype(_F32)
+    if cfg.use_qk_norm and cfg.qk_norm_wide:
+        # OLMo-2: RMS norm over the WHOLE projection width (Hq*D / Hk*D)
+        # before the head reshape (Olmo2Attention.q_norm) — the mean runs
+        # across all heads, unlike the per-head Qwen3 convention
+        q = _qk_headnorm(q.astype(x.dtype), lp["w_q_norm"], cfg.norm_eps)
+        k = _qk_headnorm(k.astype(x.dtype), lp["w_k_norm"], cfg.norm_eps)
     q = q.astype(x.dtype).reshape(s, hq, d)
     k = k.astype(x.dtype).reshape(s, hk, d)
     v = v.astype(x.dtype).reshape(s, hk, d)
-    if cfg.use_qk_norm:
-        q = _qk_headnorm(q, lp["w_q_norm"], cfg.norm_eps)
-        k = _qk_headnorm(k, lp["w_k_norm"], cfg.norm_eps)
+    if cfg.use_qk_norm and not cfg.qk_norm_wide:
+        # cohere's optional q/k norms are LayerNorm-flavoured (mean-centred)
+        sm = cfg.norm_type == "layernorm"
+        q = _qk_headnorm(q, lp["w_q_norm"], cfg.norm_eps, subtract_mean=sm)
+        k = _qk_headnorm(k, lp["w_k_norm"], cfg.norm_eps, subtract_mean=sm)
     return q, k, v
 
 
@@ -322,6 +343,8 @@ def _logits(cfg: TransformerConfig, params, h):
             h, params["embed"], (((h.ndim - 1,), (1,)), ((), ())),
             preferred_element_type=_F32,
             precision=_pf32(h, params["embed"]))
+    if cfg.logit_scale is not None:
+        logits = logits * cfg.logit_scale    # cohere: logits * 0.0625
     if cfg.final_logit_softcap is not None:
         cap = cfg.final_logit_softcap
         logits = cap * jnp.tanh(logits * (1.0 / cap))
@@ -337,6 +360,15 @@ def _embed_tokens(cfg: TransformerConfig, params, tokens):
     return h
 
 
+def _rope(cfg: TransformerConfig, x, cos, sin):
+    """Rope apply in the model's convention: split-half (default) or
+    interleaved even/odd pairs (Cohere; same convention as Llama-4)."""
+    if cfg.rope_interleaved:
+        from ..ops.nn.rope import apply_rope_interleaved_fn
+        return apply_rope_interleaved_fn(x, cos, sin)
+    return apply_rope_fn(x, cos, sin)
+
+
 def _layer_rope(lp, cos, sin, cos_l, sin_l):
     """Per-layer rope table choice (gemma3: sliding layers use the LOCAL
     theta tables). cos/sin pre-sliced to the step's positions."""
@@ -350,14 +382,22 @@ def _layer_rope(lp, cos, sin, cos_l, sin_l):
 # Forward (no cache) — training/eval path and logits parity tests
 # ---------------------------------------------------------------------------
 
-def _residual_tail(cfg: TransformerConfig, lp, h, attn, s):
+def _residual_tail(cfg: TransformerConfig, lp, h, attn, s, x=None):
     """out-proj + residual + MLP sublayer, with gemma sandwich norms on the
-    sublayer OUTPUTS when cfg.use_post_norms."""
+    sublayer OUTPUTS when cfg.use_post_norms. ``x`` (the attention input,
+    i.e. the shared pre-norm output) is required for cfg.parallel_block:
+    Cohere runs attention and MLP in PARALLEL off the same norm —
+    h += attn(x) + mlp(x) (HF modeling_cohere.CohereDecoderLayer)."""
     o = _out_proj(lp, attn, s, h.dtype)
+    if cfg.parallel_block:
+        return h + o + _mlp(cfg, lp, x)
     if cfg.use_post_norms:
         o = _norm(cfg, o, lp["post_attn_norm_w"], None)
     h = h + o
-    y = _norm(cfg, h, lp["mlp_norm_w"], lp.get("mlp_norm_b"))
+    # OLMo-2 (pre_norms=False): the MLP reads the raw residual stream —
+    # only the post norms exist
+    y = (_norm(cfg, h, lp["mlp_norm_w"], lp.get("mlp_norm_b"))
+         if cfg.pre_norms else h)
     m = _mlp(cfg, lp, y)
     if cfg.use_post_norms:
         m = _norm(cfg, m, lp["post_mlp_norm_w"], None)
@@ -375,18 +415,18 @@ def layer_stack_fn(cfg: TransformerConfig, layers, h, rope_cos, rope_sin,
     scale = cfg.attn_scale
 
     def block(h, lp):
-        x = _norm(cfg, h, lp["attn_norm_w"], lp.get("attn_norm_b"))
+        x = _attn_in(cfg, lp, h)
         q, k, v = _project_qkv(cfg, lp, x)
         if cfg.use_rope:
             c, sn = _layer_rope(
                 lp, rope_cos[:s], rope_sin[:s],
                 None if rope_cos_local is None else rope_cos_local[:s],
                 None if rope_sin_local is None else rope_sin_local[:s])
-            q = apply_rope_fn(q, c, sn)
-            k = apply_rope_fn(k, c, sn)
+            q = _rope(cfg, q, c, sn)
+            k = _rope(cfg, k, c, sn)
         attn = flash_attention_fn(q, k, v, scale=scale, softcap=softcap,
                                   window=lp.get("attn_window"))
-        h = _residual_tail(cfg, lp, h, attn, s)
+        h = _residual_tail(cfg, lp, h, attn, s, x)
         return h, None
 
     h, _ = lax.scan(block, h, layers)
@@ -437,7 +477,7 @@ def prefill_fn(cfg: TransformerConfig, params, k_cache, v_cache, tokens, true_le
         lp = jax.tree.map(
             lambda a: lax.dynamic_index_in_dim(a, i, 0, keepdims=False),
             params["layers"])
-        x = _norm(cfg, h, lp["attn_norm_w"], lp.get("attn_norm_b"))
+        x = _attn_in(cfg, lp, h)
         q, k, v = _project_qkv(cfg, lp, x)
         if cfg.use_rope:
             rc, rs = _rope_rows_for(params, 0, s, true_len)
@@ -445,14 +485,14 @@ def prefill_fn(cfg: TransformerConfig, params, k_cache, v_cache, tokens, true_le
                 lp, rc, rs,
                 None if rope_cos_l is None else rope_cos_l[:s],
                 None if rope_sin_l is None else rope_sin_l[:s])
-            q = apply_rope_fn(q, c, sn)
-            k = apply_rope_fn(k, c, sn)
+            q = _rope(cfg, q, c, sn)
+            k = _rope(cfg, k, c, sn)
         kc_all = kv_write(kc_all, k[None], (i, 0, 0, 0))
         vc_all = kv_write(vc_all, v[None], (i, 0, 0, 0))
         # causal attention within the padded prompt; pad region masked
         attn = _prefill_attn(q, k, v, true_len, cfg.attn_scale,
                              cfg.attn_logit_softcap, lp.get("attn_window"))
-        h = _residual_tail(cfg, lp, h, attn, s)
+        h = _residual_tail(cfg, lp, h, attn, s, x)
         return (h, kc_all, vc_all)
 
     h, k_cache, v_cache = lax.fori_loop(0, cfg.num_layers, body,
@@ -623,7 +663,7 @@ def decode_step_fn(cfg: TransformerConfig, params, k_cache, v_cache, token,
         lp = jax.tree.map(
             lambda a: lax.dynamic_index_in_dim(a, i, 0, keepdims=False),
             params["layers"])
-        x = _norm(cfg, h, lp["attn_norm_w"], lp.get("attn_norm_b"))
+        x = _attn_in(cfg, lp, h)
         q, k, v = _project_qkv(cfg, lp, x)                       # [1,H,D]
         if cfg.use_rope:
             c, sn = _rope_rows_for(params, pos, 1, pos + 1)
@@ -632,8 +672,8 @@ def decode_step_fn(cfg: TransformerConfig, params, k_cache, v_cache, token,
                     lp, c, sn,
                     lax.dynamic_slice_in_dim(rope_cos_l, pos, 1, axis=0),
                     lax.dynamic_slice_in_dim(rope_sin_l, pos, 1, axis=0))
-            q = apply_rope_fn(q, c, sn)
-            k = apply_rope_fn(k, c, sn)
+            q = _rope(cfg, q, c, sn)
+            k = _rope(cfg, k, c, sn)
         kc_all = kv_write(kc_all, k[None], (i, pos, 0, 0))
         vc_all = kv_write(vc_all, v[None], (i, pos, 0, 0))
         attn = sdpa_fixed_cache_fn(
@@ -642,7 +682,7 @@ def decode_step_fn(cfg: TransformerConfig, params, k_cache, v_cache, token,
             pos + 1, scale=cfg.attn_scale,
             softcap=cfg.attn_logit_softcap,
             window=lp.get("attn_window"))
-        h = _residual_tail(cfg, lp, h, attn, 1)
+        h = _residual_tail(cfg, lp, h, attn, 1, x)
         return (h, kc_all, vc_all)
 
     h, k_cache, v_cache = lax.fori_loop(
@@ -681,7 +721,7 @@ def decode_window_fn(cfg: TransformerConfig, params, k_cache, v_cache,
         lp = jax.tree.map(
             lambda a: lax.dynamic_index_in_dim(a, i, 0, keepdims=False),
             params["layers"])
-        x = _norm(cfg, h, lp["attn_norm_w"], lp.get("attn_norm_b"))
+        x = _attn_in(cfg, lp, h)
         q, k, v = _project_qkv(cfg, lp, x)                       # [T,H,D]
         if cfg.use_rope:
             c, sn = _rope_rows_for(params, pos, t, pos + t)
@@ -690,8 +730,8 @@ def decode_window_fn(cfg: TransformerConfig, params, k_cache, v_cache,
                     lp, c, sn,
                     lax.dynamic_slice_in_dim(rope_cos_l, pos, t, axis=0),
                     lax.dynamic_slice_in_dim(rope_sin_l, pos, t, axis=0))
-            q = apply_rope_fn(q, c, sn)
-            k = apply_rope_fn(k, c, sn)
+            q = _rope(cfg, q, c, sn)
+            k = _rope(cfg, k, c, sn)
         kc_all = kv_write(kc_all, k[None], (i, pos, 0, 0))
         vc_all = kv_write(vc_all, v[None], (i, pos, 0, 0))
         attn = sdpa_fixed_cache_fn(
@@ -700,7 +740,7 @@ def decode_window_fn(cfg: TransformerConfig, params, k_cache, v_cache,
             pos + t, scale=cfg.attn_scale,
             softcap=cfg.attn_logit_softcap,
             window=lp.get("attn_window"))
-        h = _residual_tail(cfg, lp, h, attn, t)
+        h = _residual_tail(cfg, lp, h, attn, t, x)
         return (h, kc_all, vc_all)
 
     h, k_cache, v_cache = lax.fori_loop(0, cfg.num_layers, body,
@@ -892,8 +932,10 @@ def init_params(cfg: TransformerConfig, seed: int = 0, dtype=jnp.bfloat16) -> di
         lp["attn_norm_b"] = jnp.zeros((cfg.num_layers, e), _F32)
         lp["mlp_norm_b"] = jnp.zeros((cfg.num_layers, e), _F32)
     if cfg.use_qk_norm:
-        lp["w_q_norm"] = jnp.ones((cfg.num_layers, d), _F32)
-        lp["w_k_norm"] = jnp.ones((cfg.num_layers, d), _F32)
+        qn = cfg.num_heads * d if cfg.qk_norm_wide else d
+        kn = cfg.num_kv_heads * d if cfg.qk_norm_wide else d
+        lp["w_q_norm"] = jnp.ones((cfg.num_layers, qn), _F32)
+        lp["w_k_norm"] = jnp.ones((cfg.num_layers, kn), _F32)
     if cfg.use_post_norms:
         lp["post_attn_norm_w"] = jnp.ones((cfg.num_layers, e), _F32)
         lp["post_mlp_norm_w"] = jnp.ones((cfg.num_layers, e), _F32)
@@ -962,8 +1004,10 @@ def init_params_device(cfg: TransformerConfig, seed: int = 0,
         lp["attn_norm_b"] = jnp.zeros((cfg.num_layers, e), _F32)
         lp["mlp_norm_b"] = jnp.zeros((cfg.num_layers, e), _F32)
     if cfg.use_qk_norm:
-        lp["w_q_norm"] = jnp.ones((cfg.num_layers, d), _F32)
-        lp["w_k_norm"] = jnp.ones((cfg.num_layers, d), _F32)
+        qn = cfg.num_heads * d if cfg.qk_norm_wide else d
+        kn = cfg.num_kv_heads * d if cfg.qk_norm_wide else d
+        lp["w_q_norm"] = jnp.ones((cfg.num_layers, qn), _F32)
+        lp["w_k_norm"] = jnp.ones((cfg.num_layers, kn), _F32)
     if cfg.use_post_norms:
         lp["post_attn_norm_w"] = jnp.ones((cfg.num_layers, e), _F32)
         lp["post_mlp_norm_w"] = jnp.ones((cfg.num_layers, e), _F32)

@@ -29,7 +29,8 @@ import numpy as np
 from jax import lax
 
 from .config import TransformerConfig
-from .model import _logits, _mlp, _norm, _out_proj, _project_qkv
+from .model import (_attn_in, _logits, _mlp, _norm, _out_proj,
+                    _project_qkv, _residual_tail)
 from ..ops.embedding import to_kv_dtype
 from ..ops.nn.rope import apply_rope_fn
 
@@ -74,9 +75,8 @@ def paged_decode_step_fn(cfg: TransformerConfig, params, k_pool, v_pool,
     k_pool/v_pool [L, NB, Hk, BS, D]; tables [B, MB] int32; tokens [B];
     poss [B] -> (k_pool, v_pool, logits [B, V]).
     """
-    import math
     bs = k_pool.shape[3]
-    scale = 1.0 / math.sqrt(cfg.head_dim)
+    scale = cfg.attn_scale
     b = tokens.shape[0]
     h = jnp.take(params["embed"], tokens, axis=0)            # [B, E]
     rope_cos = params.get("rope_cos")
@@ -91,11 +91,11 @@ def paged_decode_step_fn(cfg: TransformerConfig, params, k_pool, v_pool,
         lp = jax.tree.map(
             lambda a: lax.dynamic_index_in_dim(a, i, 0, keepdims=False),
             params["layers"])
-        x = _norm(cfg, h, lp["attn_norm_w"], lp.get("attn_norm_b"))
+        x = _attn_in(cfg, lp, h)
         q, k, v = _project_qkv(cfg, lp, x)                   # [B, H*, D]
         if cfg.use_rope:
-            q = _rope_rows(q, rope_cos, rope_sin, poss, params)
-            k = _rope_rows(k, rope_cos, rope_sin, poss, params)
+            q = _rope_rows(q, rope_cos, rope_sin, poss, params, cfg)
+            k = _rope_rows(k, rope_cos, rope_sin, poss, params, cfg)
         kp = kp.at[i, blocks, :, offs, :].set(to_kv_dtype(k, kp.dtype))
         vp = vp.at[i, blocks, :, offs, :].set(to_kv_dtype(v, vp.dtype))
         kp_l = lax.dynamic_index_in_dim(kp, i, 0, keepdims=False)
@@ -115,9 +115,7 @@ def paged_decode_step_fn(cfg: TransformerConfig, params, k_pool, v_pool,
             attn = jax.vmap(
                 _paged_attn_one, in_axes=(0, None, None, 0, 0, None))(
                 q, kp_l, vp_l, tables, poss + 1, scale)       # [B, Hq, D]
-        h = h + _out_proj(lp, attn.reshape(b, -1), b, h.dtype)
-        y = _norm(cfg, h, lp["mlp_norm_w"], lp.get("mlp_norm_b"))
-        h = h + _mlp(cfg, lp, y)
+        h = _residual_tail(cfg, lp, h, attn.reshape(b, -1), b, x)
         return (h, kp, vp)
 
     h, k_pool, v_pool = lax.fori_loop(0, cfg.num_layers, body,
@@ -126,17 +124,20 @@ def paged_decode_step_fn(cfg: TransformerConfig, params, k_pool, v_pool,
     return k_pool, v_pool, _logits(cfg, params, h)
 
 
-def _rope_rows(x, cos, sin, poss, params=None):
+def _rope_rows(x, cos, sin, poss, params=None, cfg=None):
     """x [B, Hx, D] roped at per-row positions poss [B]. LongRoPE models
     (params carries rope_cos_long) select factor tables per row by each
     sequence's own length (model.py _rope_rows_for semantics)."""
+    from .model import _rope
     c = cos[poss]                                            # [B, D]
     s = sin[poss]
     if params is not None and "rope_cos_long" in params:
         use = (poss + 1 > params["rope_long_threshold"])[:, None]
         c = jnp.where(use, params["rope_cos_long"][poss], c)
         s = jnp.where(use, params["rope_sin_long"][poss], s)
-    return jax.vmap(lambda xv, cv, sv: apply_rope_fn(
+    apply = ((lambda xv, cv, sv: _rope(cfg, xv, cv, sv))
+             if cfg is not None else apply_rope_fn)
+    return jax.vmap(lambda xv, cv, sv: apply(
         xv[None], cv[None], sv[None])[0])(x, c, s)
 
 
@@ -231,22 +232,22 @@ def paged_prefill_fn(cfg: TransformerConfig, params, k_pool, v_pool,
         lp = jax.tree.map(
             lambda a: lax.dynamic_index_in_dim(a, i, 0, keepdims=False),
             params["layers"])
-        x = _norm(cfg, h, lp["attn_norm_w"], lp.get("attn_norm_b"))
+        x = _attn_in(cfg, lp, h)
         q, k, v = _project_qkv(cfg, lp, x)
         if cfg.use_rope:
             from .model import _rope_rows_for
             rc, rs = _rope_rows_for(params, 0, s, true_len)
-            q = apply_rope_fn(q, rc, rs)
-            k = apply_rope_fn(k, rc, rs)
+            from .model import _rope
+            q = _rope(cfg, q, rc, rs)
+            k = _rope(cfg, k, rc, rs)
         kp = kp.at[i, blocks, :, offs, :].set(
             to_kv_dtype(jnp.where(valid[:, None, None], k, 0), kp.dtype))
         vp = vp.at[i, blocks, :, offs, :].set(
             to_kv_dtype(jnp.where(valid[:, None, None], v, 0), vp.dtype))
         from .model import _prefill_attn
-        attn = _prefill_attn(q, k, v, true_len)
-        h = h + _out_proj(lp, attn, s, h.dtype)
-        y = _norm(cfg, h, lp["mlp_norm_w"], lp.get("mlp_norm_b"))
-        h = h + _mlp(cfg, lp, y)
+        attn = _prefill_attn(q, k, v, true_len, cfg.attn_scale,
+                             cfg.attn_logit_softcap, lp.get("attn_window"))
+        h = _residual_tail(cfg, lp, h, attn, s, x)
         return (h, kp, vp)
 
     h, k_pool, v_pool = lax.fori_loop(0, cfg.num_layers, body,

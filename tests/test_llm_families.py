@@ -415,6 +415,71 @@ class TestGptOss:
         assert out == hf_out, (out, hf_out)
 
 
+class TestOlmo2:
+    """OLMo-2: post-norm-only blocks (no input norms — the sublayers read
+    the raw residual stream, post_attention/post_feedforward norms on the
+    outputs) + whole-width q/k RMS norms applied before the head reshape
+    (HF modeling_olmo2; both conventions differ from every other family)."""
+
+    def test_parity(self, tmp_path):
+        cfg = transformers.Olmo2Config(
+            vocab_size=96, hidden_size=32, intermediate_size=64,
+            num_hidden_layers=2, num_attention_heads=4,
+            num_key_value_heads=2, max_position_embeddings=64,
+            tie_word_embeddings=False)
+        torch.manual_seed(17)
+        m = transformers.Olmo2ForCausalLM(cfg).eval()
+        m.save_pretrained(tmp_path, safe_serialization=True)
+        model = _check_parity(tmp_path, m, "olmo2")
+        assert model.config.pre_norms is False
+        assert model.config.use_post_norms is True
+        assert model.config.qk_norm_wide is True
+        lp = model.params["layers"]
+        assert "attn_norm_w" not in lp and "mlp_norm_w" not in lp
+        # whole-width norms: [L, Hq*D] / [L, Hk*D]
+        assert lp["w_q_norm"].shape == (2, 32)
+        assert lp["w_k_norm"].shape == (2, 16)
+
+    def test_detect(self):
+        names = ["model.embed_tokens.weight",
+                 "model.layers.0.self_attn.q_norm.weight",
+                 "model.layers.0.post_feedforward_layernorm.weight"]
+        assert llm.detect_model_spec(names).name == "olmo2"
+
+
+class TestCohere:
+    """Cohere Command-R: PARALLEL attn+mlp residual off ONE shared input
+    LayerNorm (no bias, no post_attention norm), interleaved even/odd rope
+    pairs, tied embeddings scaled by logit_scale, optional LayerNorm-flavour
+    per-head qk-norms with [H, D] weights (HF modeling_cohere)."""
+
+    def _hf(self, seed, **kw):
+        cfg = transformers.CohereConfig(
+            vocab_size=96, hidden_size=32, intermediate_size=64,
+            num_hidden_layers=2, num_attention_heads=4,
+            num_key_value_heads=2, max_position_embeddings=64,
+            logit_scale=0.0625, **kw)
+        torch.manual_seed(seed)
+        return transformers.CohereForCausalLM(cfg).eval()
+
+    def test_parity(self, tmp_path):
+        m = self._hf(19)
+        m.save_pretrained(tmp_path, safe_serialization=True)
+        model = _check_parity(tmp_path, m, "cohere")
+        assert model.config.parallel_block is True
+        assert model.config.rope_interleaved is True
+        assert model.config.logit_scale == 0.0625
+        assert model.params["lm_head"] is None      # tied + scaled
+
+    def test_parity_qk_norm(self, tmp_path):
+        m = self._hf(20, use_qk_norm=True)
+        m.save_pretrained(tmp_path, safe_serialization=True)
+        model = _check_parity(tmp_path, m, "cohere")
+        assert model.config.use_qk_norm is True
+        # per-head LayerNorm weights [L, H, D]
+        assert model.params["layers"]["w_q_norm"].shape == (2, 4, 8)
+
+
 class TestMistralSlidingWindow:
     """Mistral-v0.1 class rides the llama spec + every-layer sliding
     window from config.json (round 3: the generic path previously dropped
