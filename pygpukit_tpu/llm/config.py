@@ -249,6 +249,47 @@ GEMMA3_SPEC = ModelSpec(
 )
 
 
+STARCODER2_SPEC = ModelSpec(
+    name="starcoder2",
+    # GPT-2-style blocks (LayerNorm + biased gelu-tanh c_fc/c_proj MLP)
+    # with llama key layout + rope (HF modeling_starcoder2)
+    final_norm_bias="model.norm.bias",
+    attn_norm_bias="model.layers.{layer}.input_layernorm.bias",
+    mlp_norm_bias="model.layers.{layer}.post_attention_layernorm.bias",
+    q_bias="model.layers.{layer}.self_attn.q_proj.bias",
+    k_bias="model.layers.{layer}.self_attn.k_proj.bias",
+    v_bias="model.layers.{layer}.self_attn.v_proj.bias",
+    o_bias="model.layers.{layer}.self_attn.o_proj.bias",
+    fc1="model.layers.{layer}.mlp.c_fc.weight",
+    fc1_bias="model.layers.{layer}.mlp.c_fc.bias",
+    fc2="model.layers.{layer}.mlp.c_proj.weight",
+    fc2_bias="model.layers.{layer}.mlp.c_proj.bias",
+    gate_proj=None, up_proj=None, down_proj=None,
+    norm_type="layernorm",
+    activation="gelu",
+    default_norm_eps=1e-5,
+    hf_model_type="starcoder2",
+)
+
+GLM4_SPEC = ModelSpec(
+    name="glm4",
+    # GLM-4: gemma2-style sandwich norms (post_self_attn/post_mlp on the
+    # sublayer outputs), fused gate_up MLP, qkv biases, and INTERLEAVED
+    # rope over the first partial_rotary_factor*head_dim dims only
+    # (HF modeling_glm4.apply_rotary_pos_emb)
+    post_attn_norm="model.layers.{layer}.post_self_attn_layernorm.weight",
+    post_mlp_norm="model.layers.{layer}.post_mlp_layernorm.weight",
+    q_bias="model.layers.{layer}.self_attn.q_proj.bias",
+    k_bias="model.layers.{layer}.self_attn.k_proj.bias",
+    v_bias="model.layers.{layer}.self_attn.v_proj.bias",
+    gate_proj="model.layers.{layer}.mlp.gate_up_proj.weight",
+    up_proj=None,
+    gate_up_combined=True,
+    rope_interleaved=True,
+    default_norm_eps=1.5625e-07,
+    hf_model_type="glm4",
+)
+
 PHI3_SPEC = ModelSpec(
     name="phi3",
     # fused checkpoint projections: qkv_proj [(Hq+2Hk)D, E] and
@@ -269,7 +310,7 @@ MODEL_SPECS: dict[str, ModelSpec] = {
     s.name: s for s in (
         GPT2_SPEC, LLAMA_SPEC, QWEN2_SPEC, QWEN3_SPEC, QWEN3_MOE_SPEC,
         MIXTRAL_SPEC, GEMMA2_SPEC, GEMMA3_SPEC, PHI3_SPEC, OLMO2_SPEC,
-        COHERE_SPEC,
+        COHERE_SPEC, STARCODER2_SPEC, GLM4_SPEC,
     )
 }
 
@@ -299,6 +340,10 @@ def detect_model_spec(tensor_names: list[str]) -> ModelSpec:
         return GEMMA3_SPEC if has_qk_norm else GEMMA2_SPEC
     if any("post_feedforward_layernorm" in n for n in names):
         return OLMO2_SPEC    # post-only norms (gemma has BOTH pre+post)
+    if any("post_self_attn_layernorm" in n for n in names):
+        return GLM4_SPEC
+    if "model.layers.0.mlp.c_fc.weight" in names:
+        return STARCODER2_SPEC
     if ("model.layers.0.input_layernorm.weight" in names
             and "model.layers.0.post_attention_layernorm.weight"
             not in names):
@@ -383,6 +428,9 @@ class TransformerConfig:
     parallel_block: bool = False
     rope_interleaved: bool = False
     logit_scale: float | None = None
+    # GLM-4 / phi-class partial rotary: only the first
+    # partial_rotary_factor * head_dim dims rotate; the rest pass through
+    rope_partial_factor: float = 1.0
 
     def __post_init__(self):
         if self.num_kv_heads is None:
@@ -397,6 +445,12 @@ class TransformerConfig:
         if self.head_dim_override is not None:
             return self.head_dim_override
         return self.hidden_size // self.num_heads
+
+    @property
+    def rope_dim(self) -> int:
+        """Rotated dims per head (partial rotary); even by construction."""
+        rd = int(self.head_dim * self.rope_partial_factor)
+        return rd - (rd % 2)
 
     @property
     def attn_scale(self) -> float:
@@ -450,6 +504,13 @@ class TransformerConfig:
         elif mt == "mistral":
             # mistral-v0.1 class: sliding_window set -> every layer slides
             kw = dict(sliding_window=hf.get("sliding_window"))
+        elif mt == "starcoder2" or spec.name == "starcoder2":
+            kw = dict(sliding_window=hf.get("sliding_window"),
+                      norm_eps=hf.get("norm_epsilon", 1e-5),
+                      tie_word_embeddings=hf.get("tie_word_embeddings",
+                                                 True))
+        elif mt == "glm4" or spec.name == "glm4":
+            kw = dict(use_post_norms=True)
         elif mt in ("qwen2", "qwen3", "qwen3_moe"):
             # qwen configs CARRY sliding_window but gate it behind
             # use_sliding_window (default off); layers >= max_window_layers
@@ -522,6 +583,9 @@ class TransformerConfig:
             norm_eps=hf.get("rms_norm_eps", spec.default_norm_eps),
             rope_theta=hf.get("rope_theta", spec.default_rope_theta),
             rope_scaling=_merge_rope_scaling(hf),
+            rope_partial_factor=hf.get(
+                "partial_rotary_factor",
+                0.5 if spec.name == "glm4" else 1.0),
             tie_word_embeddings=hf.get("tie_word_embeddings", False),
         )
         base.update(kw)

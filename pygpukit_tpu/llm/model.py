@@ -362,11 +362,21 @@ def _embed_tokens(cfg: TransformerConfig, params, tokens):
 
 def _rope(cfg: TransformerConfig, x, cos, sin):
     """Rope apply in the model's convention: split-half (default) or
-    interleaved even/odd pairs (Cohere; same convention as Llama-4)."""
+    interleaved even/odd pairs (Cohere/GLM-4; same convention as Llama-4).
+    Partial rotary (GLM-4, rope_partial_factor<1): only the first
+    cfg.rope_dim dims rotate, the tail passes through — the tables are
+    built [S, rope_dim]."""
+    rd = cfg.rope_dim
+    x_rot, x_pass = (x, None) if rd == x.shape[-1] else \
+        (x[..., :rd], x[..., rd:])
     if cfg.rope_interleaved:
         from ..ops.nn.rope import apply_rope_interleaved_fn
-        return apply_rope_interleaved_fn(x, cos, sin)
-    return apply_rope_fn(x, cos, sin)
+        out = apply_rope_interleaved_fn(x_rot, cos, sin)
+    else:
+        out = apply_rope_fn(x_rot, cos, sin)
+    if x_pass is not None:
+        out = jnp.concatenate([out, x_pass], axis=-1)
+    return out
 
 
 def _layer_rope(lp, cos, sin, cos_l, sin_l):
@@ -1099,7 +1109,7 @@ class CausalTransformerModel:
             scaling = config.rope_scaling or {}
             st = scaling.get("type", scaling.get("rope_type", ""))
             n = config.max_position_embeddings
-            d = config.head_dim
+            d = config.rope_dim     # == head_dim unless partial rotary
             if st in ("yarn",):
                 cos, sin = rope_mod.rope_init_yarn(
                     n, d, config.rope_theta, scaling.get("factor", 1.0),

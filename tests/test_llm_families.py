@@ -480,6 +480,50 @@ class TestCohere:
         assert model.params["layers"]["w_q_norm"].shape == (2, 4, 8)
 
 
+class TestStarcoder2:
+    """Starcoder2: GPT-2-style blocks (biased LayerNorms + gelu-tanh
+    c_fc/c_proj MLP with biases) in the llama key layout + rope, tied
+    embeddings (HF modeling_starcoder2)."""
+
+    def test_parity(self, tmp_path):
+        cfg = transformers.Starcoder2Config(
+            vocab_size=96, hidden_size=32, intermediate_size=64,
+            num_hidden_layers=2, num_attention_heads=4,
+            num_key_value_heads=2, max_position_embeddings=64,
+            use_bias=True)
+        torch.manual_seed(22)
+        m = transformers.Starcoder2ForCausalLM(cfg).eval()
+        m.save_pretrained(tmp_path, safe_serialization=True)
+        model = _check_parity(tmp_path, m, "starcoder2")
+        lp = model.params["layers"]
+        assert "b_fc1" in lp and "attn_norm_b" in lp
+        assert model.params["lm_head"] is None      # tied by default
+
+
+class TestGlm4:
+    """GLM-4: gemma2-style sandwich norms (post_self_attn/post_mlp on the
+    sublayer outputs), fused gate_up MLP, qkv biases, and INTERLEAVED rope
+    over only the first partial_rotary_factor*head_dim dims
+    (HF modeling_glm4.apply_rotary_pos_emb)."""
+
+    def test_parity(self, tmp_path):
+        cfg = transformers.Glm4Config(
+            vocab_size=96, hidden_size=32, intermediate_size=64,
+            num_hidden_layers=2, num_attention_heads=4,
+            num_key_value_heads=2, max_position_embeddings=64,
+            partial_rotary_factor=0.5, attention_bias=True, head_dim=8,
+            tie_word_embeddings=False, pad_token_id=0, eos_token_id=1)
+        torch.manual_seed(23)
+        m = transformers.Glm4ForCausalLM(cfg).eval()
+        m.save_pretrained(tmp_path, safe_serialization=True)
+        model = _check_parity(tmp_path, m, "glm4",
+                              prompt=tuple(range(1, 10)))
+        assert model.config.use_post_norms is True
+        assert model.config.rope_interleaved is True
+        assert model.config.rope_dim == 4           # 8 * 0.5
+        assert model.params["rope_cos"].shape[-1] == 4
+
+
 class TestMistralSlidingWindow:
     """Mistral-v0.1 class rides the llama spec + every-layer sliding
     window from config.json (round 3: the generic path previously dropped
