@@ -431,6 +431,9 @@ class TransformerConfig:
     # GLM-4 / phi-class partial rotary: only the first
     # partial_rotary_factor * head_dim dims rotate; the rest pass through
     rope_partial_factor: float = 1.0
+    # Granite: sublayer outputs scaled before the residual add
+    # (h += residual_multiplier * sublayer(norm(h)))
+    residual_multiplier: float | None = None
 
     def __post_init__(self):
         if self.num_kv_heads is None:
@@ -511,6 +514,19 @@ class TransformerConfig:
                                                  True))
         elif mt == "glm4" or spec.name == "glm4":
             kw = dict(use_post_norms=True)
+        elif mt in ("granite", "granitemoe"):
+            # IBM Granite = llama + four scalar multipliers
+            # (modeling_granite: "main diff with Llama" sites)
+            kw = dict(tie_word_embeddings=hf.get("tie_word_embeddings",
+                                                 True))
+            if hf.get("embedding_multiplier", 1.0) != 1.0:
+                kw["embed_scale"] = hf["embedding_multiplier"]
+            if hf.get("attention_multiplier") is not None:
+                kw["query_scale"] = hf["attention_multiplier"]
+            if hf.get("residual_multiplier", 1.0) != 1.0:
+                kw["residual_multiplier"] = hf["residual_multiplier"]
+            if hf.get("logits_scaling", 1.0) != 1.0:
+                kw["logit_scale"] = 1.0 / hf["logits_scaling"]
         elif mt in ("qwen2", "qwen3", "qwen3_moe"):
             # qwen configs CARRY sliding_window but gate it behind
             # use_sliding_window (default off); layers >= max_window_layers

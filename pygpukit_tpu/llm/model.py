@@ -399,11 +399,13 @@ def _residual_tail(cfg: TransformerConfig, lp, h, attn, s, x=None):
     Cohere runs attention and MLP in PARALLEL off the same norm —
     h += attn(x) + mlp(x) (HF modeling_cohere.CohereDecoderLayer)."""
     o = _out_proj(lp, attn, s, h.dtype)
+    rm = cfg.residual_multiplier     # granite: h += rm * sublayer(...)
     if cfg.parallel_block:
-        return h + o + _mlp(cfg, lp, x)
+        m = _mlp(cfg, lp, x)
+        return (h + o + m) if rm is None else (h + rm * (o + m))
     if cfg.use_post_norms:
         o = _norm(cfg, o, lp["post_attn_norm_w"], None)
-    h = h + o
+    h = h + o if rm is None else h + rm * o
     # OLMo-2 (pre_norms=False): the MLP reads the raw residual stream —
     # only the post norms exist
     y = (_norm(cfg, h, lp["mlp_norm_w"], lp.get("mlp_norm_b"))
@@ -411,7 +413,7 @@ def _residual_tail(cfg: TransformerConfig, lp, h, attn, s, x=None):
     m = _mlp(cfg, lp, y)
     if cfg.use_post_norms:
         m = _norm(cfg, m, lp["post_mlp_norm_w"], None)
-    return h + m
+    return h + m if rm is None else h + rm * m
 
 
 def layer_stack_fn(cfg: TransformerConfig, layers, h, rope_cos, rope_sin,

@@ -524,6 +524,30 @@ class TestGlm4:
         assert model.params["rope_cos"].shape[-1] == 4
 
 
+class TestGranite:
+    """IBM Granite = llama + four scalar multipliers: embedding_multiplier,
+    attention_multiplier (softmax scale), residual_multiplier (sublayer
+    outputs), logits_scaling (divides logits) — each a 'main diff with
+    Llama' site in HF modeling_granite."""
+
+    def test_parity(self, tmp_path):
+        cfg = transformers.GraniteConfig(
+            vocab_size=96, hidden_size=32, intermediate_size=64,
+            num_hidden_layers=2, num_attention_heads=4,
+            num_key_value_heads=2, max_position_embeddings=64,
+            embedding_multiplier=12.0, residual_multiplier=0.22,
+            attention_multiplier=0.015625, logits_scaling=8.0,
+            tie_word_embeddings=False)
+        torch.manual_seed(25)
+        m = transformers.GraniteForCausalLM(cfg).eval()
+        m.save_pretrained(tmp_path, safe_serialization=True)
+        model = _check_parity(tmp_path, m, "llama")   # llama key layout
+        assert model.config.embed_scale == 12.0
+        assert model.config.residual_multiplier == 0.22
+        assert model.config.query_scale == 0.015625
+        assert model.config.logit_scale == 1.0 / 8.0
+
+
 class TestMistralSlidingWindow:
     """Mistral-v0.1 class rides the llama spec + every-layer sliding
     window from config.json (round 3: the generic path previously dropped
