@@ -592,7 +592,10 @@ class TransformerConfig:
             use_qk_norm=spec.use_qk_norm,
             pre_norms=spec.pre_norms,
             qk_norm_wide=spec.qk_norm_wide,
-            use_post_norms=not spec.pre_norms,  # olmo2; gemma overrides via kw
+            # olmo2 (post-only) and glm4 (sandwich) both imply post norms
+            # from the spec; gemma sets it via kw as well
+            use_post_norms=(spec.post_attn_norm is not None
+                            or not spec.pre_norms),
             parallel_block=spec.parallel_block,
             rope_interleaved=spec.rope_interleaved,
             max_position_embeddings=hf.get("max_position_embeddings", 2048),

@@ -136,7 +136,8 @@ def _infer_config(st, spec: ModelSpec, hf_cfg: dict | None) -> TransformerConfig
         # default 64 (config.json is the reliable source)
         if (spec.q_norm and not spec.qk_norm_wide
                 and spec.q_norm.format(layer=0) in st):
-            head_dim = st.tensor_shape(spec.q_norm.format(layer=0))[0]
+            # last dim: qwen3 q_norm is [D], cohere's is per-head [Hq, D]
+            head_dim = st.tensor_shape(spec.q_norm.format(layer=0))[-1]
         else:
             # olmo2's q_norm is the WHOLE projection width, not [head_dim]
             head_dim = 64
@@ -170,7 +171,16 @@ def _infer_config(st, spec: ModelSpec, hf_cfg: dict | None) -> TransformerConfig
         norm_type=spec.norm_type, activation=spec.activation,
         use_rope=spec.use_rope, use_qk_norm=spec.use_qk_norm,
         pre_norms=spec.pre_norms, qk_norm_wide=spec.qk_norm_wide,
-        use_post_norms=not spec.pre_norms,
+        use_post_norms=(spec.post_attn_norm is not None
+                        or not spec.pre_norms),
+        parallel_block=spec.parallel_block,
+        rope_interleaved=spec.rope_interleaved,
+        # arch constants the config.json would normally carry — fall back
+        # to the published family defaults so a bare checkpoint still
+        # computes the right function (glm4 partial rotary, cohere logit
+        # scale)
+        rope_partial_factor=0.5 if spec.name == "glm4" else 1.0,
+        logit_scale=0.0625 if spec.name == "cohere" else None,
         use_position_embed=spec.use_position_embed,
         max_position_embeddings=max_pos,
         norm_eps=spec.default_norm_eps, rope_theta=spec.default_rope_theta,

@@ -507,7 +507,7 @@ def prefill_fn(cfg: TransformerConfig, params, k_cache, v_cache, tokens, true_le
         h = _residual_tail(cfg, lp, h, attn, s, x)
         return (h, kc_all, vc_all)
 
-    h, k_cache, v_cache = lax.fori_loop(0, cfg.num_layers, body,
+    h, k_cache, v_cache = lax.fori_loop(0, k_cache.shape[0], body,
                                         (h, k_cache, v_cache))
     h = _norm(cfg, h, params["final_norm_w"], params.get("final_norm_b"))
     last = jnp.take(h, true_len - 1, axis=0)
@@ -561,6 +561,11 @@ def fused_decode_eligible(cfg: TransformerConfig, params, max_seq: int) -> bool:
             or cfg.sliding_window is not None
             or cfg.embed_scale is not None or cfg.query_scale is not None):
         return False    # gemma-family features the kernel never learned
+    if (not cfg.pre_norms or cfg.parallel_block or cfg.rope_interleaved
+            or cfg.rope_partial_factor != 1.0
+            or cfg.residual_multiplier is not None or cfg.logit_scale
+            is not None):
+        return False    # olmo2/cohere/glm4/granite conventions, ditto
     lp = params["layers"]
     for leaf in ("w_q", "w_k", "w_v", "w_o", "w_gate", "w_up", "w_down"):
         if leaf not in lp or isinstance(lp[leaf], dict):
@@ -697,8 +702,12 @@ def decode_step_fn(cfg: TransformerConfig, params, k_cache, v_cache, token,
         h = _residual_tail(cfg, lp, h, attn, 1, x)
         return (h, kc_all, vc_all)
 
+    # bound by the CACHE's layer dim, not cfg.num_layers: the speculative
+    # draft passes sliced n_draft-layer params/caches into this same fn —
+    # a cfg-bound loop would clamp to the last draft layer and silently run
+    # full-depth (full cost, garbage proposals)
     h, k_cache, v_cache = lax.fori_loop(
-        0, cfg.num_layers, body, (h, k_cache, v_cache),
+        0, k_cache.shape[0], body, (h, k_cache, v_cache),
         unroll=_scan_unroll())
     h = _norm(cfg, h, params["final_norm_w"], params.get("final_norm_b"))
     logits = _logits(cfg, params, h[0])
@@ -755,7 +764,7 @@ def decode_window_fn(cfg: TransformerConfig, params, k_cache, v_cache,
         h = _residual_tail(cfg, lp, h, attn, t, x)
         return (h, kc_all, vc_all)
 
-    h, k_cache, v_cache = lax.fori_loop(0, cfg.num_layers, body,
+    h, k_cache, v_cache = lax.fori_loop(0, k_cache.shape[0], body,
                                         (h, k_cache, v_cache))
     h = _norm(cfg, h, params["final_norm_w"], params.get("final_norm_b"))
     return k_cache, v_cache, _logits(cfg, params, h)
@@ -922,27 +931,28 @@ def slice_layers(params: dict, n_layers: int) -> dict:
 # Random initialisation (benchmarks / dry runs; no checkpoint needed)
 # ---------------------------------------------------------------------------
 
-def init_params(cfg: TransformerConfig, seed: int = 0, dtype=jnp.bfloat16) -> dict:
-    """Random param pytree in the stacked-layer layout loader.py produces."""
-    rng = np.random.default_rng(seed)
-    e, hq, hk, d = cfg.hidden_size, cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+def _build_random_params(cfg: TransformerConfig, w, dtype) -> dict:
+    """Shared stacked-pytree layout for random init: ``w(*shape, dt=)`` is
+    the weight-init closure (host numpy or device jax.random). One builder
+    so the host and device variants cannot drift (each new architecture
+    flag used to be hand-added twice)."""
+    e, hq, hk, d = (cfg.hidden_size, cfg.num_heads, cfg.num_kv_heads,
+                    cfg.head_dim)
     inter = cfg.intermediate_size
-    std = 0.02
-
-    def w(*shape, dt=dtype):
-        return jnp.asarray(rng.standard_normal(shape, dtype=np.float32) * std, dt)
-
     lp: dict = {
-        "attn_norm_w": jnp.ones((cfg.num_layers, e), _F32),
-        "mlp_norm_w": jnp.ones((cfg.num_layers, e), _F32),
         "w_q": w(cfg.num_layers, e, hq * d),
         "w_k": w(cfg.num_layers, e, hk * d),
         "w_v": w(cfg.num_layers, e, hk * d),
         "w_o": w(cfg.num_layers, hq * d, e),
     }
-    if cfg.norm_type == "layernorm":
-        lp["attn_norm_b"] = jnp.zeros((cfg.num_layers, e), _F32)
-        lp["mlp_norm_b"] = jnp.zeros((cfg.num_layers, e), _F32)
+    if cfg.pre_norms:
+        lp["attn_norm_w"] = jnp.ones((cfg.num_layers, e), _F32)
+        if not cfg.parallel_block:
+            lp["mlp_norm_w"] = jnp.ones((cfg.num_layers, e), _F32)
+        if cfg.norm_type == "layernorm":
+            lp["attn_norm_b"] = jnp.zeros((cfg.num_layers, e), _F32)
+            if not cfg.parallel_block:
+                lp["mlp_norm_b"] = jnp.zeros((cfg.num_layers, e), _F32)
     if cfg.use_qk_norm:
         qn = cfg.num_heads * d if cfg.qk_norm_wide else d
         kn = cfg.num_kv_heads * d if cfg.qk_norm_wide else d
@@ -987,15 +997,24 @@ def init_params(cfg: TransformerConfig, seed: int = 0, dtype=jnp.bfloat16) -> di
     return params
 
 
+def init_params(cfg: TransformerConfig, seed: int = 0, dtype=jnp.bfloat16) -> dict:
+    """Random param pytree in the stacked-layer layout loader.py produces."""
+    rng = np.random.default_rng(seed)
+    std = 0.02
+
+    def w(*shape, dt=dtype):
+        return jnp.asarray(rng.standard_normal(shape, dtype=np.float32) * std, dt)
+
+    return _build_random_params(cfg, w, dtype)
+
+
 def init_params_device(cfg: TransformerConfig, seed: int = 0,
                        dtype=jnp.bfloat16) -> dict:
     """init_params built ON DEVICE with jax.random — host-numpy init of a
     1B model takes ~14 min on a 1-CPU host vs ~6 s here (CLAUDE.md). Same
-    pytree layout; values differ from init_params (different RNG)."""
+    pytree layout (shared _build_random_params); values differ from
+    init_params (different RNG)."""
     key = jax.random.PRNGKey(seed)
-    e, hq, hk, d = (cfg.hidden_size, cfg.num_heads, cfg.num_kv_heads,
-                    cfg.head_dim)
-    inter = cfg.intermediate_size
     std = 0.02
     counter = [0]
 
@@ -1004,59 +1023,7 @@ def init_params_device(cfg: TransformerConfig, seed: int = 0,
         k = jax.random.fold_in(key, counter[0])
         return (jax.random.normal(k, shape, jnp.float32) * std).astype(dt)
 
-    lp: dict = {
-        "attn_norm_w": jnp.ones((cfg.num_layers, e), _F32),
-        "mlp_norm_w": jnp.ones((cfg.num_layers, e), _F32),
-        "w_q": w(cfg.num_layers, e, hq * d),
-        "w_k": w(cfg.num_layers, e, hk * d),
-        "w_v": w(cfg.num_layers, e, hk * d),
-        "w_o": w(cfg.num_layers, hq * d, e),
-    }
-    if cfg.norm_type == "layernorm":
-        lp["attn_norm_b"] = jnp.zeros((cfg.num_layers, e), _F32)
-        lp["mlp_norm_b"] = jnp.zeros((cfg.num_layers, e), _F32)
-    if cfg.use_qk_norm:
-        qn = cfg.num_heads * d if cfg.qk_norm_wide else d
-        kn = cfg.num_kv_heads * d if cfg.qk_norm_wide else d
-        lp["w_q_norm"] = jnp.ones((cfg.num_layers, qn), _F32)
-        lp["w_k_norm"] = jnp.ones((cfg.num_layers, kn), _F32)
-    if cfg.use_post_norms:
-        lp["post_attn_norm_w"] = jnp.ones((cfg.num_layers, e), _F32)
-        lp["post_mlp_norm_w"] = jnp.ones((cfg.num_layers, e), _F32)
-    _wins = cfg.layer_windows()
-    if _wins is not None:
-        lp["attn_window"] = jnp.asarray(_wins, jnp.int32)
-    if cfg.rope_local_theta is not None and cfg.layer_types is not None:
-        lp["use_local_rope"] = jnp.asarray(
-            [1 if t == "sliding_attention" else 0 for t in cfg.layer_types],
-            jnp.int32)
-    if cfg.is_moe:
-        lp["w_router"] = w(cfg.num_layers, e, cfg.num_experts, dt=_F32)
-        mi = cfg.moe_intermediate_size
-        lp["w_experts_gate"] = w(cfg.num_layers, cfg.num_experts, e, mi)
-        lp["w_experts_up"] = w(cfg.num_layers, cfg.num_experts, e, mi)
-        lp["w_experts_down"] = w(cfg.num_layers, cfg.num_experts, mi, e)
-    elif cfg.activation in ("silu", "gelu_tanh"):
-        lp["w_gate"] = w(cfg.num_layers, e, inter)
-        lp["w_up"] = w(cfg.num_layers, e, inter)
-        lp["w_down"] = w(cfg.num_layers, inter, e)
-    else:
-        lp["w_fc1"] = w(cfg.num_layers, e, inter)
-        lp["w_fc2"] = w(cfg.num_layers, inter, e)
-        lp["b_fc1"] = jnp.zeros((cfg.num_layers, inter), dtype)
-        lp["b_fc2"] = jnp.zeros((cfg.num_layers, e), dtype)
-
-    params: dict = {
-        "embed": w(cfg.vocab_size, e),
-        "final_norm_w": jnp.ones((e,), _F32),
-        "lm_head": None if cfg.tie_word_embeddings else w(e, cfg.vocab_size),
-        "layers": lp,
-    }
-    if cfg.norm_type == "layernorm":
-        params["final_norm_b"] = jnp.zeros((e,), _F32)
-    if cfg.use_position_embed:
-        params["pos_embed"] = w(cfg.max_position_embeddings, e)
-    return params
+    return _build_random_params(cfg, w, dtype)
 
 
 # ---------------------------------------------------------------------------

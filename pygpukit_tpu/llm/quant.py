@@ -86,7 +86,13 @@ def kv_dtype_from_quant_config(qc: dict | None) -> str | None:
         return "fp8_e5m2"
     if "fp8" in a or "e4m3" in a:
         return "fp8_e4m3"
-    raise ValueError(f"unsupported kv_cache_quant_algo {algo!r}")
+    # unsupported algo (e.g. "INT8" in the ModelOpt schema): fall back to
+    # the dense cache rather than failing the whole load — the weights are
+    # loadable either way, the KV algo is an optimisation hint
+    import warnings
+    warnings.warn(f"unsupported kv_cache_quant_algo {algo!r}; "
+                  "using the model dtype for the KV cache")
+    return None
 
 
 # ---------------------------------------------------------------------------

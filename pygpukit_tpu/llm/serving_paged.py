@@ -46,13 +46,19 @@ def _use_pallas_paged() -> bool:
 
 # ------------------------------------------------------------------ compute --
 
-def _paged_attn_one(q, k_pool_l, v_pool_l, table, ctx_len, scale):
-    """q [Hq, D]; pools [NB, Hk, BS, D]; table [MB] -> [Hq, D]."""
+def _paged_attn_one(q, k_pool_l, v_pool_l, table, ctx_len, scale,
+                    softcap=None, window=None):
+    """q [Hq, D]; pools [NB, Hk, BS, D]; table [MB] -> [Hq, D].
+
+    ``window``: per-layer sliding window (traced scalar, 0 = full) — the
+    decode query at position ctx_len-1 attends keys in
+    [ctx_len - window, ctx_len). ``softcap``: gemma-2 logit cap. Both
+    mirror the dense sdpa_fixed_cache_fn semantics."""
     hq, d = q.shape
     nb, hk, bs, _ = k_pool_l.shape
     g = hq // hk
     mb = table.shape[0]
-    from ..ops.nn.attention import _kv_load
+    from ..ops.nn.attention import _kv_load, _apply_softcap, _window_or_inf
     kseq = _kv_load(k_pool_l[table]).transpose(1, 0, 2, 3).reshape(
         hk, mb * bs, d)
     vseq = _kv_load(v_pool_l[table]).transpose(1, 0, 2, 3).reshape(
@@ -60,7 +66,12 @@ def _paged_attn_one(q, k_pool_l, v_pool_l, table, ctx_len, scale):
     qh = q.reshape(hk, g, d)
     scores = jnp.einsum("hgd,hkd->hgk", qh, kseq,
                         preferred_element_type=_F32) * scale
-    mask = jnp.arange(mb * bs)[None, None, :] < ctx_len
+    scores = _apply_softcap(scores, softcap)
+    idx = jnp.arange(mb * bs)[None, None, :]
+    mask = idx < ctx_len
+    w = _window_or_inf(window)
+    if w is not None:
+        mask = mask & (idx >= ctx_len - w)
     scores = jnp.where(mask, scores, -1e30)
     p = jax.nn.softmax(scores, axis=-1)
     o = jnp.einsum("hgk,hkd->hgd", p, vseq.astype(_F32),
@@ -78,7 +89,8 @@ def paged_decode_step_fn(cfg: TransformerConfig, params, k_pool, v_pool,
     bs = k_pool.shape[3]
     scale = cfg.attn_scale
     b = tokens.shape[0]
-    h = jnp.take(params["embed"], tokens, axis=0)            # [B, E]
+    from .model import _embed_tokens
+    h = _embed_tokens(cfg, params, tokens)                   # [B, E]
     rope_cos = params.get("rope_cos")
     rope_sin = params.get("rope_sin")
     blocks = tables[jnp.arange(b), poss // bs]               # [B]
@@ -94,15 +106,18 @@ def paged_decode_step_fn(cfg: TransformerConfig, params, k_pool, v_pool,
         x = _attn_in(cfg, lp, h)
         q, k, v = _project_qkv(cfg, lp, x)                   # [B, H*, D]
         if cfg.use_rope:
-            q = _rope_rows(q, rope_cos, rope_sin, poss, params, cfg)
-            k = _rope_rows(k, rope_cos, rope_sin, poss, params, cfg)
+            q = _rope_rows(q, rope_cos, rope_sin, poss, params, cfg, lp)
+            k = _rope_rows(k, rope_cos, rope_sin, poss, params, cfg, lp)
         kp = kp.at[i, blocks, :, offs, :].set(to_kv_dtype(k, kp.dtype))
         vp = vp.at[i, blocks, :, offs, :].set(to_kv_dtype(v, vp.dtype))
         kp_l = lax.dynamic_index_in_dim(kp, i, 0, keepdims=False)
         vp_l = lax.dynamic_index_in_dim(vp, i, 0, keepdims=False)
-        if _use_pallas_paged() and kp_l.dtype == jnp.bfloat16:
-            # (fp8 pools take the XLA gather path — the Pallas kernel
-            # reads raw cache blocks and never learned fp8 dequant)
+        if (_use_pallas_paged() and kp_l.dtype == jnp.bfloat16
+                and cfg.attn_logit_softcap is None
+                and cfg.sliding_window is None):
+            # (fp8 pools, softcaps and sliding windows take the XLA gather
+            # path — the Pallas kernel reads raw bf16 blocks and never
+            # learned those semantics)
             # scalar-prefetch Pallas kernel (PYGPUKIT_PAGED_ATTENTION=pallas):
             # per-slot calls — the kernel's block-table prefetch DMAs only
             # the sequence's blocks, never a gathered max_seq copy
@@ -113,8 +128,11 @@ def paged_decode_step_fn(cfg: TransformerConfig, params, k_pool, v_pool,
                 for b_ in range(b)])                          # [B, Hq, D]
         else:
             attn = jax.vmap(
-                _paged_attn_one, in_axes=(0, None, None, 0, 0, None))(
-                q, kp_l, vp_l, tables, poss + 1, scale)       # [B, Hq, D]
+                _paged_attn_one,
+                in_axes=(0, None, None, 0, 0, None, None, None))(
+                q, kp_l, vp_l, tables, poss + 1, scale,
+                cfg.attn_logit_softcap,
+                lp.get("attn_window"))                        # [B, Hq, D]
         h = _residual_tail(cfg, lp, h, attn.reshape(b, -1), b, x)
         return (h, kp, vp)
 
@@ -124,10 +142,12 @@ def paged_decode_step_fn(cfg: TransformerConfig, params, k_pool, v_pool,
     return k_pool, v_pool, _logits(cfg, params, h)
 
 
-def _rope_rows(x, cos, sin, poss, params=None, cfg=None):
+def _rope_rows(x, cos, sin, poss, params=None, cfg=None, lp=None):
     """x [B, Hx, D] roped at per-row positions poss [B]. LongRoPE models
     (params carries rope_cos_long) select factor tables per row by each
-    sequence's own length (model.py _rope_rows_for semantics)."""
+    sequence's own length (model.py _rope_rows_for semantics); gemma3
+    sliding layers (lp carries use_local_rope) take the LOCAL theta
+    tables (model.py _layer_rope semantics)."""
     from .model import _rope
     c = cos[poss]                                            # [B, D]
     s = sin[poss]
@@ -135,6 +155,12 @@ def _rope_rows(x, cos, sin, poss, params=None, cfg=None):
         use = (poss + 1 > params["rope_long_threshold"])[:, None]
         c = jnp.where(use, params["rope_cos_long"][poss], c)
         s = jnp.where(use, params["rope_sin_long"][poss], s)
+    if (params is not None and lp is not None
+            and "use_local_rope" in lp
+            and "rope_cos_local" in params):
+        use_l = lp["use_local_rope"] > 0
+        c = jnp.where(use_l, params["rope_cos_local"][poss], c)
+        s = jnp.where(use_l, params["rope_sin_local"][poss], s)
     apply = ((lambda xv, cv, sv: _rope(cfg, xv, cv, sv))
              if cfg is not None else apply_rope_fn)
     return jax.vmap(lambda xv, cv, sv: apply(
@@ -219,7 +245,8 @@ def paged_prefill_fn(cfg: TransformerConfig, params, k_pool, v_pool,
     logits. Padded rows scatter into the trash block (block 0)."""
     s = tokens.shape[0]
     bs = k_pool.shape[3]
-    h = jnp.take(params["embed"], tokens, axis=0)
+    from .model import _embed_tokens
+    h = _embed_tokens(cfg, params, tokens)
     rope_cos = params.get("rope_cos")
     rope_sin = params.get("rope_sin")
     idx = jnp.arange(s)
@@ -235,9 +262,13 @@ def paged_prefill_fn(cfg: TransformerConfig, params, k_pool, v_pool,
         x = _attn_in(cfg, lp, h)
         q, k, v = _project_qkv(cfg, lp, x)
         if cfg.use_rope:
-            from .model import _rope_rows_for
+            from .model import _layer_rope, _rope, _rope_rows_for
             rc, rs = _rope_rows_for(params, 0, s, true_len)
-            from .model import _rope
+            rcl = params.get("rope_cos_local")
+            rc, rs = _layer_rope(
+                lp, rc, rs,
+                None if rcl is None else rcl[:s],
+                None if rcl is None else params["rope_sin_local"][:s])
             q = _rope(cfg, q, rc, rs)
             k = _rope(cfg, k, rc, rs)
         kp = kp.at[i, blocks, :, offs, :].set(

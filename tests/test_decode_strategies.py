@@ -124,3 +124,34 @@ def test_batch_matches_and_is_independent(model, reference_tokens):
 def test_uncached_forward_matches(model, reference_tokens):
     out = model.generate(PROMPT, N_NEW, temperature=0.0, use_cache=False)
     assert out == reference_tokens
+
+
+def test_sliced_draft_runs_sliced_depth(model):
+    """decode_step_fn must bound its layer loop by the CACHE's layer dim,
+    not cfg.num_layers: the speculative draft passes n_draft-layer slices
+    of a deeper model's params into the same fn (regression: a cfg-bound
+    loop clamped to the last draft layer and ran full-depth)."""
+    import dataclasses
+    import jax
+    from jax import numpy as jnp
+    from pygpukit_tpu.llm.model import decode_step_fn, slice_layers
+
+    cfg = model.config
+    params = model.params
+    n_draft = 1
+    draft_params = dict(params)
+    draft_params["layers"] = jax.tree.map(lambda a: a[:n_draft],
+                                          params["layers"])
+    shape = (n_draft, 16, cfg.num_kv_heads, cfg.head_dim)
+    kc = jnp.zeros(shape, jnp.float32)
+    vc = jnp.zeros(shape, jnp.float32)
+    _, _, logits_sliced = decode_step_fn(
+        cfg, draft_params, kc, vc, jnp.int32(5), jnp.int32(0),
+        allow_fused=False)
+    # ground truth: the same 1-layer stack under a 1-layer config
+    cfg1 = dataclasses.replace(cfg, num_layers=n_draft)
+    _, _, logits_ref = decode_step_fn(
+        cfg1, draft_params, kc, vc, jnp.int32(5), jnp.int32(0),
+        allow_fused=False)
+    np.testing.assert_allclose(np.asarray(logits_sliced),
+                               np.asarray(logits_ref), rtol=1e-6)

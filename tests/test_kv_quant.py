@@ -211,5 +211,8 @@ class TestLoaderKVDtype:
             {"kv_cache_quant_algo": "FP8"}) == "fp8_e4m3"
         assert kv_dtype_from_quant_config(
             {"kv_cache_quant_algo": "fp8_e5m2"}) == "fp8_e5m2"
-        with pytest.raises(ValueError):
-            kv_dtype_from_quant_config({"kv_cache_quant_algo": "int8"})
+        with pytest.warns(UserWarning):
+            # unsupported algo falls back to the dense cache (the load
+            # must not fail over an optimisation hint)
+            assert kv_dtype_from_quant_config(
+                {"kv_cache_quant_algo": "int8"}) is None

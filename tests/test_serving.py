@@ -450,3 +450,50 @@ class TestShardedServing:
         with pytest.raises(ValueError, match="num_kv_heads"):
             ContinuousBatchingEngine(m, max_batch=2, max_seq_len=64,
                                      mesh=mesh)
+
+
+class TestPagedGemmaFeatures:
+    """Paged serving must apply the same architecture semantics as the
+    dense path (regression: paged decode skipped embed_scale, attention
+    softcap, and per-layer sliding windows — gemma-2-style models served
+    silently wrong tokens in paged mode)."""
+
+    def _model(self):
+        cfg = TransformerConfig(
+            vocab_size=97, hidden_size=48, num_layers=2, num_heads=4,
+            num_kv_heads=2, intermediate_size=96, head_dim_override=12,
+            max_position_embeddings=128, tie_word_embeddings=True,
+            use_post_norms=True, embed_scale=48 ** 0.5,
+            query_scale=12 ** -0.5, attn_logit_softcap=50.0,
+            final_logit_softcap=30.0, sliding_window=8,
+            layer_types=("sliding_attention", "full_attention"))
+        return CausalTransformerModel(cfg, init_params(cfg, 9, jnp.float32),
+                                      dtype=jnp.float32)
+
+    def test_paged_matches_dense_gemma_config(self):
+        model = self._model()
+        dense = ContinuousBatchingEngine(model, max_batch=2, max_seq_len=64,
+                                         steps_per_dispatch=4)
+        paged = ContinuousBatchingEngine(model, max_batch=2, max_seq_len=64,
+                                         steps_per_dispatch=4, paged=True,
+                                         block_size=8)
+        # > window-length prompt so the sliding mask matters
+        prompts = [list(range(1, 14)), [7, 3, 9]]
+        rd = [dense.submit(p, max_new_tokens=10) for p in prompts]
+        rp = [paged.submit(p, max_new_tokens=10) for p in prompts]
+        dense.run_until_complete()
+        paged.run_until_complete()
+        for d, p in zip(rd, rp):
+            assert p.generated == d.generated, (p.generated, d.generated)
+
+    def test_paged_matches_single_model(self):
+        model = self._model()
+        model.init_fixed_cache(64)
+        ref = model.generate(list(range(1, 14)), max_new_tokens=10,
+                             temperature=0.0)
+        paged = ContinuousBatchingEngine(model, max_batch=2, max_seq_len=64,
+                                         steps_per_dispatch=4, paged=True,
+                                         block_size=8)
+        r = paged.submit(list(range(1, 14)), max_new_tokens=10)
+        paged.run_until_complete()
+        assert r.generated == ref, (r.generated, ref)
