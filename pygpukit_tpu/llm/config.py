@@ -434,6 +434,9 @@ class TransformerConfig:
     # Granite: sublayer outputs scaled before the residual add
     # (h += residual_multiplier * sublayer(norm(h)))
     residual_multiplier: float | None = None
+    # SmolLM3: per-layer rope switch (HF no_rope_layers — 1 = rope,
+    # 0 = NoPE); None = every layer ropes
+    rope_layers: tuple[int, ...] | None = None
 
     def __post_init__(self):
         if self.num_kv_heads is None:
@@ -527,6 +530,26 @@ class TransformerConfig:
                 kw["residual_multiplier"] = hf["residual_multiplier"]
             if hf.get("logits_scaling", 1.0) != 1.0:
                 kw["logit_scale"] = 1.0 / hf["logits_scaling"]
+        elif mt == "smollm3":
+            # llama layout + NoPE every no_rope_layer_interval-th layer
+            # (no_rope_layers: 1 = rope, 0 = NoPE) + the qwen-style
+            # use_sliding_window gate
+            n_layers = hf.get("num_hidden_layers", 22)
+            kw = dict(tie_word_embeddings=hf.get("tie_word_embeddings",
+                                                 True))
+            nrl = hf.get("no_rope_layers")
+            if nrl is None and hf.get("no_rope_layer_interval"):
+                iv = hf["no_rope_layer_interval"]
+                nrl = [0 if (i + 1) % iv == 0 else 1
+                       for i in range(n_layers)]
+            if nrl is not None:
+                kw["rope_layers"] = tuple(int(x) for x in nrl)
+            if hf.get("use_sliding_window", False) and hf.get(
+                    "sliding_window") is not None:
+                lt = hf.get("layer_types")
+                if lt is not None:
+                    kw["layer_types"] = tuple(lt)
+                kw["sliding_window"] = hf.get("sliding_window")
         elif mt in ("qwen2", "qwen3", "qwen3_moe"):
             # qwen configs CARRY sliding_window but gate it behind
             # use_sliding_window (default off); layers >= max_window_layers

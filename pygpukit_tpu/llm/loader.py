@@ -276,6 +276,8 @@ def _build_params(st, spec, config, dtype) -> dict:
                 and config.layer_types is not None):
             lp["use_local_rope"] = jnp.int32(
                 1 if config.layer_types[l] == "sliding_attention" else 0)
+        if config.rope_layers is not None:
+            lp["use_rope_layer"] = jnp.int32(config.rope_layers[l])
 
         if spec.qkv_combined:
             w = np.asarray(st.tensor_numpy(spec.q_proj.format(layer=l)))

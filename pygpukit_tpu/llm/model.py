@@ -380,12 +380,20 @@ def _rope(cfg: TransformerConfig, x, cos, sin):
 
 
 def _layer_rope(lp, cos, sin, cos_l, sin_l):
-    """Per-layer rope table choice (gemma3: sliding layers use the LOCAL
-    theta tables). cos/sin pre-sliced to the step's positions."""
-    if cos_l is None or not isinstance(lp, dict) or "use_local_rope" not in lp:
-        return cos, sin
-    use_l = lp["use_local_rope"] > 0
-    return jnp.where(use_l, cos_l, cos), jnp.where(use_l, sin_l, sin)
+    """Per-layer rope table choice. gemma3: sliding layers use the LOCAL
+    theta tables; SmolLM3/llama4-style NoPE layers (use_rope_layer leaf = 0)
+    take IDENTITY tables (cos=1, sin=0 — a rotation by zero), so one traced
+    program serves both layer kinds. cos/sin pre-sliced to the step's
+    positions."""
+    if isinstance(lp, dict) and cos_l is not None and "use_local_rope" in lp:
+        use_l = lp["use_local_rope"] > 0
+        cos = jnp.where(use_l, cos_l, cos)
+        sin = jnp.where(use_l, sin_l, sin)
+    if isinstance(lp, dict) and "use_rope_layer" in lp:
+        use_r = lp["use_rope_layer"] > 0
+        cos = jnp.where(use_r, cos, jnp.ones_like(cos))
+        sin = jnp.where(use_r, sin, jnp.zeros_like(sin))
+    return cos, sin
 
 
 # ---------------------------------------------------------------------------
@@ -684,11 +692,12 @@ def decode_step_fn(cfg: TransformerConfig, params, k_cache, v_cache, token,
         q, k, v = _project_qkv(cfg, lp, x)                       # [1,H,D]
         if cfg.use_rope:
             c, sn = _rope_rows_for(params, pos, 1, pos + 1)
-            if rope_cos_l is not None:
-                c, sn = _layer_rope(
-                    lp, c, sn,
-                    lax.dynamic_slice_in_dim(rope_cos_l, pos, 1, axis=0),
-                    lax.dynamic_slice_in_dim(rope_sin_l, pos, 1, axis=0))
+            c, sn = _layer_rope(
+                lp, c, sn,
+                None if rope_cos_l is None else
+                lax.dynamic_slice_in_dim(rope_cos_l, pos, 1, axis=0),
+                None if rope_sin_l is None else
+                lax.dynamic_slice_in_dim(rope_sin_l, pos, 1, axis=0))
             q = _rope(cfg, q, c, sn)
             k = _rope(cfg, k, c, sn)
         kc_all = kv_write(kc_all, k[None], (i, pos, 0, 0))
@@ -746,11 +755,12 @@ def decode_window_fn(cfg: TransformerConfig, params, k_cache, v_cache,
         q, k, v = _project_qkv(cfg, lp, x)                       # [T,H,D]
         if cfg.use_rope:
             c, sn = _rope_rows_for(params, pos, t, pos + t)
-            if rope_cos_l is not None:
-                c, sn = _layer_rope(
-                    lp, c, sn,
-                    lax.dynamic_slice_in_dim(rope_cos_l, pos, t, axis=0),
-                    lax.dynamic_slice_in_dim(rope_sin_l, pos, t, axis=0))
+            c, sn = _layer_rope(
+                lp, c, sn,
+                None if rope_cos_l is None else
+                lax.dynamic_slice_in_dim(rope_cos_l, pos, t, axis=0),
+                None if rope_sin_l is None else
+                lax.dynamic_slice_in_dim(rope_sin_l, pos, t, axis=0))
             q = _rope(cfg, q, c, sn)
             k = _rope(cfg, k, c, sn)
         kc_all = kv_write(kc_all, k[None], (i, pos, 0, 0))
@@ -968,6 +978,8 @@ def _build_random_params(cfg: TransformerConfig, w, dtype) -> dict:
         lp["use_local_rope"] = jnp.asarray(
             [1 if t == "sliding_attention" else 0 for t in cfg.layer_types],
             jnp.int32)
+    if cfg.rope_layers is not None:
+        lp["use_rope_layer"] = jnp.asarray(cfg.rope_layers, jnp.int32)
     if cfg.is_moe:
         lp["w_router"] = w(cfg.num_layers, e, cfg.num_experts, dt=_F32)
         mi = cfg.moe_intermediate_size

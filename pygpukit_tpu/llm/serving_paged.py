@@ -161,6 +161,11 @@ def _rope_rows(x, cos, sin, poss, params=None, cfg=None, lp=None):
         use_l = lp["use_local_rope"] > 0
         c = jnp.where(use_l, params["rope_cos_local"][poss], c)
         s = jnp.where(use_l, params["rope_sin_local"][poss], s)
+    if lp is not None and "use_rope_layer" in lp:
+        # SmolLM3 NoPE layers: rotation by zero (identity tables)
+        use_r = lp["use_rope_layer"] > 0
+        c = jnp.where(use_r, c, jnp.ones_like(c))
+        s = jnp.where(use_r, s, jnp.zeros_like(s))
     apply = ((lambda xv, cv, sv: _rope(cfg, xv, cv, sv))
              if cfg is not None else apply_rope_fn)
     return jax.vmap(lambda xv, cv, sv: apply(

@@ -548,6 +548,30 @@ class TestGranite:
         assert model.config.logit_scale == 1.0 / 8.0
 
 
+class TestSmolLM3:
+    """SmolLM3: llama layout + NoPE every 4th layer (no_rope_layers —
+    1 = rope, 0 = NoPE; HF modeling_smollm3 reads it per layer). Our NoPE
+    layers rotate by IDENTITY tables (cos=1, sin=0) so one program serves
+    both layer kinds."""
+
+    def test_parity(self, tmp_path):
+        cfg = transformers.SmolLM3Config(
+            vocab_size=96, hidden_size=32, intermediate_size=64,
+            num_hidden_layers=4, num_attention_heads=4,
+            num_key_value_heads=2, max_position_embeddings=64,
+            no_rope_layers=[1, 1, 1, 0], tie_word_embeddings=True,
+            pad_token_id=0, eos_token_id=1, bos_token_id=2)
+        torch.manual_seed(26)
+        m = transformers.SmolLM3ForCausalLM(cfg).eval()
+        m.save_pretrained(tmp_path, safe_serialization=True)
+        model = _check_parity(tmp_path, m, "llama",
+                              prompt=tuple(range(1, 10)))
+        assert model.config.rope_layers == (1, 1, 1, 0)
+        import numpy as np_
+        assert list(np_.asarray(
+            model.params["layers"]["use_rope_layer"])) == [1, 1, 1, 0]
+
+
 class TestMistralSlidingWindow:
     """Mistral-v0.1 class rides the llama spec + every-layer sliding
     window from config.json (round 3: the generic path previously dropped
