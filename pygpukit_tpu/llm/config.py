@@ -70,7 +70,7 @@ class ModelSpec:
 
     # architecture flags
     norm_type: Literal["rmsnorm", "layernorm"] = "rmsnorm"
-    activation: Literal["gelu", "silu", "gelu_tanh"] = "silu"
+    activation: Literal["gelu", "silu", "gelu_tanh", "relu2"] = "silu"
     use_rope: bool = True
     use_qk_norm: bool = False
     pre_norms: bool = True           # False: OLMo-2 post-norm-only blocks
@@ -290,6 +290,24 @@ GLM4_SPEC = ModelSpec(
     hf_model_type="glm4",
 )
 
+NEMOTRON_SPEC = ModelSpec(
+    name="nemotron",
+    # Nemotron (HF modeling_nemotron): LayerNorm1P (effective weight =
+    # 1 + w — folded at load via norm_plus_one, bias kept), gateless
+    # up->relu^2->down MLP, split-half PARTIAL rotary (factor 0.5)
+    final_norm_bias="model.norm.bias",
+    attn_norm_bias="model.layers.{layer}.input_layernorm.bias",
+    mlp_norm_bias="model.layers.{layer}.post_attention_layernorm.bias",
+    fc1="model.layers.{layer}.mlp.up_proj.weight",
+    fc2="model.layers.{layer}.mlp.down_proj.weight",
+    gate_proj=None, up_proj=None, down_proj=None,
+    norm_type="layernorm",
+    activation="relu2",
+    norm_plus_one=True,
+    default_norm_eps=1e-5,
+    hf_model_type="nemotron",
+)
+
 PHI3_SPEC = ModelSpec(
     name="phi3",
     # fused checkpoint projections: qkv_proj [(Hq+2Hk)D, E] and
@@ -310,7 +328,7 @@ MODEL_SPECS: dict[str, ModelSpec] = {
     s.name: s for s in (
         GPT2_SPEC, LLAMA_SPEC, QWEN2_SPEC, QWEN3_SPEC, QWEN3_MOE_SPEC,
         MIXTRAL_SPEC, GEMMA2_SPEC, GEMMA3_SPEC, PHI3_SPEC, OLMO2_SPEC,
-        COHERE_SPEC, STARCODER2_SPEC, GLM4_SPEC,
+        COHERE_SPEC, STARCODER2_SPEC, GLM4_SPEC, NEMOTRON_SPEC,
     )
 }
 
@@ -344,6 +362,9 @@ def detect_model_spec(tensor_names: list[str]) -> ModelSpec:
         return GLM4_SPEC
     if "model.layers.0.mlp.c_fc.weight" in names:
         return STARCODER2_SPEC
+    if ("model.layers.0.mlp.up_proj.weight" in names
+            and "model.layers.0.mlp.gate_proj.weight" not in names):
+        return NEMOTRON_SPEC    # gateless relu2 MLP
     if ("model.layers.0.input_layernorm.weight" in names
             and "model.layers.0.post_attention_layernorm.weight"
             not in names):
@@ -385,7 +406,7 @@ class TransformerConfig:
     moe_intermediate_size: int | None = None
 
     norm_type: Literal["rmsnorm", "layernorm"] = "rmsnorm"
-    activation: Literal["gelu", "silu", "gelu_tanh"] = "silu"
+    activation: Literal["gelu", "silu", "gelu_tanh", "relu2"] = "silu"
     use_rope: bool = True
     use_qk_norm: bool = False
     use_position_embed: bool = False
@@ -517,6 +538,14 @@ class TransformerConfig:
                                                  True))
         elif mt == "glm4" or spec.name == "glm4":
             kw = dict(use_post_norms=True)
+        elif mt == "nemotron" or spec.name == "nemotron":
+            kw = dict(norm_eps=hf.get("norm_eps", 1e-5))
+        elif mt == "ernie4_5":
+            # Ernie 4.5 = llama layout with INTERLEAVED rope pairs
+            # (modeling_ernie4_5.rotate_half works on even/odd pairs)
+            kw = dict(rope_interleaved=True,
+                      tie_word_embeddings=hf.get("tie_word_embeddings",
+                                                 True))
         elif mt in ("granite", "granitemoe"):
             # IBM Granite = llama + four scalar multipliers
             # (modeling_granite: "main diff with Llama" sites)

@@ -179,7 +179,8 @@ def _infer_config(st, spec: ModelSpec, hf_cfg: dict | None) -> TransformerConfig
         # to the published family defaults so a bare checkpoint still
         # computes the right function (glm4 partial rotary, cohere logit
         # scale)
-        rope_partial_factor=0.5 if spec.name == "glm4" else 1.0,
+        rope_partial_factor=(
+            0.5 if spec.name in ("glm4", "nemotron") else 1.0),
         logit_scale=0.0625 if spec.name == "cohere" else None,
         use_position_embed=spec.use_position_embed,
         max_position_embeddings=max_pos,

@@ -251,7 +251,11 @@ def _mlp(cfg: TransformerConfig, lp, y):
     h = _mm(y, lp["w_fc1"]).astype(_F32)
     if "b_fc1" in lp:
         h = h + lp["b_fc1"].astype(_F32)
-    h = gelu_fn(h.astype(y.dtype))
+    if cfg.activation == "relu2":
+        # nemotron gateless MLP: relu(x)^2 (HF ACT2FN["relu2"])
+        h = jnp.square(jax.nn.relu(h)).astype(y.dtype)
+    else:
+        h = gelu_fn(h.astype(y.dtype))
     out = _mm(h, lp["w_fc2"]).astype(_F32)
     if "b_fc2" in lp:
         out = out + lp["b_fc2"].astype(_F32)

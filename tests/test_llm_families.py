@@ -613,3 +613,40 @@ class TestQwen2SlidingWindow:
         import numpy as np_
         assert list(np_.asarray(model.params["layers"]["attn_window"])) == \
             [0, 0, 8, 8]
+
+
+class TestNemotron:
+    """Nemotron: LayerNorm1P (effective weight = 1+w, bias kept), gateless
+    up->relu^2->down MLP, split-half partial rotary (factor 0.5)
+    (HF modeling_nemotron)."""
+
+    def test_parity(self, tmp_path):
+        cfg = transformers.NemotronConfig(
+            vocab_size=96, hidden_size=32, intermediate_size=64,
+            num_hidden_layers=2, num_attention_heads=4,
+            num_key_value_heads=2, max_position_embeddings=64,
+            partial_rotary_factor=0.5, tie_word_embeddings=False)
+        torch.manual_seed(27)
+        m = transformers.NemotronForCausalLM(cfg).eval()
+        m.save_pretrained(tmp_path, safe_serialization=True)
+        model = _check_parity(tmp_path, m, "nemotron",
+                              prompt=tuple(range(1, 10)))
+        assert model.config.activation == "relu2"
+        assert model.config.rope_dim == 4
+        assert model.config.rope_interleaved is False
+
+
+class TestErnie45:
+    def test_parity(self, tmp_path):
+        """Ernie 4.5 = llama layout + interleaved rope pairs."""
+        cfg = transformers.Ernie4_5Config(
+            vocab_size=96, hidden_size=32, intermediate_size=64,
+            num_hidden_layers=2, num_attention_heads=4,
+            num_key_value_heads=2, max_position_embeddings=64,
+            head_dim=8, tie_word_embeddings=True, pad_token_id=0)
+        torch.manual_seed(28)
+        m = transformers.Ernie4_5ForCausalLM(cfg).eval()
+        m.save_pretrained(tmp_path, safe_serialization=True)
+        model = _check_parity(tmp_path, m, "llama",
+                              prompt=tuple(range(1, 10)))
+        assert model.config.rope_interleaved is True
