@@ -650,3 +650,47 @@ class TestErnie45:
         model = _check_parity(tmp_path, m, "llama",
                               prompt=tuple(range(1, 10)))
         assert model.config.rope_interleaved is True
+
+
+class TestLfm2:
+    """LFM2 hybrid: gated short-conv layers carry an [E, L_cache] rolling
+    state instead of a KV cache; attention layers are GQA + per-head
+    qk-norm (HF modeling_lfm2, slow path). llm/models/lfm2.py."""
+
+    def test_parity(self, tmp_path):
+        import jax.numpy as jnp
+        from pygpukit_tpu.llm.models.lfm2 import Lfm2Model
+        cfg = transformers.Lfm2Config(
+            vocab_size=96, hidden_size=32, intermediate_size=64,
+            num_hidden_layers=4, num_attention_heads=4,
+            num_key_value_heads=2,
+            layer_types=["conv", "full_attention", "conv",
+                         "full_attention"],
+            conv_L_cache=3, block_auto_adjust_ff_dim=False,
+            max_position_embeddings=64, tie_word_embeddings=True,
+            pad_token_id=0)
+        torch.manual_seed(30)
+        m = transformers.Lfm2ForCausalLM(cfg).eval()
+        m.save_pretrained(tmp_path, safe_serialization=True)
+        ours = Lfm2Model.from_safetensors(tmp_path, dtype=jnp.float32)
+        assert ours.config.layer_types[0] == "conv"
+        prompt = [1, 7, 23, 5, 9]
+        got = ours.get_logits(prompt)
+        with torch.no_grad():
+            ref = m(torch.tensor([prompt])).logits[0].numpy()
+        np.testing.assert_allclose(got, ref, rtol=5e-3, atol=5e-3)
+        out = ours.generate(prompt, max_new_tokens=8)
+        hf = m.generate(torch.tensor([prompt]), max_new_tokens=8,
+                        do_sample=False, pad_token_id=0)[0, 5:].tolist()
+        assert list(out) == hf, (out, hf)
+
+    def test_conv_cache_shape(self):
+        import jax.numpy as jnp
+        from pygpukit_tpu.llm.models.lfm2 import Lfm2Config, init_caches
+        cfg = Lfm2Config(hidden_size=32, num_layers=2, num_heads=4,
+                         num_kv_heads=2, head_dim=8,
+                         layer_types=("conv", "full_attention"),
+                         conv_l_cache=3)
+        caches = init_caches(cfg, 64, jnp.float32)
+        assert caches[0]["conv"].shape == (32, 3)
+        assert caches[1]["k"].shape == (64, 2, 8)
