@@ -694,3 +694,65 @@ class TestLfm2:
         caches = init_caches(cfg, 64, jnp.float32)
         assert caches[0]["conv"].shape == (32, 3)
         assert caches[1]["k"].shape == (64, 2, 8)
+
+
+class TestQwen3Next:
+    """Qwen3-Next hybrid: gated-DeltaNet linear-attention layers carry a
+    fixed [nv, Dk, Dv] recurrent state + [conv_dim, K] conv state (O(1) in
+    context) next to gated full-attention layers with partial rope; MoE
+    with a sigmoid-gated shared expert (llm/models/qwen3next.py vs HF
+    modeling_qwen3_next)."""
+
+    def _cfg(self, **kw):
+        return transformers.Qwen3NextConfig(
+            vocab_size=96, hidden_size=32, intermediate_size=64,
+            num_hidden_layers=4, num_attention_heads=4,
+            num_key_value_heads=2, head_dim=8,
+            layer_types=["linear_attention", "full_attention",
+                         "linear_attention", "full_attention"],
+            linear_num_value_heads=4, linear_num_key_heads=2,
+            linear_key_head_dim=8, linear_value_head_dim=8,
+            linear_conv_kernel_dim=4, partial_rotary_factor=0.25,
+            max_position_embeddings=64, tie_word_embeddings=False,
+            pad_token_id=0, **kw)
+
+    def test_parity_dense(self, tmp_path):
+        import jax.numpy as jnp
+        from pygpukit_tpu.llm.models.qwen3next import Qwen3NextModel
+        cfg = self._cfg(num_experts=0)
+        torch.manual_seed(31)
+        m = transformers.Qwen3NextForCausalLM(cfg).eval()
+        m.save_pretrained(tmp_path, safe_serialization=True)
+        ours = Qwen3NextModel.from_safetensors(tmp_path, dtype=jnp.float32)
+        prompt = [1, 7, 23, 5, 9, 2]
+        got = ours.get_logits(prompt)
+        with torch.no_grad():
+            ref = m(torch.tensor([prompt])).logits[0].numpy()
+        np.testing.assert_allclose(got, ref, rtol=5e-3, atol=5e-3)
+        out = ours.generate(prompt, max_new_tokens=8)
+        hf = m.generate(torch.tensor([prompt]), max_new_tokens=8,
+                        do_sample=False, pad_token_id=0)[0, 6:].tolist()
+        assert list(out) == hf, (out, hf)
+
+    def test_parity_moe(self, tmp_path):
+        import jax.numpy as jnp
+        from pygpukit_tpu.llm.models.qwen3next import Qwen3NextModel
+        cfg = self._cfg(num_experts=4, num_experts_per_tok=2,
+                        moe_intermediate_size=32,
+                        shared_expert_intermediate_size=32,
+                        decoder_sparse_step=1, norm_topk_prob=True,
+                        mlp_only_layers=[0])
+        torch.manual_seed(32)
+        m = transformers.Qwen3NextForCausalLM(cfg).eval()
+        m.save_pretrained(tmp_path, safe_serialization=True)
+        ours = Qwen3NextModel.from_safetensors(tmp_path, dtype=jnp.float32)
+        assert ours.config.is_moe_layer(1) and not ours.config.is_moe_layer(0)
+        prompt = [1, 7, 23, 5, 9]
+        got = ours.get_logits(prompt)
+        with torch.no_grad():
+            ref = m(torch.tensor([prompt])).logits[0].numpy()
+        np.testing.assert_allclose(got, ref, rtol=5e-3, atol=5e-3)
+        out = ours.generate(prompt, max_new_tokens=6)
+        hf = m.generate(torch.tensor([prompt]), max_new_tokens=6,
+                        do_sample=False, pad_token_id=0)[0, 5:].tolist()
+        assert list(out) == hf, (out, hf)
