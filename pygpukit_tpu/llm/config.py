@@ -562,22 +562,26 @@ class TransformerConfig:
         elif mt == "smollm3":
             # llama layout + NoPE every no_rope_layer_interval-th layer
             # (no_rope_layers: 1 = rope, 0 = NoPE) + the qwen-style
-            # use_sliding_window gate
+            # use_sliding_window gate. HF DEFAULTS (SmolLM3Config.__init__):
+            # interval=4 when both keys are absent, and layer_types derive
+            # as sliding ONLY on NoPE layers.
             n_layers = hf.get("num_hidden_layers", 22)
             kw = dict(tie_word_embeddings=hf.get("tie_word_embeddings",
                                                  True))
             nrl = hf.get("no_rope_layers")
-            if nrl is None and hf.get("no_rope_layer_interval"):
-                iv = hf["no_rope_layer_interval"]
+            if nrl is None:
+                iv = hf.get("no_rope_layer_interval", 4)
                 nrl = [0 if (i + 1) % iv == 0 else 1
                        for i in range(n_layers)]
-            if nrl is not None:
-                kw["rope_layers"] = tuple(int(x) for x in nrl)
+            kw["rope_layers"] = tuple(int(x) for x in nrl)
             if hf.get("use_sliding_window", False) and hf.get(
                     "sliding_window") is not None:
                 lt = hf.get("layer_types")
-                if lt is not None:
-                    kw["layer_types"] = tuple(lt)
+                if lt is None:
+                    # HF: sliding on NoPE layers only, full elsewhere
+                    lt = ["full_attention" if r else "sliding_attention"
+                          for r in nrl]
+                kw["layer_types"] = tuple(lt)
                 kw["sliding_window"] = hf.get("sliding_window")
         elif mt in ("qwen2", "qwen3", "qwen3_moe"):
             # qwen configs CARRY sliding_window but gate it behind
@@ -656,7 +660,7 @@ class TransformerConfig:
             rope_scaling=_merge_rope_scaling(hf),
             rope_partial_factor=hf.get(
                 "partial_rotary_factor",
-                0.5 if spec.name == "glm4" else 1.0),
+                0.5 if spec.name in ("glm4", "nemotron") else 1.0),
             tie_word_embeddings=hf.get("tie_word_embeddings", False),
         )
         base.update(kw)

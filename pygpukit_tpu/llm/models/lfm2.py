@@ -32,7 +32,6 @@ every prompt of length >= L_cache.
 
 from __future__ import annotations
 
-import functools
 import json
 from dataclasses import dataclass, field
 from pathlib import Path
@@ -105,21 +104,9 @@ class Lfm2Config:
 
 # ------------------------------------------------------------------- blocks --
 
-def _prec(*arrs):
-    if all(a.dtype == _F32 for a in arrs):
-        from ...ops.matmul import _f32_precision
-        return _f32_precision()
-    return None
-
-
-def _mm(x, w):
-    return jnp.dot(x, w, precision=_prec(x, w))
-
-
-def _qk_headnorm(x, w, eps):
-    xf = x.astype(_F32)
-    var = jnp.mean(xf * xf, axis=-1, keepdims=True)
-    return (xf * lax.rsqrt(var + eps) * w.astype(_F32)).astype(x.dtype)
+from ._base import (StandaloneCachedModel, attn_block_causal,
+                    lm_head as _head_shared, mm as _mm,
+                    qk_headnorm as _qk_headnorm)
 
 
 def _mlp(lp, y):
@@ -189,27 +176,7 @@ def _attn_qkv(cfg: Lfm2Config, lp, x, cos, sin):
 
 
 def _attn_full(cfg: Lfm2Config, q, k, v, true_len):
-    """Causal attention within a padded block (positions >= true_len
-    masked)."""
-    import math
-    s, hq, d = q.shape
-    hk = k.shape[1]
-    if hk != hq:
-        k = jnp.repeat(k, hq // hk, axis=1)
-        v = jnp.repeat(v, hq // hk, axis=1)
-    prec = _prec(q, k)
-    qh = jnp.transpose(q, (1, 0, 2)).astype(_F32)
-    kh = jnp.transpose(k, (1, 0, 2)).astype(_F32)
-    vh = jnp.transpose(v, (1, 0, 2)).astype(_F32)
-    scores = jnp.einsum("hqd,hkd->hqk", qh, kh, precision=prec) \
-        / math.sqrt(d)
-    i = jnp.arange(s)[:, None]
-    j = jnp.arange(s)[None, :]
-    mask = (j > i) | (j[None] >= true_len)
-    scores = jnp.where(mask, -1e30, scores)
-    out = jnp.einsum("hqk,hkd->hqd", jax.nn.softmax(scores, axis=-1), vh,
-                     precision=prec)
-    return jnp.transpose(out, (1, 0, 2)).reshape(s, hq * d).astype(q.dtype)
+    return attn_block_causal(q, k, v, true_len)
 
 
 def _attn_cached(cfg: Lfm2Config, q, kc, vc, ctx_len):
@@ -256,9 +223,7 @@ def forward_fn(cfg: Lfm2Config, p, tokens):
 
 
 def _head(cfg: Lfm2Config, p, h):
-    head = p["lm_head"] if p.get("lm_head") is not None else p["embed"].T
-    return jnp.dot(h, head, preferred_element_type=_F32,
-                   precision=_prec(h, head))
+    return _head_shared(p, h)
 
 
 def prefill_fn(cfg: Lfm2Config, p, caches, tokens, true_len):
@@ -336,8 +301,15 @@ def generate_scan_fn(cfg: Lfm2Config, n_steps: int, p, caches, token, pos):
 
 # ------------------------------------------------------------------- model --
 
-class Lfm2Model:
-    """Parity-grade LFM2 with the hybrid conv/KV cache."""
+class Lfm2Model(StandaloneCachedModel):
+    """Parity-grade Lfm2 with its hybrid cache (shared scaffolding in
+    models/_base.py)."""
+
+    _prefill_fn = staticmethod(prefill_fn)
+    _generate_scan_fn = staticmethod(generate_scan_fn)
+    _forward_fn = staticmethod(forward_fn)
+    _init_caches = staticmethod(init_caches)
+    _name = "lfm2"
 
     def __init__(self, config: Lfm2Config, params: dict, dtype=jnp.float32):
         self.config = config
@@ -348,71 +320,7 @@ class Lfm2Model:
                                  config.head_dim, config.rope_theta)
             params["rope_cos"] = cos.jax.astype(_F32)
             params["rope_sin"] = sin.jax.astype(_F32)
-        self._fwd = jax.jit(functools.partial(forward_fn, config))
-        self.caches = None
-        self.max_seq_len = None
-        self.pos = 0
-        self._prefill_exes: dict = {}
-        self._gen_exes: dict = {}
-
-    def forward(self, input_ids):
-        return self._fwd(self.params,
-                         jnp.asarray(np.asarray(input_ids, np.int32)))
-
-    def get_logits(self, input_ids) -> np.ndarray:
-        return np.asarray(self.forward(input_ids), np.float32)
-
-    def init_fixed_cache(self, max_seq_len: int):
-        self.max_seq_len = max_seq_len
-        self.caches = init_caches(self.config, max_seq_len, self.dtype)
-        self.pos = 0
-
-    def generate(self, input_ids, max_new_tokens: int = 32,
-                 chunk_size: int = 64) -> list[int]:
-        ids = np.asarray(input_ids, np.int32).reshape(-1)
-        n = len(ids)
-        if self.caches is None:
-            need = n + max_new_tokens + 1
-            self.init_fixed_cache(max(1 << (need - 1).bit_length(), 64))
-        bucket = max(1 << (n - 1).bit_length(), 16)
-        if bucket not in self._prefill_exes:
-            fn = functools.partial(prefill_fn, self.config)
-            self._prefill_exes[bucket] = capture(
-                fn, self.params, self.caches,
-                jnp.zeros((bucket,), jnp.int32), jnp.int32(1),
-                donate_argnums=(1,), name=f"lfm2_prefill_{bucket}")
-        padded = np.zeros((bucket,), np.int32)
-        padded[:n] = ids
-        self.caches, logits = self._prefill_exes[bucket].replay(
-            self.params, self.caches, jnp.asarray(padded), jnp.int32(n))
-        self.pos = n
-        cur = jnp.argmax(logits).astype(jnp.int32)
-        out: list[int] = []
-        first = True
-        while len(out) < max_new_tokens:
-            steps = min(max_new_tokens - len(out) - (1 if first else 0),
-                        chunk_size, self.max_seq_len - self.pos)
-            if steps <= 0:
-                if first:
-                    out.append(int(np.asarray(cur)))
-                break
-            if steps not in self._gen_exes:
-                fn = functools.partial(generate_scan_fn, self.config, steps)
-                self._gen_exes[steps] = capture(
-                    fn, self.params, self.caches, jnp.int32(0), jnp.int32(0),
-                    donate_argnums=(1,), name=f"lfm2_generate_{steps}")
-            self.caches, toks = self._gen_exes[steps].replay(
-                self.params, self.caches, jnp.int32(cur), jnp.int32(self.pos))
-            self.pos += steps
-            if first:
-                toks = np.asarray(
-                    jnp.concatenate([jnp.reshape(cur, (1,)), toks]))
-                first = False
-            else:
-                toks = np.asarray(toks)
-            out.extend(int(t) for t in toks)
-            cur = out[-1]
-        return out[:max_new_tokens]
+        self._setup()
 
     @classmethod
     def from_safetensors(cls, path, dtype=jnp.float32) -> "Lfm2Model":

@@ -10,7 +10,11 @@ transformers = pytest.importorskip("transformers")
 import pygpukit_tpu.llm as llm  # noqa: E402
 
 
-def _check_parity(d, hf_model, spec_name, prompt=(1, 7, 23), rtol=5e-3):
+def _check_parity(d, hf_model, spec_name, prompt=(1, 7, 23), rtol=1e-4):
+    # rtol 1e-4: f32 parity measures ~1e-6; a WRONG rope convention
+    # measures ~1e-3 on these tiny models (empirically confirmed for
+    # interleaved-vs-split and NoPE-vs-roped) — 5e-3 could not detect the
+    # exact bug class these tests exist to pin
     st = llm.load_safetensors(d)
     assert llm.detect_model_spec(st.keys()).name == spec_name
     model = llm.load_model_from_safetensors(d, dtype="float32")
@@ -165,7 +169,7 @@ class TestLlama4:
         got = np.asarray(ours.forward(prompt))
         with torch.no_grad():
             ref = m(torch.tensor([prompt])).logits[0].numpy()
-        np.testing.assert_allclose(got, ref, rtol=5e-3, atol=5e-3)
+        np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
         out = ours.generate(prompt, max_new_tokens=6)
         hf_out = m.generate(torch.tensor([prompt]), max_new_tokens=6,
                             do_sample=False, pad_token_id=0)[0, 3:].tolist()
@@ -295,7 +299,7 @@ class TestDeepseekV3:
         got = ours.get_logits(prompt)
         with torch.no_grad():
             ref = m(torch.tensor([prompt])).logits[0].numpy()
-        np.testing.assert_allclose(got, ref, rtol=5e-3, atol=5e-3)
+        np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
         # absorbed-cache cached decode == HF generate (greedy)
         out = ours.generate(prompt, max_new_tokens=8, chunk_size=4)
         hf_out = m.generate(
@@ -350,7 +354,7 @@ class TestDeepseekV2:
         got = ours.get_logits(prompt)
         with torch.no_grad():
             ref = m(torch.tensor([prompt])).logits[0].numpy()
-        np.testing.assert_allclose(got, ref, rtol=5e-3, atol=5e-3)
+        np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
         out = ours.generate(prompt, max_new_tokens=6, chunk_size=3)
         hf_out = m.generate(
             torch.tensor([prompt]), max_new_tokens=6, do_sample=False,
@@ -407,7 +411,7 @@ class TestGptOss:
         got = ours.get_logits(prompt)
         with torch.no_grad():
             ref = m(torch.tensor([prompt])).logits[0].numpy()
-        np.testing.assert_allclose(got, ref, rtol=5e-3, atol=5e-3)
+        np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
         out = ours.generate(prompt, max_new_tokens=8, chunk_size=4)
         hf_out = m.generate(
             torch.tensor([prompt]), max_new_tokens=8, do_sample=False,
@@ -678,7 +682,7 @@ class TestLfm2:
         got = ours.get_logits(prompt)
         with torch.no_grad():
             ref = m(torch.tensor([prompt])).logits[0].numpy()
-        np.testing.assert_allclose(got, ref, rtol=5e-3, atol=5e-3)
+        np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
         out = ours.generate(prompt, max_new_tokens=8)
         hf = m.generate(torch.tensor([prompt]), max_new_tokens=8,
                         do_sample=False, pad_token_id=0)[0, 5:].tolist()
@@ -728,7 +732,7 @@ class TestQwen3Next:
         got = ours.get_logits(prompt)
         with torch.no_grad():
             ref = m(torch.tensor([prompt])).logits[0].numpy()
-        np.testing.assert_allclose(got, ref, rtol=5e-3, atol=5e-3)
+        np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
         out = ours.generate(prompt, max_new_tokens=8)
         hf = m.generate(torch.tensor([prompt]), max_new_tokens=8,
                         do_sample=False, pad_token_id=0)[0, 6:].tolist()
@@ -751,7 +755,7 @@ class TestQwen3Next:
         got = ours.get_logits(prompt)
         with torch.no_grad():
             ref = m(torch.tensor([prompt])).logits[0].numpy()
-        np.testing.assert_allclose(got, ref, rtol=5e-3, atol=5e-3)
+        np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
         out = ours.generate(prompt, max_new_tokens=6)
         hf = m.generate(torch.tensor([prompt]), max_new_tokens=6,
                         do_sample=False, pad_token_id=0)[0, 5:].tolist()
