@@ -28,6 +28,7 @@ class ModelSpec:
     embed_tokens: str = "model.embed_tokens.weight"
     position_embed: str | None = None
     lm_head: str | None = "lm_head.weight"
+    lm_head_bias: str | None = None      # phi-2: biased lm head
     final_norm: str = "model.norm.weight"
     final_norm_bias: str | None = None
 
@@ -290,6 +291,34 @@ GLM4_SPEC = ModelSpec(
     hf_model_type="glm4",
 )
 
+PHI_SPEC = ModelSpec(
+    name="phi",
+    # phi-1/1.5/2 (HF modeling_phi): PARALLEL attn+mlp residual off one
+    # shared LayerNorm (cohere block shape, but biased LayerNorm + biased
+    # projections + biased lm_head), gelu-tanh fc1/fc2 MLP, split-half
+    # PARTIAL rotary (factor 0.4-0.5 from config.json)
+    lm_head_bias="lm_head.bias",
+    final_norm="model.final_layernorm.weight",
+    final_norm_bias="model.final_layernorm.bias",
+    attn_norm_bias="model.layers.{layer}.input_layernorm.bias",
+    mlp_norm=None,
+    q_bias="model.layers.{layer}.self_attn.q_proj.bias",
+    k_bias="model.layers.{layer}.self_attn.k_proj.bias",
+    v_bias="model.layers.{layer}.self_attn.v_proj.bias",
+    o_proj="model.layers.{layer}.self_attn.dense.weight",
+    o_bias="model.layers.{layer}.self_attn.dense.bias",
+    fc1="model.layers.{layer}.mlp.fc1.weight",
+    fc1_bias="model.layers.{layer}.mlp.fc1.bias",
+    fc2="model.layers.{layer}.mlp.fc2.weight",
+    fc2_bias="model.layers.{layer}.mlp.fc2.bias",
+    gate_proj=None, up_proj=None, down_proj=None,
+    norm_type="layernorm",
+    activation="gelu",
+    parallel_block=True,
+    default_norm_eps=1e-5,
+    hf_model_type="phi",
+)
+
 NEMOTRON_SPEC = ModelSpec(
     name="nemotron",
     # Nemotron (HF modeling_nemotron): LayerNorm1P (effective weight =
@@ -328,7 +357,7 @@ MODEL_SPECS: dict[str, ModelSpec] = {
     s.name: s for s in (
         GPT2_SPEC, LLAMA_SPEC, QWEN2_SPEC, QWEN3_SPEC, QWEN3_MOE_SPEC,
         MIXTRAL_SPEC, GEMMA2_SPEC, GEMMA3_SPEC, PHI3_SPEC, OLMO2_SPEC,
-        COHERE_SPEC, STARCODER2_SPEC, GLM4_SPEC, NEMOTRON_SPEC,
+        COHERE_SPEC, STARCODER2_SPEC, GLM4_SPEC, NEMOTRON_SPEC, PHI_SPEC,
     )
 }
 
@@ -365,6 +394,8 @@ def detect_model_spec(tensor_names: list[str]) -> ModelSpec:
     if ("model.layers.0.mlp.up_proj.weight" in names
             and "model.layers.0.mlp.gate_proj.weight" not in names):
         return NEMOTRON_SPEC    # gateless relu2 MLP
+    if "model.layers.0.self_attn.dense.weight" in names:
+        return PHI_SPEC
     if ("model.layers.0.input_layernorm.weight" in names
             and "model.layers.0.post_attention_layernorm.weight"
             not in names):
@@ -540,6 +571,8 @@ class TransformerConfig:
             kw = dict(use_post_norms=True)
         elif mt == "nemotron" or spec.name == "nemotron":
             kw = dict(norm_eps=hf.get("norm_eps", 1e-5))
+        elif mt == "phi" or spec.name == "phi":
+            kw = dict(norm_eps=hf.get("layer_norm_eps", 1e-5))
         elif mt == "ernie4_5":
             # Ernie 4.5 = llama layout with INTERLEAVED rope pairs
             # (modeling_ernie4_5.rotate_half works on even/odd pairs)

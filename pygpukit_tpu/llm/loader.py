@@ -247,6 +247,9 @@ def _build_params(st, spec, config, dtype) -> dict:
     if spec.lm_head and spec.lm_head in st:
         # store [E, V] so logits = h @ lm_head
         params["lm_head"] = _linear(st, spec.lm_head, dtype, transpose=True)
+        if spec.lm_head_bias and spec.lm_head_bias in st:
+            params["lm_head_b"] = _to_jnp(
+                st.tensor_numpy(spec.lm_head_bias), jnp.float32)
     else:
         params["lm_head"] = None
 

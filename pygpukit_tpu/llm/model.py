@@ -347,6 +347,8 @@ def _logits(cfg: TransformerConfig, params, h):
             h, params["embed"], (((h.ndim - 1,), (1,)), ((), ())),
             preferred_element_type=_F32,
             precision=_pf32(h, params["embed"]))
+    if params.get("lm_head_b") is not None:
+        logits = logits + params["lm_head_b"].astype(_F32)    # phi-2
     if cfg.logit_scale is not None:
         logits = logits * cfg.logit_scale    # cohere: logits * 0.0625
     if cfg.final_logit_softcap is not None:

@@ -760,3 +760,23 @@ class TestQwen3Next:
         hf = m.generate(torch.tensor([prompt]), max_new_tokens=6,
                         do_sample=False, pad_token_id=0)[0, 5:].tolist()
         assert list(out) == hf, (out, hf)
+
+
+class TestPhi:
+    """phi-1/1.5/2: parallel attn+mlp residual off ONE biased LayerNorm,
+    biased q/k/v/dense/fc/lm_head projections, gelu-tanh fc MLP,
+    split-half partial rotary (HF modeling_phi)."""
+
+    def test_parity(self, tmp_path):
+        cfg = transformers.PhiConfig(
+            vocab_size=96, hidden_size=32, intermediate_size=64,
+            num_hidden_layers=2, num_attention_heads=4,
+            num_key_value_heads=2, max_position_embeddings=64,
+            partial_rotary_factor=0.5, tie_word_embeddings=False)
+        torch.manual_seed(33)
+        m = transformers.PhiForCausalLM(cfg).eval()
+        m.save_pretrained(tmp_path, safe_serialization=True)
+        model = _check_parity(tmp_path, m, "phi", prompt=tuple(range(1, 10)))
+        assert model.config.parallel_block is True
+        assert model.config.rope_dim == 4
+        assert model.params.get("lm_head_b") is not None
