@@ -18,9 +18,11 @@ Mechanisms (transformers-exact):
       S_t = S_{t-1} * exp(g_t);  delta = (v_t - k_t·S_t) * beta_t
       S_t += k_t ⊗ delta;        o_t = (q_t/√Dk)·S_t
   The output runs through a GATED RMSNorm (norm first, then * silu(z))
-  and out_proj. Prefill scans the same recurrence (HF's chunked kernel
-  computes the identical function; lax.scan is the TPU formulation —
-  state is tiny, weights are reused across steps from VMEM).
+  and out_proj. Prefill uses the CHUNKED formulation (_delta_chunked —
+  the UT-transform closed form, S/64 matmul steps instead of S rank-1
+  updates; all-f32 einsums at HIGHEST precision because the intra-chunk
+  triangular inverse amplifies dot error ~1000x); decode takes single
+  recurrent steps.
 - **Gated full attention**: q_proj emits 2x width (query | gate per
   head); per-head q/k RMS norms; PARTIAL split-half rope (factor 0.25);
   output * sigmoid(gate) before o_proj.
@@ -209,6 +211,97 @@ def _delta_scan(q, k, v, g, beta, state0):
     return out, state
 
 
+#: chunk width for the parallel prefill delta rule — MXU-friendly and the
+#: same default HF's chunked kernel uses
+DELTA_CHUNK = 64
+
+
+def _es(spec, *ops):
+    """f32 einsum at HIGHEST precision — the delta rule runs entirely in
+    f32 and the UT inverse amplifies intermediate error ~1000x, so the
+    DEFAULT (bf16-ized) dot precision is catastrophic here (measured:
+    3e-3 on the k_beta@k^T diagonal -> 2e-3 on final outputs)."""
+    return jnp.einsum(spec, *ops, precision=lax.Precision.HIGHEST)
+
+
+def _delta_chunked(q, k, v, g, beta, state0, chunk: int = DELTA_CHUNK):
+    """Chunked gated delta rule — the MXU-parallel prefill formulation
+    (exactly torch_chunk_gated_delta_rule): within each chunk the
+    recurrence is solved in closed form via a UT transform (a triangular
+    inverse built by forward substitution), so the sequential dependency
+    collapses from S steps to S/chunk steps of [C, C] / [C, D] matmuls.
+    Inputs [S, nv, D*] f32 (padded rows must carry beta=0, g=0 so they are
+    identity steps); returns (out [S, nv, Dv], final state [nv, Dk, Dv])."""
+    s, nh, dk = q.shape
+    dv = v.shape[-1]
+    q = _l2norm(q) * (dk ** -0.5)
+    k = _l2norm(k)
+    pad = (-s) % chunk
+    sp = s + pad
+    nc = sp // chunk
+
+    def to_chunks(x, d):
+        xt = jnp.pad(jnp.transpose(x, (1, 0, 2)), ((0, 0), (0, pad), (0, 0)))
+        return xt.reshape(nh, nc, chunk, d)
+
+    qc = to_chunks(q, dk)
+    kc = to_chunks(k, dk)
+    vc = to_chunks(v, dv)
+    gc = jnp.pad(g.T, ((0, 0), (0, pad))).reshape(nh, nc, chunk)
+    bc = jnp.pad(beta.T, ((0, 0), (0, pad))).reshape(nh, nc, chunk)
+    v_beta = vc * bc[..., None]
+    k_beta = kc * bc[..., None]
+    gcs = jnp.cumsum(gc, axis=-1)                             # [H,NC,C]
+    i = jnp.arange(chunk)
+    tril_s = (i[:, None] >= i[None, :])                       # incl diag
+    tril = (i[:, None] > i[None, :])                          # strict
+    diff = gcs[..., :, None] - gcs[..., None, :]
+    decay = jnp.where(tril_s, jnp.exp(jnp.where(tril_s, diff, 0.0)), 0.0)
+    # UT transform: T = (I + strict_tril(K_beta K^T * decay))^-1 via
+    # forward substitution (the HF row loop) — rows build on earlier rows
+    attn = -jnp.where(tril,
+                      _es("hnik,hnjk->hnij", k_beta, kc) * decay,
+                      0.0)
+
+    def ut_row(ii, a):
+        row = a[..., ii, :]                                   # [H,NC,C]
+        new_row = row + _es("hnj,hnjk->hnk", row, a)
+        return a.at[..., ii, :].set(new_row)
+
+    attn = lax.fori_loop(1, chunk, ut_row, attn)
+    attn = attn + jnp.eye(chunk, dtype=attn.dtype)
+    value = _es("hnij,hnjv->hniv", attn, v_beta)
+    k_cumdecay = _es(
+        "hnij,hnjk->hnik", attn, k_beta * jnp.exp(gcs)[..., None])
+
+    def chunk_step(state, inp):
+        q_i, k_i, v_i, g_i, kcd_i, dec_i = inp                # [H,C,*]
+        # keep the DIAGONAL (HF masks triu(diagonal=1)); decay already
+        # carries exp(0)=1 there
+        a = jnp.where(tril_s, _es("hik,hjk->hij", q_i, k_i) * dec_i,
+                      0.0)
+        v_prime = _es("hik,hkv->hiv", kcd_i, state)
+        v_new = v_i - v_prime
+        attn_inter = _es(
+            "hik,hkv->hiv", q_i * jnp.exp(g_i)[..., None], state)
+        out_i = attn_inter + _es("hij,hjv->hiv", a, v_new)
+        g_last = g_i[:, -1]
+        state = (state * jnp.exp(g_last)[:, None, None]
+                 + _es(
+                     "hik,hiv->hkv",
+                     k_i * jnp.exp(g_last[:, None] - g_i)[..., None],
+                     v_new))
+        return state, out_i
+
+    xs = (jnp.moveaxis(qc, 1, 0), jnp.moveaxis(kc, 1, 0),
+          jnp.moveaxis(value, 1, 0), jnp.moveaxis(gcs, 1, 0),
+          jnp.moveaxis(k_cumdecay, 1, 0),
+          jnp.moveaxis(decay, 1, 0))
+    state, outs = lax.scan(chunk_step, state0, xs)            # [NC,H,C,Dv]
+    out = jnp.moveaxis(outs, 0, 1).reshape(nh, sp, dv)[:, :s]
+    return jnp.transpose(out, (1, 0, 2)), state
+
+
 def _gdn_conv_full(cfg: Qwen3NextConfig, lp, qkv):
     """Depthwise causal conv (kernel K) + SiLU over [S, conv_dim];
     returns (activated [S, conv_dim], conv_state [conv_dim, K])."""
@@ -263,8 +356,11 @@ def _gdn_full(cfg: Qwen3NextConfig, lp, x, true_len):
     g = jnp.where(valid[:, None], g, 0.0)
     beta = jnp.where(valid[:, None], beta, 0.0)
     state0 = jnp.zeros((nv, dk, dv), _F32)
-    out, state = _delta_scan(q.astype(_F32), k.astype(_F32),
-                             v.astype(_F32), g, beta, state0)
+    # chunked (MXU-parallel) delta rule: S/64 sequential steps of [C,C] /
+    # [C,D] matmuls instead of S sequential rank-1 updates — matches the
+    # recurrent scan to ~1e-6 (test_llm_families.TestQwen3Next)
+    out, state = _delta_chunked(q.astype(_F32), k.astype(_F32),
+                                v.astype(_F32), g, beta, state0)
     out = _gated_rmsnorm(out.astype(x.dtype), z, lp["norm_w"], cfg.norm_eps)
     y = _mm(out.reshape(s, -1), lp["w_out"])
     return y, conv_state, state

@@ -780,3 +780,39 @@ class TestPhi:
         assert model.config.parallel_block is True
         assert model.config.rope_dim == 4
         assert model.params.get("lm_head_b") is not None
+
+
+def test_qwen3next_chunked_equals_recurrent():
+    """The MXU-parallel chunked delta rule must compute the recurrent
+    scan's function (both vs each other, incl. the padded-identity-row
+    convention used by prefill)."""
+    import jax
+    import jax.numpy as jnp
+    from pygpukit_tpu.llm.models.qwen3next import (
+        _delta_scan, _delta_chunked)
+    key = jax.random.PRNGKey(0)
+    S, H, DK, DV = 100, 4, 8, 8
+    ks = jax.random.split(key, 5)
+    q = jax.random.normal(ks[0], (S, H, DK), jnp.float32)
+    k = jax.random.normal(ks[1], (S, H, DK), jnp.float32)
+    v = jax.random.normal(ks[2], (S, H, DV), jnp.float32)
+    g = -jnp.abs(jax.random.normal(ks[3], (S, H), jnp.float32))
+    beta = jax.nn.sigmoid(jax.random.normal(ks[4], (S, H), jnp.float32))
+    s0 = jnp.zeros((H, DK, DV), jnp.float32)
+    o1, s1 = _delta_scan(q, k, v, g, beta, s0)
+    o2, s2 = _delta_chunked(q, k, v, g, beta, s0, chunk=16)
+    np.testing.assert_allclose(np.asarray(o1), np.asarray(o2),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s2),
+                               rtol=1e-4, atol=1e-5)
+    # padded rows as identity steps (beta=0, g=0): state at true_len
+    TL = 37
+    mask = (jnp.arange(S) < TL)
+    gm = jnp.where(mask[:, None], g, 0.0)
+    bm = jnp.where(mask[:, None], beta, 0.0)
+    o3, s3 = _delta_scan(q[:TL], k[:TL], v[:TL], g[:TL], beta[:TL], s0)
+    o4, s4 = _delta_chunked(q, k, v, gm, bm, s0, chunk=16)
+    np.testing.assert_allclose(np.asarray(s3), np.asarray(s4),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(o3), np.asarray(o4)[:TL],
+                               rtol=1e-4, atol=1e-5)
