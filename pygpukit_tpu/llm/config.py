@@ -291,6 +291,19 @@ GLM4_SPEC = ModelSpec(
     hf_model_type="glm4",
 )
 
+SEED_OSS_SPEC = ModelSpec(
+    name="seed_oss",
+    # ByteDance Seed-OSS: llama layout + biases on ALL FOUR attention
+    # projections (qwen2 has q/k/v only; o_proj bias is the tell)
+    q_bias="model.layers.{layer}.self_attn.q_proj.bias",
+    k_bias="model.layers.{layer}.self_attn.k_proj.bias",
+    v_bias="model.layers.{layer}.self_attn.v_proj.bias",
+    o_bias="model.layers.{layer}.self_attn.o_proj.bias",
+    default_norm_eps=1e-6,
+    default_rope_theta=10000000.0,
+    hf_model_type="seed_oss",
+)
+
 PHI_SPEC = ModelSpec(
     name="phi",
     # phi-1/1.5/2 (HF modeling_phi): PARALLEL attn+mlp residual off one
@@ -358,6 +371,7 @@ MODEL_SPECS: dict[str, ModelSpec] = {
         GPT2_SPEC, LLAMA_SPEC, QWEN2_SPEC, QWEN3_SPEC, QWEN3_MOE_SPEC,
         MIXTRAL_SPEC, GEMMA2_SPEC, GEMMA3_SPEC, PHI3_SPEC, OLMO2_SPEC,
         COHERE_SPEC, STARCODER2_SPEC, GLM4_SPEC, NEMOTRON_SPEC, PHI_SPEC,
+        SEED_OSS_SPEC,
     )
 }
 
@@ -410,6 +424,8 @@ def detect_model_spec(tensor_names: list[str]) -> ModelSpec:
         return PHI3_SPEC
     if "model.embed_tokens.weight" in names:
         if "model.layers.0.self_attn.q_proj.bias" in names:
+            if "model.layers.0.self_attn.o_proj.bias" in names:
+                return SEED_OSS_SPEC    # all-four biases (qwen2: q/k/v only)
             return QWEN2_SPEC
         return LLAMA_SPEC
     if "wte.weight" in names:

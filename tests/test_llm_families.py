@@ -816,3 +816,21 @@ def test_qwen3next_chunked_equals_recurrent():
                                rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(o3), np.asarray(o4)[:TL],
                                rtol=1e-4, atol=1e-5)
+
+
+class TestSeedOss:
+    """Seed-OSS: llama layout + biases on all four attention projections
+    (o_proj bias distinguishes it from qwen2)."""
+
+    def test_parity(self, tmp_path):
+        cfg = transformers.SeedOssConfig(
+            vocab_size=96, hidden_size=32, intermediate_size=64,
+            num_hidden_layers=2, num_attention_heads=4,
+            num_key_value_heads=2, head_dim=8, attention_bias=True,
+            attention_out_bias=True, max_position_embeddings=64,
+            tie_word_embeddings=False, pad_token_id=0)
+        torch.manual_seed(34)
+        m = transformers.SeedOssForCausalLM(cfg).eval()
+        m.save_pretrained(tmp_path, safe_serialization=True)
+        model = _check_parity(tmp_path, m, "seed_oss")
+        assert "b_o" in model.params["layers"]
