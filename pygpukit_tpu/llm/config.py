@@ -71,7 +71,8 @@ class ModelSpec:
 
     # architecture flags
     norm_type: Literal["rmsnorm", "layernorm"] = "rmsnorm"
-    activation: Literal["gelu", "silu", "gelu_tanh", "relu2"] = "silu"
+    activation: Literal["gelu", "silu", "gelu_tanh", "relu2",
+                        "xielu"] = "silu"
     use_rope: bool = True
     use_qk_norm: bool = False
     pre_norms: bool = True           # False: OLMo-2 post-norm-only blocks
@@ -291,6 +292,26 @@ GLM4_SPEC = ModelSpec(
     hf_model_type="glm4",
 )
 
+APERTUS_SPEC = ModelSpec(
+    name="apertus",
+    # Apertus (swiss-ai, HF modeling_apertus): gateless up->xIELU->down
+    # MLP where xIELU carries LEARNED per-layer parameters (alpha_p,
+    # alpha_n + beta/eps buffers — loaded as layer leaves), per-head
+    # qk-norms, norms named attention_/feedforward_layernorm
+    attn_norm="model.layers.{layer}.attention_layernorm.weight",
+    mlp_norm="model.layers.{layer}.feedforward_layernorm.weight",
+    q_norm="model.layers.{layer}.self_attn.q_norm.weight",
+    k_norm="model.layers.{layer}.self_attn.k_norm.weight",
+    use_qk_norm=True,
+    fc1="model.layers.{layer}.mlp.up_proj.weight",
+    fc2="model.layers.{layer}.mlp.down_proj.weight",
+    gate_proj=None, up_proj=None, down_proj=None,
+    activation="xielu",
+    default_norm_eps=1e-5,
+    default_rope_theta=12000000.0,
+    hf_model_type="apertus",
+)
+
 SEED_OSS_SPEC = ModelSpec(
     name="seed_oss",
     # ByteDance Seed-OSS: llama layout + biases on ALL FOUR attention
@@ -371,7 +392,7 @@ MODEL_SPECS: dict[str, ModelSpec] = {
         GPT2_SPEC, LLAMA_SPEC, QWEN2_SPEC, QWEN3_SPEC, QWEN3_MOE_SPEC,
         MIXTRAL_SPEC, GEMMA2_SPEC, GEMMA3_SPEC, PHI3_SPEC, OLMO2_SPEC,
         COHERE_SPEC, STARCODER2_SPEC, GLM4_SPEC, NEMOTRON_SPEC, PHI_SPEC,
-        SEED_OSS_SPEC,
+        SEED_OSS_SPEC, APERTUS_SPEC,
     )
 }
 
@@ -403,6 +424,8 @@ def detect_model_spec(tensor_names: list[str]) -> ModelSpec:
         return OLMO2_SPEC    # post-only norms (gemma has BOTH pre+post)
     if any("post_self_attn_layernorm" in n for n in names):
         return GLM4_SPEC
+    if "model.layers.0.attention_layernorm.weight" in names:
+        return APERTUS_SPEC
     if "model.layers.0.mlp.c_fc.weight" in names:
         return STARCODER2_SPEC
     if ("model.layers.0.mlp.up_proj.weight" in names
@@ -453,7 +476,8 @@ class TransformerConfig:
     moe_intermediate_size: int | None = None
 
     norm_type: Literal["rmsnorm", "layernorm"] = "rmsnorm"
-    activation: Literal["gelu", "silu", "gelu_tanh", "relu2"] = "silu"
+    activation: Literal["gelu", "silu", "gelu_tanh", "relu2",
+                        "xielu"] = "silu"
     use_rope: bool = True
     use_qk_norm: bool = False
     use_position_embed: bool = False

@@ -352,6 +352,14 @@ def _build_params(st, spec, config, dtype) -> dict:
                     st.tensor_numpy(spec.fc1_bias.format(layer=l)), dtype)
                 lp["b_fc2"] = _to_jnp(
                     st.tensor_numpy(spec.fc2_bias.format(layer=l)), dtype)
+            if spec.activation == "xielu":
+                # apertus learned activation params + checkpoint buffers
+                pre = f"model.layers.{l}.mlp.act_fn."
+                for leaf, key in (("act_alpha_p", "alpha_p"),
+                                  ("act_alpha_n", "alpha_n"),
+                                  ("act_beta", "beta"), ("act_eps", "eps")):
+                    lp[leaf] = _to_jnp(st.tensor_numpy(pre + key),
+                                       jnp.float32)
         layers.append(lp)
 
     import jax

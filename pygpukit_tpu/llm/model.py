@@ -254,6 +254,19 @@ def _mlp(cfg: TransformerConfig, lp, y):
     if cfg.activation == "relu2":
         # nemotron gateless MLP: relu(x)^2 (HF ACT2FN["relu2"])
         h = jnp.square(jax.nn.relu(h)).astype(y.dtype)
+    elif cfg.activation == "xielu":
+        # apertus xIELU (HF XIELUActivation._xielu_python): learned
+        # alpha_p/alpha_n per layer, beta/eps checkpoint buffers
+        ap = jax.nn.softplus(lp["act_alpha_p"].astype(_F32))
+        an = lp["act_beta"].astype(_F32) + jax.nn.softplus(
+            lp["act_alpha_n"].astype(_F32))
+        beta = lp["act_beta"].astype(_F32)
+        eps = lp["act_eps"].astype(_F32)
+        h = jnp.where(
+            h > 0,
+            ap * h * h + beta * h,
+            (jnp.expm1(jnp.minimum(h, eps)) - h) * an + beta * h,
+        ).astype(y.dtype)
     else:
         h = gelu_fn(h.astype(y.dtype))
     out = _mm(h, lp["w_fc2"]).astype(_F32)

@@ -834,3 +834,24 @@ class TestSeedOss:
         m.save_pretrained(tmp_path, safe_serialization=True)
         model = _check_parity(tmp_path, m, "seed_oss")
         assert "b_o" in model.params["layers"]
+
+
+class TestApertus:
+    """Apertus: gateless up->xIELU->down MLP with LEARNED activation
+    parameters (alpha_p/alpha_n leaves + beta/eps buffers), per-head
+    qk-norms, attention_/feedforward_layernorm names
+    (HF modeling_apertus + activations.XIELUActivation)."""
+
+    def test_parity(self, tmp_path):
+        cfg = transformers.ApertusConfig(
+            vocab_size=96, hidden_size=32, intermediate_size=64,
+            num_hidden_layers=2, num_attention_heads=4,
+            num_key_value_heads=2, max_position_embeddings=64,
+            tie_word_embeddings=False, pad_token_id=0)
+        torch.manual_seed(35)
+        m = transformers.ApertusForCausalLM(cfg).eval()
+        m.save_pretrained(tmp_path, safe_serialization=True)
+        model = _check_parity(tmp_path, m, "apertus",
+                              prompt=tuple(range(1, 10)))
+        assert model.config.activation == "xielu"
+        assert "act_alpha_p" in model.params["layers"]
