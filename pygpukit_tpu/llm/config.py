@@ -58,6 +58,10 @@ class ModelSpec:
     up_proj: str | None = "model.layers.{layer}.mlp.up_proj.weight"
     down_proj: str | None = "model.layers.{layer}.mlp.down_proj.weight"
 
+    # learned-activation parameter prefix (apertus xIELU:
+    # "<prefix>alpha_p" etc.)
+    act_params: str | None = None
+
     # MoE ({layer} and {expert} placeholders)
     moe_gate: str | None = None
     expert_gate_proj: str | None = None
@@ -307,6 +311,7 @@ APERTUS_SPEC = ModelSpec(
     fc2="model.layers.{layer}.mlp.down_proj.weight",
     gate_proj=None, up_proj=None, down_proj=None,
     activation="xielu",
+    act_params="model.layers.{layer}.mlp.act_fn.",
     default_norm_eps=1e-5,
     default_rope_theta=12000000.0,
     hf_model_type="apertus",

@@ -180,7 +180,7 @@ def _infer_config(st, spec: ModelSpec, hf_cfg: dict | None) -> TransformerConfig
         # computes the right function (glm4 partial rotary, cohere logit
         # scale)
         rope_partial_factor=(
-            0.5 if spec.name in ("glm4", "nemotron") else 1.0),
+            0.5 if spec.name in ("glm4", "nemotron", "phi") else 1.0),
         logit_scale=0.0625 if spec.name == "cohere" else None,
         use_position_embed=spec.use_position_embed,
         max_position_embeddings=max_pos,
@@ -352,9 +352,9 @@ def _build_params(st, spec, config, dtype) -> dict:
                     st.tensor_numpy(spec.fc1_bias.format(layer=l)), dtype)
                 lp["b_fc2"] = _to_jnp(
                     st.tensor_numpy(spec.fc2_bias.format(layer=l)), dtype)
-            if spec.activation == "xielu":
+            if spec.activation == "xielu" and spec.act_params:
                 # apertus learned activation params + checkpoint buffers
-                pre = f"model.layers.{l}.mlp.act_fn."
+                pre = spec.act_params.format(layer=l)
                 for leaf, key in (("act_alpha_p", "alpha_p"),
                                   ("act_alpha_n", "alpha_n"),
                                   ("act_beta", "beta"), ("act_eps", "eps")):

@@ -1014,6 +1014,15 @@ def _build_random_params(cfg: TransformerConfig, w, dtype) -> dict:
         lp["w_fc2"] = w(cfg.num_layers, inter, e)
         lp["b_fc1"] = jnp.zeros((cfg.num_layers, inter), dtype)
         lp["b_fc2"] = jnp.zeros((cfg.num_layers, e), dtype)
+        if cfg.activation == "xielu":
+            # apertus learned-activation leaves (XIELUActivation inits)
+            import numpy as _np
+            ap = float(_np.log(_np.expm1(0.8)))
+            an = float(_np.log(_np.expm1(0.3)))
+            lp["act_alpha_p"] = jnp.full((cfg.num_layers, 1), ap, _F32)
+            lp["act_alpha_n"] = jnp.full((cfg.num_layers, 1), an, _F32)
+            lp["act_beta"] = jnp.full((cfg.num_layers, 1), 0.5, _F32)
+            lp["act_eps"] = jnp.full((cfg.num_layers, 1), -1e-6, _F32)
 
     params: dict = {
         "embed": w(cfg.vocab_size, e),

@@ -65,6 +65,32 @@ def attn_block_causal(q, k, v, true_len):
     return jnp.transpose(out, (1, 0, 2)).reshape(s, hq * d).astype(q.dtype)
 
 
+def causal_depthwise_conv(x, w, bias=None):
+    """Depthwise causal conv over [S, C] with kernel w [C, K] (newest input
+    multiplies the LAST weight column); f32 accumulation, no activation.
+    Shared by the lfm2/qwen3next/mamba conv mixers."""
+    s = x.shape[0]
+    K = w.shape[1]
+    out = jnp.zeros(x.shape, _F32)
+    for j in range(K):
+        shift = K - 1 - j
+        rolled = jnp.pad(x, ((shift, 0), (0, 0)))[:s]
+        out = out + rolled.astype(_F32) * w[:, j].astype(_F32)
+    if bias is not None:
+        out = out + bias.astype(_F32)
+    return out
+
+
+def conv_state_tail(x, true_len, K, dtype):
+    """Last K VALID rows of x [S, C], right-aligned as [C, K] (the decode
+    conv state; zero-filled when true_len < K — the HF left-pad)."""
+    s = x.shape[0]
+    idx = true_len - K + jnp.arange(K)
+    rows = jnp.take(x, jnp.clip(idx, 0, s - 1), axis=0)
+    rows = jnp.where((idx >= 0)[:, None], rows, 0)
+    return rows.T.astype(dtype)
+
+
 def lm_head(p, h):
     head = p["lm_head"] if p.get("lm_head") is not None else p["embed"].T
     return jnp.dot(h, head, preferred_element_type=_F32,

@@ -17,7 +17,13 @@ Mechanisms (transformers-exact):
 - TPU formulation: prefill runs the recurrence as a PARALLEL
   ``lax.associative_scan`` over (a, b) pairs (h_t = a_t h_{t-1} + b_t is
   associative) — log-depth instead of S sequential steps; decode takes
-  single recurrent steps off the cached state.
+  single recurrent steps off the cached state. Memory note: the parallel
+  scan materialises [S, d_inner, N] f32 operands — ~5.4 GB/layer at
+  mamba-2.8b shapes and S=16k; block the prefill into chunks (carrying
+  the state between blocks) before running long contexts at that scale.
+- FalconMamba variant (model_type falcon_mamba): weightless RMS norms on
+  B/C/dt before discretisation (mixer_rms_eps), auto-enabled from
+  config.json.
 """
 
 from __future__ import annotations
@@ -32,7 +38,8 @@ import numpy as np
 from jax import lax
 
 from ...ops.nn.norm import rmsnorm_fn
-from ._base import StandaloneCachedModel, lm_head as _head_shared, mm as _mm
+from ._base import (StandaloneCachedModel, causal_depthwise_conv,
+                    conv_state_tail, lm_head as _head_shared, mm as _mm)
 
 _F32 = jnp.float32
 
@@ -48,6 +55,8 @@ class MambaConfig:
     time_step_rank: int = 48
     use_conv_bias: bool = True
     use_bias: bool = False           # in/out_proj biases
+    # FalconMamba: weightless RMS norms on B/C/dt before the recurrence
+    mixer_rms_eps: float | None = None
     norm_eps: float = 1e-5
     tie_word_embeddings: bool = True
     max_position_embeddings: int = 1 << 20   # no positional encoding
@@ -69,6 +78,9 @@ class MambaConfig:
             time_step_rank=int(tsr),
             use_conv_bias=hf.get("use_conv_bias", True),
             use_bias=hf.get("use_bias", False),
+            mixer_rms_eps=(hf.get("mixer_rms_eps", 1e-6)
+                           if hf.get("model_type") == "falcon_mamba"
+                           else None),
             norm_eps=hf.get("layer_norm_epsilon", 1e-5),
             tie_word_embeddings=hf.get("tie_word_embeddings", True),
         )
@@ -78,17 +90,14 @@ class MambaConfig:
 
 def _conv_silu_full(cfg: MambaConfig, lp, x):
     """Depthwise causal conv + SiLU over [S, d_inner]; returns activated."""
-    s = x.shape[0]
-    w = lp["conv_w"]                                          # [d_inner, K]
-    K = w.shape[1]
-    out = jnp.zeros(x.shape, _F32)
-    for j in range(K):
-        shift = K - 1 - j
-        rolled = jnp.pad(x, ((shift, 0), (0, 0)))[:s]
-        out = out + rolled.astype(_F32) * w[:, j].astype(_F32)
-    if "conv_b" in lp:
-        out = out + lp["conv_b"].astype(_F32)
-    return jax.nn.silu(out)
+    return jax.nn.silu(causal_depthwise_conv(x, lp["conv_w"],
+                                             lp.get("conv_b")))
+
+
+def _rms_nw(x, eps):
+    """Weightless RMS norm (FalconMamba rms_forward)."""
+    var = jnp.mean(x * x, axis=-1, keepdims=True)
+    return x * lax.rsqrt(var + eps)
 
 
 def _selection(cfg: MambaConfig, lp, u):
@@ -98,6 +107,11 @@ def _selection(cfg: MambaConfig, lp, u):
     ts = ssm[:, :r]
     b = ssm[:, r:r + n].astype(_F32)                          # [S, N]
     c = ssm[:, r + n:].astype(_F32)
+    if cfg.mixer_rms_eps is not None:
+        # FalconMamba: weightless RMS on B, C, dt before discretisation
+        ts = _rms_nw(ts.astype(_F32), cfg.mixer_rms_eps).astype(ts.dtype)
+        b = _rms_nw(b, cfg.mixer_rms_eps)
+        c = _rms_nw(c, cfg.mixer_rms_eps)
     dt = _mm(ts, lp["w_dt"]) + lp["b_dt"]
     dt = jax.nn.softplus(dt.astype(_F32))                     # [S, E]
     a = -jnp.exp(lp["A_log"].astype(_F32))                    # [E, N]
@@ -130,18 +144,15 @@ def _mixer_full(cfg: MambaConfig, lp, x, true_len):
         return a2 * a1, a2 * b1 + b2
 
     a_acc, h = lax.associative_scan(combine, (da, dbu))       # h [S, E, N]
-    y = jnp.einsum("sen,sn->se", h, c)                        # [S, E]
+    y = jnp.einsum("sen,sn->se", h, c,
+                   precision=lax.Precision.HIGHEST)           # [S, E] (f32)
     y = y + u * lp["D"].astype(_F32)
     y = y * jax.nn.silu(gate.astype(_F32))
     out = _mm(y.astype(x.dtype), lp["w_out"])
     if "b_out" in lp:
         out = out + lp["b_out"]
-    # conv state: last K valid raw inputs, right-aligned
-    K = cfg.conv_kernel
-    idx = true_len - K + jnp.arange(K)
-    rows = jnp.take(u_raw, jnp.clip(idx, 0, s - 1), axis=0)
-    rows = jnp.where((idx >= 0)[:, None], rows, 0)
-    conv_state = rows.T.astype(x.dtype)                       # [E, K]
+    conv_state = conv_state_tail(u_raw, true_len, cfg.conv_kernel,
+                                 x.dtype)                     # [E, K]
     ssm_state = jnp.take(h, true_len - 1, axis=0)             # [E, N]
     return out, conv_state, ssm_state
 
@@ -161,7 +172,8 @@ def _mixer_step(cfg: MambaConfig, lp, x, conv_state, ssm_state):
     u = jax.nn.silu(u)[None]                                  # [1, E]
     da, dbu, c = _selection(cfg, lp, u)
     ssm_state = da[0] * ssm_state + dbu[0]                    # [E, N]
-    y = jnp.einsum("en,n->e", ssm_state, c[0])[None]
+    y = jnp.einsum("en,n->e", ssm_state, c[0],
+                   precision=lax.Precision.HIGHEST)[None]
     y = y + u * lp["D"].astype(_F32)
     y = y * jax.nn.silu(gate.astype(_F32))
     out = _mm(y.astype(x.dtype), lp["w_out"])

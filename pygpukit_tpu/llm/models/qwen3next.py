@@ -140,6 +140,7 @@ class Qwen3NextConfig:
 # ------------------------------------------------------------------ helpers --
 
 from ._base import (StandaloneCachedModel, attn_block_causal,
+                    causal_depthwise_conv, conv_state_tail,
                     lm_head as _head_shared, mm as _mm,
                     qk_headnorm as _qk_headnorm)
 
@@ -303,27 +304,14 @@ def _delta_chunked(q, k, v, g, beta, state0, chunk: int = DELTA_CHUNK):
 
 
 def _gdn_conv_full(cfg: Qwen3NextConfig, lp, qkv):
-    """Depthwise causal conv (kernel K) + SiLU over [S, conv_dim];
-    returns (activated [S, conv_dim], conv_state [conv_dim, K])."""
-    s = qkv.shape[0]
-    w = lp["conv_w"]                                          # [conv_dim, K]
-    K = w.shape[1]
-    out = jnp.zeros(qkv.shape, _F32)
-    for j in range(K):
-        shift = K - 1 - j
-        rolled = jnp.pad(qkv, ((shift, 0), (0, 0)))[:s]
-        out = out + rolled.astype(_F32) * w[:, j].astype(_F32)
-    act = jax.nn.silu(out).astype(qkv.dtype)
-    return act
+    """Depthwise causal conv (kernel K) + SiLU over [S, conv_dim] ->
+    activated [S, conv_dim] (the conv STATE is built separately by
+    conv_state_tail from the raw pre-activation inputs)."""
+    return jax.nn.silu(
+        causal_depthwise_conv(qkv, lp["conv_w"])).astype(qkv.dtype)
 
 
-def _gdn_conv_state(qkv, true_len, K, dtype):
-    """Last K VALID rows of qkv, right-aligned (HF pads left with zeros)."""
-    s = qkv.shape[0]
-    idx = true_len - K + jnp.arange(K)
-    rows = jnp.take(qkv, jnp.clip(idx, 0, s - 1), axis=0)
-    rows = jnp.where((idx >= 0)[:, None], rows, 0)
-    return rows.T.astype(dtype)                               # [conv_dim, K]
+_gdn_conv_state = conv_state_tail
 
 
 def _gdn_full(cfg: Qwen3NextConfig, lp, x, true_len):

@@ -886,3 +886,28 @@ class TestMamba:
         # cache is O(1) in context
         assert ours.caches[0]["ssm"].shape == (64, 8)
         assert ours.caches[0]["conv"].shape == (64, 4)
+
+    def test_falcon_mamba_parity(self, tmp_path):
+        """FalconMamba = mamba + weightless RMS norms on B/C/dt before
+        discretisation (mixer_rms_eps, auto-detected from model_type)."""
+        import jax.numpy as jnp
+        from pygpukit_tpu.llm.models.mamba import MambaModel
+        cfg = transformers.FalconMambaConfig(
+            vocab_size=96, hidden_size=32, state_size=8,
+            num_hidden_layers=2, conv_kernel=4, intermediate_size=64,
+            time_step_rank=4, use_conv_bias=True, use_bias=False,
+            mixer_rms_eps=1e-6, pad_token_id=0)
+        torch.manual_seed(37)
+        m = transformers.FalconMambaForCausalLM(cfg).eval()
+        m.save_pretrained(tmp_path, safe_serialization=True)
+        ours = MambaModel.from_safetensors(tmp_path, dtype=jnp.float32)
+        assert ours.config.mixer_rms_eps == 1e-6
+        prompt = [1, 7, 23, 5, 9, 2]
+        got = ours.get_logits(prompt)
+        with torch.no_grad():
+            ref = m(torch.tensor([prompt])).logits[0].numpy()
+        np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
+        out = ours.generate(prompt, max_new_tokens=6)
+        hf = m.generate(torch.tensor([prompt]), max_new_tokens=6,
+                        do_sample=False, pad_token_id=0)[0, 6:].tolist()
+        assert list(out) == hf, (out, hf)
