@@ -110,6 +110,15 @@ class StandaloneCachedModel:
     _generate_scan_fn = None
     _forward_fn = None
     _init_caches = None
+    # single-step decode hook (enables llm.serving_hybrid batch serving)
+    _decode_step_fn = None
+    # _stateful_prefill: the family's prefill_fn CONTINUES from the caches
+    # argument (zero caches == from-scratch), so long prompts may stream
+    # through it in fixed blocks of _prefill_block tokens — bounds the
+    # prefill working set for recurrences whose parallel scan materialises
+    # [S, ...] operands (mamba's [S, E, N]).
+    _stateful_prefill = False
+    _prefill_block: int | None = None
     _name = "model"
 
     def _setup(self):
@@ -134,13 +143,9 @@ class StandaloneCachedModel:
                                               self.dtype)
         self.pos = 0
 
-    def generate(self, input_ids, max_new_tokens: int = 32,
-                 chunk_size: int = 64) -> list[int]:
-        ids = np.asarray(input_ids, np.int32).reshape(-1)
+    def _replay_prefill(self, ids: np.ndarray):
+        """One bucketed prefill dispatch over ``ids`` (donated caches)."""
         n = len(ids)
-        if self.caches is None:
-            need = n + max_new_tokens + 1
-            self.init_fixed_cache(max(1 << (need - 1).bit_length(), 64))
         bucket = max(1 << (n - 1).bit_length(), 16)
         if bucket not in self._prefill_exes:
             fn = functools.partial(type(self)._prefill_fn, self.config)
@@ -153,6 +158,26 @@ class StandaloneCachedModel:
         padded[:n] = ids
         self.caches, logits = self._prefill_exes[bucket].replay(
             self.params, self.caches, jnp.asarray(padded), jnp.int32(n))
+        return logits
+
+    def generate(self, input_ids, max_new_tokens: int = 32,
+                 chunk_size: int = 64,
+                 prefill_block: int | None = None) -> list[int]:
+        ids = np.asarray(input_ids, np.int32).reshape(-1)
+        n = len(ids)
+        if self.caches is None:
+            need = n + max_new_tokens + 1
+            self.init_fixed_cache(max(1 << (need - 1).bit_length(), 64))
+        blk = (prefill_block if prefill_block is not None
+               else type(self)._prefill_block)
+        if type(self)._stateful_prefill and blk and n > blk:
+            # blocked prefill: stream the prompt through the stateful
+            # prefill executable in fixed blocks (full blocks share ONE
+            # executable; the remainder reuses the bucketed ones)
+            for off in range(0, n, blk):
+                logits = self._replay_prefill(ids[off:off + blk])
+        else:
+            logits = self._replay_prefill(ids)
         self.pos = n
         cur = jnp.argmax(logits).astype(jnp.int32)
         out: list[int] = []

@@ -309,6 +309,7 @@ class Lfm2Model(StandaloneCachedModel):
     _generate_scan_fn = staticmethod(generate_scan_fn)
     _forward_fn = staticmethod(forward_fn)
     _init_caches = staticmethod(init_caches)
+    _decode_step_fn = staticmethod(decode_step_fn)
     _name = "lfm2"
 
     def __init__(self, config: Lfm2Config, params: dict, dtype=jnp.float32):

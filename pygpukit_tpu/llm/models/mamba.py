@@ -17,10 +17,11 @@ Mechanisms (transformers-exact):
 - TPU formulation: prefill runs the recurrence as a PARALLEL
   ``lax.associative_scan`` over (a, b) pairs (h_t = a_t h_{t-1} + b_t is
   associative) — log-depth instead of S sequential steps; decode takes
-  single recurrent steps off the cached state. Memory note: the parallel
-  scan materialises [S, d_inner, N] f32 operands — ~5.4 GB/layer at
-  mamba-2.8b shapes and S=16k; block the prefill into chunks (carrying
-  the state between blocks) before running long contexts at that scale.
+  single recurrent steps off the cached state. The scan materialises
+  [S, d_inner, N] f32 operands (~5.4 GB/layer at mamba-2.8b shapes and
+  S=16k), so prefill is STATEFUL — it continues from the caches argument
+  — and generate() streams long prompts through it in fixed blocks
+  (_prefill_block=4096), bounding the working set to [block, E, N].
 - FalconMamba variant (model_type falcon_mamba): weightless RMS norms on
   B/C/dt before discretisation (mixer_rms_eps), auto-enabled from
   config.json.
@@ -120,10 +121,21 @@ def _selection(cfg: MambaConfig, lp, u):
     return da, dbu, c
 
 
-def _mixer_full(cfg: MambaConfig, lp, x, true_len):
+def _mixer_full(cfg: MambaConfig, lp, x, true_len, conv_state=None,
+                ssm_state=None):
     """Full-block mixer (prefill/forward): parallel associative scan.
+
+    ``conv_state`` [E, K] / ``ssm_state`` [E, N] continue the recurrence
+    from a previous block (blocked long-context prefill): the conv reads
+    its left context from the carried raw-input tail, and the linear
+    recurrence h_t = a_t h_{t-1} + b_t folds the initial state in closed
+    form — h_t += (prod_{i<=t} a_i) * h_init — using the cumulative
+    coefficient the associative scan already produces. Zero states
+    reproduce the unblocked math exactly.
+
     Returns (out [S, E_model], conv_state, ssm_state)."""
     s = x.shape[0]
+    K = cfg.conv_kernel
     proj = _mm(x, lp["w_in"])                                 # [S, 2*d_inner]
     if "b_in" in lp:
         proj = proj + lp["b_in"]
@@ -131,7 +143,13 @@ def _mixer_full(cfg: MambaConfig, lp, x, true_len):
     # zero padded rows BEFORE the conv/state (HF attention_mask semantics)
     valid = (jnp.arange(s) < true_len)[:, None]
     u_raw = jnp.where(valid, u_raw, 0)
-    u = _conv_silu_full(cfg, lp, u_raw)                       # [S, E] f32
+    if conv_state is not None and K > 1:
+        # left context = the last K-1 carried raw inputs
+        ext = jnp.concatenate(
+            [conv_state.T[-(K - 1):].astype(u_raw.dtype), u_raw])
+        u = _conv_silu_full(cfg, lp, ext)[K - 1:]             # [S, E] f32
+    else:
+        u = _conv_silu_full(cfg, lp, u_raw)                   # [S, E] f32
     u = jnp.where(valid, u, 0)
     da, dbu, c = _selection(cfg, lp, u)
     # padded rows must be identity steps: h = 1*h + 0
@@ -144,6 +162,8 @@ def _mixer_full(cfg: MambaConfig, lp, x, true_len):
         return a2 * a1, a2 * b1 + b2
 
     a_acc, h = lax.associative_scan(combine, (da, dbu))       # h [S, E, N]
+    if ssm_state is not None:
+        h = h + a_acc * ssm_state[None]
     y = jnp.einsum("sen,sn->se", h, c,
                    precision=lax.Precision.HIGHEST)           # [S, E] (f32)
     y = y + u * lp["D"].astype(_F32)
@@ -151,10 +171,14 @@ def _mixer_full(cfg: MambaConfig, lp, x, true_len):
     out = _mm(y.astype(x.dtype), lp["w_out"])
     if "b_out" in lp:
         out = out + lp["b_out"]
-    conv_state = conv_state_tail(u_raw, true_len, cfg.conv_kernel,
-                                 x.dtype)                     # [E, K]
-    ssm_state = jnp.take(h, true_len - 1, axis=0)             # [E, N]
-    return out, conv_state, ssm_state
+    if conv_state is not None:
+        # tail over (carried history ++ this block's valid rows)
+        ext_raw = jnp.concatenate([conv_state.T.astype(u_raw.dtype), u_raw])
+        new_conv = conv_state_tail(ext_raw, true_len + K, K, x.dtype)
+    else:
+        new_conv = conv_state_tail(u_raw, true_len, K, x.dtype)  # [E, K]
+    new_ssm = jnp.take(h, true_len - 1, axis=0)               # [E, N]
+    return out, new_conv, new_ssm
 
 
 def _mixer_step(cfg: MambaConfig, lp, x, conv_state, ssm_state):
@@ -204,12 +228,17 @@ def forward_fn(cfg: MambaConfig, p, tokens):
 
 
 def prefill_fn(cfg: MambaConfig, p, caches, tokens, true_len):
-    s = tokens.shape[0]
+    """STATEFUL prefill: continues the recurrence from ``caches`` (zero
+    caches == prefill-from-scratch, bit-identical to the unblocked math).
+    Long prompts can therefore stream through this executable in fixed
+    blocks — the parallel scan then materialises [block, E, N] instead of
+    [S, E, N] (the 16k+ memory note in the module docstring)."""
     h = jnp.take(p["embed"], tokens, axis=0)
     new_caches = []
-    for lp in p["layers"]:
+    for lp, cache in zip(p["layers"], caches):
         x = rmsnorm_fn(h, lp["norm_w"], cfg.norm_eps)
-        mix, conv_state, ssm_state = _mixer_full(cfg, lp, x, true_len)
+        mix, conv_state, ssm_state = _mixer_full(
+            cfg, lp, x, true_len, cache["conv"], cache["ssm"])
         new_caches.append({"conv": conv_state, "ssm": ssm_state})
         h = h + mix
     h = rmsnorm_fn(h, p["final_norm_w"], cfg.norm_eps)
@@ -251,6 +280,12 @@ class MambaModel(StandaloneCachedModel):
     _generate_scan_fn = staticmethod(generate_scan_fn)
     _forward_fn = staticmethod(forward_fn)
     _init_caches = staticmethod(init_caches)
+    _decode_step_fn = staticmethod(decode_step_fn)
+    # stateful prefill: long prompts stream through in 4096-token blocks
+    # (bounds the parallel scan's [S, E, N] working set — at mamba-2.8b
+    # shapes an unblocked 16k prefill would materialise ~5.4 GB/layer)
+    _stateful_prefill = True
+    _prefill_block = 4096
     _name = "mamba"
 
     def __init__(self, config: MambaConfig, params: dict, dtype=jnp.float32):

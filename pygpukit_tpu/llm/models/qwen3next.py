@@ -573,6 +573,7 @@ class Qwen3NextModel(StandaloneCachedModel):
     _generate_scan_fn = staticmethod(generate_scan_fn)
     _forward_fn = staticmethod(forward_fn)
     _init_caches = staticmethod(init_caches)
+    _decode_step_fn = staticmethod(decode_step_fn)
     _name = "qwen3next"
 
     def __init__(self, config: Qwen3NextConfig, params: dict, dtype=jnp.float32):

@@ -887,6 +887,42 @@ class TestMamba:
         assert ours.caches[0]["ssm"].shape == (64, 8)
         assert ours.caches[0]["conv"].shape == (64, 4)
 
+    def test_blocked_prefill_matches(self, tmp_path):
+        """Stateful prefill: streaming the prompt through prefill_fn in
+        blocks (carrying conv+SSM state) matches the one-shot path exactly
+        — the 16k+ long-context memory fix (prefill working set becomes
+        [block, E, N] instead of [S, E, N])."""
+        import jax
+        import jax.numpy as jnp
+        from pygpukit_tpu.llm.models.mamba import (
+            MambaModel, forward_fn, init_caches, prefill_fn)
+        cfg = transformers.MambaConfig(
+            vocab_size=96, hidden_size=32, state_size=8,
+            num_hidden_layers=2, conv_kernel=4, intermediate_size=64,
+            time_step_rank=4, use_conv_bias=True, use_bias=False,
+            pad_token_id=0)
+        torch.manual_seed(38)
+        m = transformers.MambaForCausalLM(cfg).eval()
+        m.save_pretrained(tmp_path, safe_serialization=True)
+        ours = MambaModel.from_safetensors(tmp_path, dtype=jnp.float32)
+        prompt = [1, 7, 23, 5, 9, 2, 40, 11, 3, 8, 30]
+        ref = list(ours.generate(prompt, max_new_tokens=6))
+        # block=4 exercises full blocks + a 3-token remainder, and a block
+        # shorter than conv_kernel history handoff
+        ours.caches = None
+        got = list(ours.generate(prompt, max_new_tokens=6, prefill_block=4))
+        assert got == ref, (got, ref)
+        # functional-level check: two stateful prefill calls == one forward
+        c = ours.config
+        caches = init_caches(c, 16, jnp.float32)
+        pf = jax.jit(lambda cc, t, n: prefill_fn(c, ours.params, cc, t, n))
+        toks = jnp.asarray(prompt, jnp.int32)
+        caches, _ = pf(caches, toks[:6], jnp.int32(6))
+        caches, logits = pf(caches, jnp.pad(toks[6:], (0, 1)), jnp.int32(5))
+        full = forward_fn(c, ours.params, toks)
+        np.testing.assert_allclose(np.asarray(logits), np.asarray(full[-1]),
+                                   rtol=1e-5, atol=1e-5)
+
     def test_falcon_mamba_parity(self, tmp_path):
         """FalconMamba = mamba + weightless RMS norms on B/C/dt before
         discretisation (mixer_rms_eps, auto-detected from model_type)."""
