@@ -455,6 +455,35 @@ def generate_scan_fn(cfg: DeepseekV3Config, n_steps: int, p, ckv_cache,
 class DeepseekV3Model:
     """Parity-grade DeepSeek-V3/R1 model with absorbed-MLA cached decode."""
 
+    _name = "deepseek"
+
+    # -- hybrid-engine hooks (llm/serving_hybrid.py) -------------------------
+    # the engine is pytree-generic: expose the compressed-latent MLA caches
+    # as one {"ckv", "kpe"} pytree so DeepSeek batch-serves through
+    # HybridServingEngine (each slot pins c+dr floats/token, not Hk*D*2)
+
+    @staticmethod
+    def _init_caches(cfg: DeepseekV3Config, max_seq_len: int,
+                     dtype=jnp.float32):
+        return {
+            "ckv": jnp.zeros((cfg.num_layers, max_seq_len, cfg.kv_lora_rank),
+                             dtype),
+            "kpe": jnp.zeros(
+                (cfg.num_layers, max_seq_len, cfg.qk_rope_head_dim), dtype),
+        }
+
+    @staticmethod
+    def _prefill_fn(cfg: DeepseekV3Config, p, caches, tokens, true_len):
+        ckc, kpc, logits = prefill_fn(cfg, p, caches["ckv"], caches["kpe"],
+                                      tokens, true_len)
+        return {"ckv": ckc, "kpe": kpc}, logits
+
+    @staticmethod
+    def _decode_step_fn(cfg: DeepseekV3Config, p, caches, token, pos):
+        ckc, kpc, logits = decode_step_fn(cfg, p, caches["ckv"],
+                                          caches["kpe"], token, pos)
+        return {"ckv": ckc, "kpe": kpc}, logits
+
     def __init__(self, config: DeepseekV3Config, params: dict,
                  dtype=jnp.float32):
         self.config = config

@@ -298,6 +298,29 @@ def generate_scan_fn(cfg: GptOssConfig, n_steps: int, p, k_cache, v_cache,
 class GptOssModel:
     """Parity-grade GPT-OSS model with cached sink-attention decode."""
 
+    _name = "gptoss"
+
+    # -- hybrid-engine hooks (llm/serving_hybrid.py) -------------------------
+    # the engine is pytree-generic: expose the twin stacked KV caches as one
+    # {"k", "v"} pytree so GPT-OSS batch-serves through HybridServingEngine
+
+    @staticmethod
+    def _init_caches(cfg: GptOssConfig, max_seq_len: int, dtype=jnp.float32):
+        shape = (cfg.num_layers, max_seq_len, cfg.num_kv_heads, cfg.head_dim)
+        return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
+
+    @staticmethod
+    def _prefill_fn(cfg: GptOssConfig, p, caches, tokens, true_len):
+        kc, vc, logits = prefill_fn(cfg, p, caches["k"], caches["v"],
+                                    tokens, true_len)
+        return {"k": kc, "v": vc}, logits
+
+    @staticmethod
+    def _decode_step_fn(cfg: GptOssConfig, p, caches, token, pos):
+        kc, vc, logits = decode_step_fn(cfg, p, caches["k"], caches["v"],
+                                        token, pos)
+        return {"k": kc, "v": vc}, logits
+
     def __init__(self, config: GptOssConfig, params: dict,
                  dtype=jnp.float32):
         self.config = config

@@ -47,13 +47,20 @@ from .model import _bucket
 from .serving import EngineStats, Request, _sample_logits
 
 
-def _admit_slot_fn(cfg, init_caches, prefill_fn, temperature, top_k, seed,
-                   max_seq_len, dtype, params, caches_b, tokens, true_len,
+def _admit_slot_fn(cfg, prefill_fn, temperature, top_k, seed,
+                   params, caches_b, single_zeros, tokens, true_len,
                    slot, rid):
     """Prefill one sequence and scatter its cache pytree into slot ``slot``
-    of the batched caches (donated); samples the first token on device."""
-    single = init_caches(cfg, max_seq_len, dtype)
-    single, logits = prefill_fn(cfg, params, single, tokens, true_len)
+    of the batched caches (donated); samples the first token on device.
+
+    ``single_zeros`` (the fresh single-sequence cache) is a RUNTIME argument,
+    not ``init_caches`` zeros materialised in-program: the XLA TPU while-loop
+    simplifier miscompiles the zeros-init + in-loop dynamic_update_slice +
+    scatter-to-batch pattern (flaky "wrong replacement" RET_CHECK at
+    hlo_instruction.cc:3572 when caught; an uninitialised cache tail — Inf
+    rows that NaN the next decode chunk — when not). The engine keeps one
+    never-donated zeros pytree on device and passes it to every admit."""
+    single, logits = prefill_fn(cfg, params, single_zeros, tokens, true_len)
     caches_b = jax.tree.map(
         lambda b, s: lax.dynamic_update_index_in_dim(
             b, s.astype(b.dtype), slot, 0),
@@ -113,6 +120,10 @@ class HybridServingEngine:
             lambda: cls._init_caches(model.config, max_seq_len, model.dtype))
         self._caches = jax.tree.map(
             lambda s: jnp.zeros((max_batch,) + s.shape, s.dtype), proto)
+        # fresh-slot cache passed into every admit replay (never donated);
+        # see _admit_slot_fn for why this cannot be built in-program
+        self._single_zeros = jax.tree.map(
+            lambda s: jnp.zeros(s.shape, s.dtype), proto)
         self._slots: list[Request | None] = [None] * max_batch
         self._queue: list[Request] = []
         self._next_id = 1
@@ -167,18 +178,19 @@ class HybridServingEngine:
         bucket = min(_bucket(max(n, 8)), self.max_seq_len)
         if bucket not in self._prefill_exes:
             fn = functools.partial(
-                _admit_slot_fn, model.config, cls._init_caches,
+                _admit_slot_fn, model.config,
                 cls._prefill_fn, float(self.temperature), int(self.top_k),
-                int(self.seed), int(self.max_seq_len), model.dtype)
+                int(self.seed))
             self._prefill_exes[bucket] = capture(
-                fn, model.params, self._caches,
+                fn, model.params, self._caches, self._single_zeros,
                 jnp.zeros((bucket,), jnp.int32), jnp.int32(1), jnp.int32(0),
                 jnp.int32(0), donate_argnums=(1,),
                 name=f"{cls._name}_serve_prefill_{bucket}")
         padded = np.zeros((bucket,), np.int32)
         padded[:n] = ids
         self._caches, tok = self._prefill_exes[bucket].replay(
-            model.params, self._caches, jnp.asarray(padded), jnp.int32(n),
+            model.params, self._caches, self._single_zeros,
+            jnp.asarray(padded), jnp.int32(n),
             jnp.int32(slot), jnp.int32(req.request_id))
         tok = int(np.asarray(tok))
         self._emit(req, tok)

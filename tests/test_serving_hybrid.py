@@ -65,20 +65,57 @@ def _tiny_qwen3next(tmp_path):
     return Qwen3NextModel.from_safetensors(tmp_path, dtype=jnp.float32)
 
 
+def _tiny_gptoss(tmp_path):
+    from pygpukit_tpu.llm.models.gptoss import GptOssModel
+    cfg = transformers.GptOssConfig(
+        vocab_size=96, hidden_size=32, intermediate_size=48,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=8, num_local_experts=4, num_experts_per_tok=2,
+        sliding_window=8,
+        layer_types=["sliding_attention", "full_attention"],
+        max_position_embeddings=64, tie_word_embeddings=False,
+        pad_token_id=0, attn_implementation="eager")
+    torch.manual_seed(54)
+    transformers.GptOssForCausalLM(cfg).eval().save_pretrained(
+        tmp_path, safe_serialization=True)
+    return GptOssModel.from_safetensors(tmp_path, dtype=jnp.float32)
+
+
+def _tiny_deepseek(tmp_path):
+    from pygpukit_tpu.llm.models.deepseek import DeepseekV3Model
+    cfg = transformers.DeepseekV3Config(
+        vocab_size=96, hidden_size=48, num_hidden_layers=2,
+        num_attention_heads=2, num_key_value_heads=2,
+        q_lora_rank=24, kv_lora_rank=16, qk_rope_head_dim=4,
+        qk_nope_head_dim=8, v_head_dim=8, intermediate_size=64,
+        moe_intermediate_size=32, n_routed_experts=4, n_shared_experts=1,
+        num_experts_per_tok=2, n_group=2, topk_group=1,
+        norm_topk_prob=True, routed_scaling_factor=2.5,
+        first_k_dense_replace=1, max_position_embeddings=64,
+        tie_word_embeddings=False, pad_token_id=0)
+    torch.manual_seed(55)
+    transformers.DeepseekV3ForCausalLM(cfg).eval().save_pretrained(
+        tmp_path, safe_serialization=True)
+    return DeepseekV3Model.from_safetensors(tmp_path, dtype=jnp.float32)
+
+
 BUILDERS = {"mamba": _tiny_mamba, "lfm2": _tiny_lfm2,
-            "qwen3next": _tiny_qwen3next}
+            "qwen3next": _tiny_qwen3next, "gptoss": _tiny_gptoss,
+            "deepseek": _tiny_deepseek}
 
 
 def _reference_streams(model, n_tokens):
     """Single-sequence greedy generate per prompt (fresh cache each run)."""
     outs = []
     for p in PROMPTS:
-        model.caches = None          # force a fresh right-sized cache
+        if hasattr(model, "caches"):
+            model.caches = None      # force a fresh right-sized cache
         outs.append(list(model.generate(p, max_new_tokens=n_tokens)))
     return outs
 
 
-@pytest.mark.parametrize("family", ["mamba", "lfm2", "qwen3next"])
+@pytest.mark.parametrize("family", ["mamba", "lfm2", "qwen3next", "gptoss",
+                                    "deepseek"])
 def test_engine_matches_generate(family, tmp_path):
     """3 concurrent requests (one queued behind a 2-slot table) produce
     exactly the tokens the family's own greedy generate() produces."""
