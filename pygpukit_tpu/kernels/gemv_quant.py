@@ -62,7 +62,11 @@ def _gemv_pallas(w, x, scale, *, bn: int, bk: int, interpret: bool):
         out_shape=jax.ShapeDtypeStruct((rows, n), jnp.bfloat16),
         scratch_shapes=[pltpu.VMEM((rows, bn), _F32)],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary")),
+            dimension_semantics=("parallel", "arbitrary"),
+            # the 2-3 MB adaptive tiles overflow the 16 MB default scoped
+            # VMEM (unpacked bf16 + expanded f32 scales are 4-8x the packed
+            # tile); v5e has 128 MB VMEM (CLAUDE.md)
+            vmem_limit_bytes=100 * 2**20),
         cost_estimate=pl.CostEstimate(
             flops=2 * n * k,
             bytes_accessed=n * k * w.dtype.itemsize + k * 2 + n * 2,
@@ -95,6 +99,24 @@ def gemv_quant(w_q, x, scale=None, bn: int = 1024, bk: int = 1024):
     return out[0, :n]
 
 
+def _unpack_nibbles_bf16(p):
+    """[*, bk] uint8 -> (lo, hi16) bf16: lo is the signed low nibble, hi16
+    the signed high nibble TIMES 16 (callers fold the 1/16 into the other
+    dot operand — a free power-of-2 exponent shift in bf16/f32).
+
+    8-bit-native unpack (measured +63% GEMV stream vs the old int32-shift
+    path, 347 -> 566 GB/s packed): Mosaic legalizes AND/XOR/bitcast/convert
+    at 8 bit but NOT sub/mul/shift (arith.subi/muli/shli fail) or bf16
+    compares — so the low nibble sign-extends via XOR-bias
+    ((u ^ 8) - 8 in bf16) and the high nibble via bitcast reinterpretation
+    (int8(p & 0xF0) IS the signed high nibble * 16)."""
+    lo = (((p & 0x0F) ^ 0x08).astype(jnp.int8).astype(jnp.bfloat16)
+          - jnp.bfloat16(8.0))
+    hi16 = jax.lax.bitcast_convert_type(p & 0xF0, jnp.int8) \
+        .astype(jnp.bfloat16)
+    return lo, hi16
+
+
 def _gemv_packed_kernel(w_ref, xlo_ref, xhi_ref, scale_ref, o_ref, acc_ref,
                         *, n_k: int):
     """Packed-int4 GEMV: w tile [bn, bk_half] uint8, nibbles unpacked to bf16
@@ -107,17 +129,13 @@ def _gemv_packed_kernel(w_ref, xlo_ref, xhi_ref, scale_ref, o_ref, acc_ref,
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    # nibble extraction in int32 (Mosaic cannot legalize 8-bit shifts):
-    # sign-extend low nibble via <<28>>28, high via <<24>>28
-    p32 = w_ref[:].astype(jnp.int32)             # [bn, bk_half]
-    lo = ((p32 << 28) >> 28).astype(jnp.bfloat16)
-    hi = ((p32 << 24) >> 28).astype(jnp.bfloat16)
+    lo, hi16 = _unpack_nibbles_bf16(w_ref[:])    # [bn, bk_half]
     xlo = xlo_ref[:].astype(jnp.bfloat16)        # [rows, bk_half]
-    xhi = xhi_ref[:].astype(jnp.bfloat16)
+    xhi = xhi_ref[:].astype(jnp.bfloat16) * jnp.bfloat16(1.0 / 16.0)
     acc_ref[:] += jax.lax.dot_general(
         xlo, lo, (((1,), (1,)), ((), ())), preferred_element_type=_F32)
     acc_ref[:] += jax.lax.dot_general(
-        xhi, hi, (((1,), (1,)), ((), ())), preferred_element_type=_F32)
+        xhi, hi16, (((1,), (1,)), ((), ())), preferred_element_type=_F32)
 
     @pl.when(ki == n_k - 1)
     def _():
@@ -144,7 +162,11 @@ def _gemv_packed_pallas(w_packed, x_lo, x_hi, scale, *, bn: int,
         out_shape=jax.ShapeDtypeStruct((rows, n), jnp.bfloat16),
         scratch_shapes=[pltpu.VMEM((rows, bn), _F32)],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary")),
+            dimension_semantics=("parallel", "arbitrary"),
+            # the 2-3 MB adaptive tiles overflow the 16 MB default scoped
+            # VMEM (unpacked bf16 + expanded f32 scales are 4-8x the packed
+            # tile); v5e has 128 MB VMEM (CLAUDE.md)
+            vmem_limit_bytes=100 * 2**20),
         cost_estimate=pl.CostEstimate(
             flops=2 * n * k_half * 2,
             bytes_accessed=n * k_half + k_half * 2 * 2 + n * 2,
@@ -153,15 +175,28 @@ def _gemv_packed_pallas(w_packed, x_lo, x_hi, scale, *, bn: int,
     )(w_packed, x_lo, x_hi, scale)
 
 
+def _adaptive_tiles(n: int, k_half: int):
+    """Tile choice for the packed GEMVs: ~2-3 MB packed tiles with minimal
+    N padding (multiples of 128 for the lane-dim out tile). Measured on the
+    277 MB honest-stream harness: bn 2048-2816 x bk_half 1024-1408 runs
+    ~600 GB/s packed vs 393 at the old 512x512 (and 540 at 4096)."""
+    n_tiles = _cdiv(n, 2816)
+    bn = min(_cdiv(_cdiv(n, n_tiles), 128) * 128, n)
+    k_tiles = _cdiv(k_half, 1408)
+    bk_half = min(_cdiv(_cdiv(k_half, k_tiles), 128) * 128, k_half)
+    return max(bn, min(n, 128)), max(bk_half, min(k_half, 128))
+
+
 @functools.partial(jax.jit, static_argnames=("bn", "bk_half"))
-def gemv_int4_packed(w_packed, x, scale=None, bn: int = 512,
-                     bk_half: int = 512):
+def gemv_int4_packed(w_packed, x, scale=None, bn: int | None = None,
+                     bk_half: int | None = None):
     """y[rows,N] = x[rows,K] @ unpack(W_packed[N, K/2]).T with per-column
     scales. Split-half packing: low nibble = W[:, :K/2], high = W[:, K/2:]
     (matches llm/quant.quantize_weight int4 layout transposed to [N, K/2])."""
     n, k_half = w_packed.shape
-    bn = min(bn, n)
-    bk_half = min(bk_half, k_half)
+    abn, abk = _adaptive_tiles(n, k_half)
+    bn = abn if bn is None else min(bn, n)
+    bk_half = abk if bk_half is None else min(bk_half, k_half)
     npad = _cdiv(n, bn) * bn - n
     kpad_half = _cdiv(k_half, bk_half) * bk_half - k_half
     if npad or kpad_half:
@@ -196,9 +231,7 @@ def _gemv_block_kernel(w_ref, xlo_ref, xhi_ref, slo_ref, shi_ref, o_ref,
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    p32 = w_ref[:].astype(jnp.int32)             # [bn, bk_half]
-    lo = ((p32 << 28) >> 28).astype(_F32)
-    hi = ((p32 << 24) >> 28).astype(_F32)
+    lo, hi16 = _unpack_nibbles_bf16(w_ref[:])    # [bn, bk_half]
     half_b = slo_ref.shape[1]                    # FULL scale width (the
     # [bn, half_b] scale tile rides along every ki — Mosaic TPU requires
     # lane-dim tiles be 128-divisible or full-width, and half_b is small)
@@ -210,10 +243,13 @@ def _gemv_block_kernel(w_ref, xlo_ref, xhi_ref, slo_ref, shi_ref, o_ref,
     e = (bb == jb + ki * nb).astype(_F32)
     slo = jax.lax.dot_general(slo_ref[:], e, (((1,), (0,)), ((), ())),
                               preferred_element_type=_F32)
-    shi = jax.lax.dot_general(shi_ref[:], e, (((1,), (0,)), ((), ())),
+    # hi16 carries the high nibble *16 (see _unpack_nibbles_bf16); fold the
+    # exact power-of-2 1/16 into the small pre-expansion scale tile
+    shi = jax.lax.dot_general(shi_ref[:] * (1.0 / 16.0), e,
+                              (((1,), (0,)), ((), ())),
                               preferred_element_type=_F32)
-    wlo = (lo * slo).astype(jnp.bfloat16)
-    whi = (hi * shi).astype(jnp.bfloat16)
+    wlo = (lo.astype(_F32) * slo).astype(jnp.bfloat16)
+    whi = (hi16.astype(_F32) * shi).astype(jnp.bfloat16)
     acc_ref[:] += jax.lax.dot_general(
         xlo_ref[:].astype(jnp.bfloat16), wlo, (((1,), (1,)), ((), ())),
         preferred_element_type=_F32)
@@ -249,7 +285,11 @@ def _gemv_block_pallas(w_packed, x_lo, x_hi, s_lo, s_hi, *, bn: int,
         out_shape=jax.ShapeDtypeStruct((rows, n), jnp.bfloat16),
         scratch_shapes=[pltpu.VMEM((rows, bn), _F32)],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary")),
+            dimension_semantics=("parallel", "arbitrary"),
+            # the 2-3 MB adaptive tiles overflow the 16 MB default scoped
+            # VMEM (unpacked bf16 + expanded f32 scales are 4-8x the packed
+            # tile); v5e has 128 MB VMEM (CLAUDE.md)
+            vmem_limit_bytes=100 * 2**20),
         cost_estimate=pl.CostEstimate(
             flops=2 * n * k_half * 2,
             bytes_accessed=n * k_half + n * k_half // blk * 4 * 2
@@ -260,8 +300,8 @@ def _gemv_block_pallas(w_packed, x_lo, x_hi, s_lo, s_hi, *, bn: int,
 
 
 @functools.partial(jax.jit, static_argnames=("bn", "bk_half"))
-def gemv_int4_block(w_packed, x, scale_block, bn: int = 512,
-                    bk_half: int = 512):
+def gemv_int4_block(w_packed, x, scale_block, bn: int | None = None,
+                    bk_half: int | None = None):
     """y[rows,N] = x[rows,K] @ dequant(W_packed, scale_block).T with
     per-(K-block, column) scales [K/B, N]. Split-half packing as
     gemv_int4_packed; requires B | K/2 (callers fall back to the XLA
@@ -269,8 +309,9 @@ def gemv_int4_block(w_packed, x, scale_block, bn: int = 512,
     n, k_half = w_packed.shape
     k = 2 * k_half
     blk = k // scale_block.shape[0]
-    bn = min(bn, n)
-    bk_half = min(bk_half, k_half)
+    abn, abk = _adaptive_tiles(n, k_half)
+    bn = abn if bn is None else min(bn, n)
+    bk_half = abk if bk_half is None else min(bk_half, k_half)
     if bk_half % blk:
         bk_half = max(blk, bk_half - bk_half % blk)
     npad = _cdiv(n, bn) * bn - n

@@ -909,8 +909,10 @@ def fuse_params(params: dict) -> dict:
     and one [E, 2I] beats two. Dense leaves concatenate directly; quantized
     {"q","scale"} leaves fuse too (per-column scales concatenate along the
     out dim — _mm applies the scale after the dot, so the fused scale row
-    stays exact). int4 ``q_packed`` leaves keep their transposed packed
-    layout and are left unfused. Biases are fused likewise.
+    stays exact). int4 ``q_packed`` leaves fuse along their transposed OUT
+    axis ([L, N, K/2] → concat on N; split-half K packing is per-row, so
+    row concatenation is layout-exact), halving the per-token Pallas GEMV
+    dispatch count. Biases are fused likewise.
     """
     layers = dict(params["layers"])
 
@@ -920,11 +922,30 @@ def fuse_params(params: dict) -> dict:
         leaves = [layers[k] for k in keys]
         if all(not isinstance(v, dict) for v in leaves):
             return True
-        return (all(isinstance(v, dict) and "q" in v for v in leaves)
-                and len({v["q"].dtype for v in leaves}) == 1)
+        if all(isinstance(v, dict) and "q" in v for v in leaves):
+            return len({v["q"].dtype for v in leaves}) == 1
+        if all(isinstance(v, dict) and "q_packed" in v for v in leaves):
+            # same in-dim and same scale granularity concatenate exactly
+            return (len({v["q_packed"].shape[-1] for v in leaves}) == 1
+                    and len({("scale_block" in v) for v in leaves}) == 1
+                    and len({v["scale_block"].shape[-2]
+                             for v in leaves if "scale_block" in v} or {0})
+                    == 1)
+        return False
 
     def cat(keys):
         leaves = [layers.pop(k) for k in keys]
+        if isinstance(leaves[0], dict) and "q_packed" in leaves[0]:
+            fused = {"q_packed": jnp.concatenate(
+                [v["q_packed"] for v in leaves], axis=-2)}
+            if "scale_block" in leaves[0]:
+                fused["scale_block"] = jnp.concatenate(
+                    [v["scale_block"] for v in leaves], axis=-1)
+            else:
+                fused["scale"] = jnp.concatenate(
+                    [v["scale"].astype(jnp.float32) for v in leaves],
+                    axis=-1)
+            return fused
         if isinstance(leaves[0], dict):
             out_dims = [v["q"].shape[-1] for v in leaves]
             scales = [jnp.broadcast_to(

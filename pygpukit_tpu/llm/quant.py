@@ -200,7 +200,7 @@ def dequantize_weight(wq: dict, dtype=jnp.bfloat16) -> jnp.ndarray:
 
 def quantize_model_params(params: dict, mode: str = "fp8",
                           keys: set[str] | None = None,
-                          head: bool = True) -> dict:
+                          head: bool | str = True) -> dict:
     """Quantize the projection weights of a model param pytree in place of
     their dense leaves (reference: load_fp8_weight_direct, quant.py:376 —
     here quantization happens post-load; direct-load of fp8 checkpoints
@@ -214,15 +214,18 @@ def quantize_model_params(params: dict, mode: str = "fp8",
         if k in keys and not isinstance(layers[k], dict):
             layers[k] = quantize_weight(layers[k], mode)
     out["layers"] = layers
-    if (head and mode in ("fp8", "int8")
-            and isinstance(out.get("lm_head"), jnp.ndarray)):
+    if head and isinstance(out.get("lm_head"), jnp.ndarray):
         # Untied lm head: the largest single weight read per decoded token
         # (vocab x hidden — ~170 us/tok at HBM rate on the 1B bench model,
         # round-3 device trace). Per-column scales keep greedy tokens stable
-        # (~0.1% logit RMS); packed-int4 modes keep the head dense — logit
-        # error there shifts greedy order. head=False opts out. Tied-embed
-        # models are untouched (the embed gather shares the table).
-        out["lm_head"] = quantize_weight(out["lm_head"], mode)
+        # (~0.1% logit RMS); packed-int4 modes take an INT8 head — int4
+        # logit error shifts greedy order, int8 is the already-accepted
+        # tradeoff and halves the dense-head read. head=False opts out, a
+        # mode string (head="fp8") overrides. Tied-embed models are
+        # untouched (the embed gather shares the table).
+        head_mode = head if isinstance(head, str) else (
+            "int8" if mode in ("int4", "int4_block", "nvf4") else mode)
+        out["lm_head"] = quantize_weight(out["lm_head"], head_mode)
     return out
 
 

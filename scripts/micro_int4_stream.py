@@ -1,0 +1,163 @@
+"""Honest int4-GEMV stream microbench: 277 MB working set.
+
+The working set MUST exceed VMEM (128 MB): with a single 11.5 MB weight,
+XLA pins it VMEM-resident across chained passes and the "bandwidth" reads
+1200+ GB/s — silently measuring VMEM, not HBM. 24 stacked gate_up mats
+defeat that (the decode regime: every byte read once per token).
+
+Round-3 findings (healthy chip, hbm_stream 756 GB/s):
+  cur   (int32-shift unpack) 512x512:  393 GB/s packed
+  i8xor (AND/XOR/bitcast)    2048x1024: 595
+  i8xor                      2816x1024: 604   <- shipped (adaptive tiles)
+  i8xor                      4096x1024: 540
+Mosaic 8-bit support map (probed): and/xor/bitcast/convert legalize;
+arith.subi/muli/shli at 8/16 bit and bf16 compares do NOT.
+
+Usage: python scripts/micro_int4_stream.py cur:512:512 i8xor:2816:1024
+"""
+import functools
+import sys
+import time
+
+import numpy as np
+
+import pygpukit_tpu as gp
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_F32 = jnp.float32
+_BF16 = jnp.bfloat16
+
+
+def _cdiv(a, b):
+    return -(-a // b)
+
+
+def make_kernel(variant):
+    def kern(w_ref, xlo_ref, xhi_ref, scale_ref, o_ref, acc_ref, *, n_k):
+        ki = pl.program_id(1)
+
+        @pl.when(ki == 0)
+        def _():
+            acc_ref[:] = jnp.zeros_like(acc_ref)
+
+        p = w_ref[:]                                    # [bn, bk_half] uint8
+        xlo = xlo_ref[:].astype(_BF16)
+        xhi = xhi_ref[:].astype(_BF16)
+        if variant == "cur":
+            p32 = p.astype(jnp.int32)
+            lo = ((p32 << 28) >> 28).astype(_BF16)
+            hi = ((p32 << 24) >> 28).astype(_BF16)
+        elif variant == "i8xor":
+            # 8-bit-native unpack (Mosaic supports and/xor/bitcast/convert
+            # at 8 bit): lo via XOR-bias, hi via bitcast = nibble*16 with
+            # the /16 folded into the hi activations
+            lo = (((p & 0x0F) ^ 0x08).astype(jnp.int8).astype(_BF16)
+                  - jnp.bfloat16(8.0))
+            hi = lax.bitcast_convert_type(p & 0xF0, jnp.int8).astype(_BF16)
+            xhi = xhi * jnp.bfloat16(1.0 / 16.0)
+        acc_ref[:] += lax.dot_general(
+            xlo, lo, (((1,), (1,)), ((), ())), preferred_element_type=_F32)
+        acc_ref[:] += lax.dot_general(
+            xhi, hi, (((1,), (1,)), ((), ())), preferred_element_type=_F32)
+
+        @pl.when(ki == n_k - 1)
+        def _():
+            o_ref[:] = (acc_ref[:]
+                        * scale_ref[:].astype(_F32)).astype(o_ref.dtype)
+    return kern
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("variant", "bn", "bk_half"))
+def gemv_v(w_packed, x_lo, x_hi, scale, *, variant, bn, bk_half):
+    n, k_half = w_packed.shape
+    rows = x_lo.shape[0]
+    n_k = _cdiv(k_half, bk_half)
+    kernel = functools.partial(make_kernel(variant), n_k=n_k)
+    return pl.pallas_call(
+        kernel,
+        grid=(_cdiv(n, bn), n_k),
+        in_specs=[
+            pl.BlockSpec((bn, bk_half), lambda ni, ki: (ni, ki)),
+            pl.BlockSpec((rows, bk_half), lambda ni, ki: (0, ki)),
+            pl.BlockSpec((rows, bk_half), lambda ni, ki: (0, ki)),
+            pl.BlockSpec((1, bn), lambda ni, ki: (0, ni)),
+        ],
+        out_specs=pl.BlockSpec((rows, bn), lambda ni, ki: (0, ni)),
+        out_shape=jax.ShapeDtypeStruct((rows, n), _BF16),
+        scratch_shapes=[pltpu.VMEM((rows, bn), _F32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n * k_half * 2,
+            bytes_accessed=n * k_half + k_half * 2 * 2 + n * 2,
+            transcendentals=0),
+    )(w_packed, x_lo, x_hi, scale)
+
+
+# 24 stacked gate_up mats -> one giant N (277 MB packed, >> 128MB VMEM)
+NL, N1, K = 24, 11264, 2048
+N = NL * N1
+KH = K // 2
+rng = np.random.default_rng(0)
+wp = jnp.asarray(rng.integers(0, 256, (N, KH), dtype=np.uint8))
+x = jnp.asarray(rng.standard_normal((8, KH)).astype(np.float32),
+                dtype=_BF16)
+sc = jnp.asarray(rng.standard_normal((1, N)).astype(np.float32))
+
+# correctness on a small slice
+p_s = np.asarray(wp[:N1]).astype(np.int32)
+lo_r = ((p_s << 28) >> 28).astype(np.float32)
+hi_r = ((p_s << 24) >> 28).astype(np.float32)
+xf = np.asarray(x, np.float32)
+want_s = (xf @ lo_r.T + xf @ hi_r.T) * np.asarray(sc[:, :N1])
+
+
+@functools.partial(jax.jit, static_argnames=("variant", "bn", "bk_half",
+                                             "passes"))
+def chained(wp, x, sc, *, variant, bn, bk_half, passes):
+    def body(i, carry):
+        xdep = x * (1 + 0 * carry)
+        y = gemv_v(wp, xdep, xdep, sc, variant=variant, bn=bn,
+                   bk_half=bk_half)
+        return y[0, 0].astype(_BF16)
+    return lax.fori_loop(0, passes, body, jnp.bfloat16(0))
+
+
+def timeit(variant, bn, bk_half):
+    try:
+        y = gemv_v(wp, x, x, sc, variant=variant, bn=bn, bk_half=bk_half)
+        err = np.abs(np.asarray(y[:, :N1], np.float32) - want_s).max() / (
+            np.abs(want_s).max() + 1e-9)
+        for ps in (4, 36):
+            np.asarray(chained(wp, x, sc, variant=variant, bn=bn,
+                               bk_half=bk_half, passes=ps)).reshape(-1)[:1]
+        dts = []
+        for _ in range(4):
+            ts = {}
+            for ps in (4, 36):
+                t0 = time.perf_counter()
+                np.asarray(chained(wp, x, sc, variant=variant, bn=bn,
+                                   bk_half=bk_half, passes=ps)).reshape(-1)[:1]
+                ts[ps] = time.perf_counter() - t0
+            dts.append((ts[36] - ts[4]) / 32)
+        dt = sorted(dts)[1]
+        gbps = N * KH / dt / 1e9
+        print(f"{variant} bn={bn} bk_half={bk_half}: {dt*1e6:.0f} us/pass "
+              f"(277MB), {gbps:.0f} GB/s packed, relerr={err:.3e}",
+              flush=True)
+    except Exception as e:
+        import re
+        msg = str(e)
+        hits = (re.findall(r"Mosaic failed[^\n\"'\\]*", msg)
+                or [msg[:150]])
+        print(f"{variant} bn={bn} bk={bk_half}: FAIL {hits[0]}", flush=True)
+
+
+for spec in sys.argv[1:]:
+    v, bn, bkh = spec.split(":")
+    timeit(v, int(bn), int(bkh))

@@ -193,20 +193,36 @@ class TestQuantizedFusion:
         np.testing.assert_allclose(lf, lu, rtol=2e-2, atol=2e-2)
         assert (np.argmax(lu, -1) == np.argmax(lf, -1)).all()
 
-    def test_int4_packed_not_fused(self):
+    @pytest.mark.parametrize("mode", ["int4", "int4_block"])
+    def test_int4_packed_fuses_and_matches(self, mode):
+        """Packed leaves fuse along the transposed OUT axis (q_packed on N,
+        scales on their column axis) — fused logits must match unfused
+        exactly (same dequantized values, same dot shapes after the
+        column split)."""
         import jax.numpy as jnp
         from pygpukit_tpu.llm.config import TransformerConfig
-        from pygpukit_tpu.llm.model import fuse_params, init_params
+        from pygpukit_tpu.llm.model import (
+            CausalTransformerModel, fuse_params, init_params,
+        )
         from pygpukit_tpu.llm.quant import quantize_model_params
         cfg = TransformerConfig(
             vocab_size=97, hidden_size=64, num_layers=2, num_heads=4,
             num_kv_heads=2, intermediate_size=128,
-            max_position_embeddings=128)
+            max_position_embeddings=128, tie_word_embeddings=False)
         qp = quantize_model_params(
-            init_params(cfg, seed=2, dtype=jnp.bfloat16), "int4")
-        fused = fuse_params(qp)
-        assert "w_qkv" not in fused["layers"]      # packed layout unfusable
-        assert "w_q" in fused["layers"]
+            init_params(cfg, seed=2, dtype=jnp.float32), mode)
+        fused = fuse_params({k: (dict(v) if isinstance(v, dict) else v)
+                             for k, v in qp.items()})
+        assert "w_qkv" in fused["layers"]
+        assert "w_gate_up" in fused["layers"]
+        assert "q_packed" in fused["layers"]["w_qkv"]
+        ids = [3, 17, 42, 7]
+        lu = CausalTransformerModel(cfg, qp, dtype=jnp.float32).get_logits(
+            ids)
+        lf = CausalTransformerModel(cfg, fused,
+                                    dtype=jnp.float32).get_logits(ids)
+        np.testing.assert_allclose(np.asarray(lf), np.asarray(lu),
+                                   rtol=2e-5, atol=2e-5)
 
 
 class TestW8A8:
@@ -312,7 +328,8 @@ class TestQuantizedHead:
     """Untied lm_head joins int8/fp8 quantization (round 3): it is the
     largest single weight read per decoded token (vocab x hidden — measured
     ~170 us/tok bf16 at HBM rate on the 1B model in the round-3 device
-    trace, exactly halved by int8). Packed-int4 modes keep the head dense."""
+    trace, exactly halved by int8). Packed-int4 modes take an int8 head
+    (int4 logit error shifts greedy order; int8 is the accepted tradeoff)."""
 
     @pytest.fixture(scope="class")
     def ucfg(self):
@@ -326,9 +343,13 @@ class TestQuantizedHead:
         up = init_params(ucfg, seed=2, dtype=jnp.bfloat16)
         assert isinstance(quantize_model_params(up, "int8")["lm_head"], dict)
         assert isinstance(quantize_model_params(up, "fp8")["lm_head"], dict)
-        # packed-int4 and explicit opt-out keep the head dense
-        assert not isinstance(
-            quantize_model_params(up, "int4")["lm_head"], dict)
+        # packed-int4 modes take an int8 head (NOT packed-int4: greedy
+        # order must hold); explicit opt-out keeps it dense
+        i4_head = quantize_model_params(up, "int4")["lm_head"]
+        assert isinstance(i4_head, dict) and "q" in i4_head
+        assert i4_head["q"].dtype == jnp.int8
+        fp8_head = quantize_model_params(up, "int4", head="fp8")["lm_head"]
+        assert fp8_head["q"].dtype == jnp.float8_e4m3fn
         assert not isinstance(
             quantize_model_params(up, "int8", head=False)["lm_head"], dict)
         # tied embeddings: nothing to quantize
