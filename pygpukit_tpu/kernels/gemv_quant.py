@@ -175,6 +175,107 @@ def _gemv_packed_pallas(w_packed, x_lo, x_hi, scale, *, bn: int,
     )(w_packed, x_lo, x_hi, scale)
 
 
+def _gemv_packed_stacked_kernel(idx_ref, w_ref, xlo_ref, xhi_ref, scale_ref,
+                                o_ref, acc_ref, *, n_k: int):
+    """Stacked-layer packed-int4 GEMV: same math as _gemv_packed_kernel,
+    but the weight operand is the WHOLE [L, N, K/2] stack and the layer is
+    selected by the scalar-prefetch index_maps. Rationale: a Pallas operand
+    cannot absorb a dynamic layer slice the way XLA dots do — the sliced
+    form materializes a full copy of every projection every decode step
+    (device-traced at 761 us of the 1B int4 decode's 1.94 ms/tok)."""
+    ki = pl.program_id(1)
+
+    @pl.when(ki == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    lo, hi16 = _unpack_nibbles_bf16(w_ref[0])    # [bn, bk_half]
+    xlo = xlo_ref[:].astype(jnp.bfloat16)        # [rows, bk_half]
+    xhi = xhi_ref[:].astype(jnp.bfloat16) * jnp.bfloat16(1.0 / 16.0)
+    acc_ref[:] += jax.lax.dot_general(
+        xlo, lo, (((1,), (1,)), ((), ())), preferred_element_type=_F32)
+    acc_ref[:] += jax.lax.dot_general(
+        xhi, hi16, (((1,), (1,)), ((), ())), preferred_element_type=_F32)
+
+    @pl.when(ki == n_k - 1)
+    def _():
+        o_ref[:] = (acc_ref[:]
+                    * scale_ref[0].astype(_F32)).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("bn", "bk_half", "interpret"))
+def _gemv_packed_stacked_pallas(w_stack, idx, x_lo, x_hi, scale_stack, *,
+                                bn: int, bk_half: int, interpret: bool):
+    n_layers, n, k_half = w_stack.shape
+    rows = x_lo.shape[0]
+    n_k = _cdiv(k_half, bk_half)
+    kernel = functools.partial(_gemv_packed_stacked_kernel, n_k=n_k)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(_cdiv(n, bn), n_k),
+            in_specs=[
+                pl.BlockSpec((1, bn, bk_half),
+                             lambda ni, ki, idx: (idx[0], ni, ki)),
+                pl.BlockSpec((rows, bk_half), lambda ni, ki, idx: (0, ki)),
+                pl.BlockSpec((rows, bk_half), lambda ni, ki, idx: (0, ki)),
+                pl.BlockSpec((1, 1, bn), lambda ni, ki, idx: (idx[0], 0, ni)),
+            ],
+            out_specs=pl.BlockSpec((rows, bn), lambda ni, ki, idx: (0, ni)),
+            scratch_shapes=[pltpu.VMEM((rows, bn), _F32)],
+        ),
+        out_shape=jax.ShapeDtypeStruct((rows, n), jnp.bfloat16),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=100 * 2**20),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n * k_half * 2,
+            bytes_accessed=n * k_half + k_half * 2 * 2 + n * 2,
+            transcendentals=0),
+        interpret=interpret,
+    )(jnp.asarray(idx, jnp.int32).reshape(1), w_stack, x_lo, x_hi,
+      scale_stack)
+
+
+def gemv_int4_packed_stacked(w_stack, idx, x, scale_stack,
+                             bn: int | None = None,
+                             bk_half: int | None = None):
+    """y[rows, N] for layer ``idx`` of a stacked packed-int4 weight
+    [L, N, K/2] with stacked per-column scales [L, 1, N] — zero weight
+    copies (the layer tile is DMA'd straight from the stack via
+    scalar-prefetch index maps).
+
+    Requires exact tiling (no N/K padding — padding a stack per call would
+    reintroduce the copy this kernel exists to avoid); callers gate on
+    ``stacked_tiles_exact`` and fall back to the sliced form otherwise."""
+    n_layers, n, k_half = w_stack.shape
+    abn, abk = _adaptive_tiles(n, k_half)
+    bn = abn if bn is None else min(bn, n)
+    bk_half = abk if bk_half is None else min(bk_half, k_half)
+    if n % bn or k_half % bk_half:
+        raise ValueError(
+            f"stacked int4 GEMV needs exact tiling: N={n} bn={bn}, "
+            f"K/2={k_half} bk_half={bk_half}")
+    rows = x.shape[0] if x.ndim == 2 else 1
+    xr = x.reshape(rows, -1).astype(jnp.bfloat16)
+    rpad = max(8 - rows, 0)
+    x_lo = jnp.pad(xr[:, :k_half], ((0, rpad), (0, 0)))
+    x_hi = jnp.pad(xr[:, k_half:k_half * 2], ((0, rpad), (0, 0)))
+    sc = scale_stack.reshape(n_layers, 1, n).astype(_F32)
+    out = _gemv_packed_stacked_pallas(w_stack, idx, x_lo, x_hi, sc, bn=bn,
+                                      bk_half=bk_half,
+                                      interpret=interpret_mode())
+    return out[:max(rows, 1), :n][:rows]
+
+
+def stacked_tiles_exact(n: int, k_half: int) -> bool:
+    """True when the adaptive tiles divide [N, K/2] exactly (the stacked
+    GEMV's no-padding precondition)."""
+    bn, bk_half = _adaptive_tiles(n, k_half)
+    return n % bn == 0 and k_half % bk_half == 0
+
+
 def _adaptive_tiles(n: int, k_half: int):
     """Tile choice for the packed GEMVs: ~2-3 MB packed tiles with minimal
     N padding (multiples of 128 for the lane-dim out tile). Measured on the

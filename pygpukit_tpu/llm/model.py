@@ -95,17 +95,42 @@ def _mm(x, w, out_dtype=None, int8_mode=None):
             import os
             from ..core.backend import get_backend
             packed = w["q_packed"]                     # [N, K/2] transposed
+            idx = w.get("_idx")       # set by _slice_layer_params: packed
+            # leaves arrive STACKED [L, N, K/2] with the layer index, so the
+            # Pallas kernel can select the layer via scalar prefetch instead
+            # of a materialized dynamic-slice copy (761 us/tok on 1B int4)
             blocked = "scale_block" in w               # NVF4-analog leaves
+            env_pallas = (os.environ.get("PYGPUKIT_INT4_GEMV", "pallas")
+                          == "pallas")
+            on_tpu = get_backend().platform == "tpu"
+            if idx is not None and packed.ndim == 3:
+                from ..kernels.gemv_quant import stacked_tiles_exact
+                n3, kh3 = packed.shape[-2], packed.shape[-1]
+                if (env_pallas and on_tpu and not blocked
+                        and x.shape[0] <= 8
+                        and x.shape[-1] == 2 * kh3
+                        and n3 * kh3 >= (1 << 19)
+                        and stacked_tiles_exact(n3, kh3)):
+                    from ..kernels.gemv_quant import gemv_int4_packed_stacked
+                    y = gemv_int4_packed_stacked(packed, idx, x, w["scale"])
+                    return y.astype(out_dtype)
+                # fallback: slice the layer here (same as the caller would
+                # have) and continue through the 2-D paths below
+                packed = lax.dynamic_index_in_dim(packed, idx, 0,
+                                                  keepdims=False)
+                w = {k: (lax.dynamic_index_in_dim(v, idx, 0, keepdims=False)
+                         if k != "_idx" and v.ndim > 2 else v)
+                     for k, v in w.items() if k != "_idx"}
             blk_ok = (not blocked or (packed.shape[-1]
                                       % (x.shape[-1]
                                          // w["scale_block"].shape[-2]) == 0))
-            if (os.environ.get("PYGPUKIT_INT4_GEMV", "pallas") == "pallas"
+            if (env_pallas
                     and x.shape[0] <= 8 and packed.ndim == 2
                     and x.shape[-1] == 2 * packed.shape[-1]   # no pack padding
                     and packed.size >= (1 << 19)   # tiny mats: XLA (a Mosaic
                     # compile costs ~3 min over the tunnel; sub-512KB weights
                     # are dispatch-bound either way)
-                    and blk_ok and get_backend().platform == "tpu"):
+                    and blk_ok and on_tpu):
                 # Pallas in-register nibble unpack: streams packed uint8 from
                 # HBM (4x less traffic than bf16), unpacks in VMEM
                 if blocked:
@@ -493,7 +518,8 @@ def forward_fn(cfg: TransformerConfig, params, tokens):
 # Cached prefill + decode
 # ---------------------------------------------------------------------------
 
-def prefill_fn(cfg: TransformerConfig, params, k_cache, v_cache, tokens, true_len):
+def prefill_fn(cfg: TransformerConfig, params, k_cache, v_cache, tokens,
+               true_len):
     """Prefill padded ``tokens`` [S_pad]; write caches; return last logits.
 
     k_cache/v_cache: [L, MAX, Hk, D]. true_len: traced scalar — positions
@@ -513,9 +539,7 @@ def prefill_fn(cfg: TransformerConfig, params, k_cache, v_cache, tokens, true_le
     # arrays per call — see decode_step_fn for the trace that found this.
     def body(i, st):
         h, kc_all, vc_all = st
-        lp = jax.tree.map(
-            lambda a: lax.dynamic_index_in_dim(a, i, 0, keepdims=False),
-            params["layers"])
+        lp = _slice_layer_params(params["layers"], i)
         x = _attn_in(cfg, lp, h)
         q, k, v = _project_qkv(cfg, lp, x)
         if cfg.use_rope:
@@ -674,6 +698,27 @@ def _scan_unroll() -> int:
     return max(1, int(os.environ.get("PYGPUKIT_SCAN_UNROLL", "1")))
 
 
+def _slice_layer_params(layers, i):
+    """Per-layer view of the stacked [L, ...] leaves.
+
+    Packed-int4 dicts stay STACKED with the layer index attached
+    (``_idx``): a Pallas operand cannot absorb a dynamic layer slice the
+    way XLA dots do, so the sliced form materializes a full copy of every
+    projection every decode step — device-traced at 761 us/tok of the 1B
+    int4 decode's 1.94 ms. _mm routes stacked dicts through the
+    scalar-prefetch GEMV instead (bitwise-identical to the sliced kernel,
+    measured — including under the serving engine's vmap)."""
+    def sl(a):
+        return lax.dynamic_index_in_dim(a, i, 0, keepdims=False)
+    out = {}
+    for k, v in layers.items():
+        if isinstance(v, dict) and "q_packed" in v:
+            out[k] = dict(v, _idx=i)
+        else:
+            out[k] = jax.tree.map(sl, v)
+    return out
+
+
 def decode_step_fn(cfg: TransformerConfig, params, k_cache, v_cache, token,
                    pos, allow_fused: bool = True):
     """One decode step: token scalar, pos scalar -> (k_cache, v_cache, logits).
@@ -704,9 +749,7 @@ def decode_step_fn(cfg: TransformerConfig, params, k_cache, v_cache, token,
     # row into the donated buffers and attends against its own slice.
     def body(i, st):
         h, kc_all, vc_all = st
-        lp = jax.tree.map(
-            lambda a: lax.dynamic_index_in_dim(a, i, 0, keepdims=False),
-            params["layers"])
+        lp = _slice_layer_params(params["layers"], i)
         x = _attn_in(cfg, lp, h)
         q, k, v = _project_qkv(cfg, lp, x)                       # [1,H,D]
         if cfg.use_rope:
@@ -767,9 +810,7 @@ def decode_window_fn(cfg: TransformerConfig, params, k_cache, v_cache,
     # full-cache copies (see decode_step_fn)
     def body(i, st):
         h, kc_all, vc_all = st
-        lp = jax.tree.map(
-            lambda a: lax.dynamic_index_in_dim(a, i, 0, keepdims=False),
-            params["layers"])
+        lp = _slice_layer_params(params["layers"], i)
         x = _attn_in(cfg, lp, h)
         q, k, v = _project_qkv(cfg, lp, x)                       # [T,H,D]
         if cfg.use_rope:

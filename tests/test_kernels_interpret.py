@@ -46,6 +46,31 @@ def test_gemv_int4_packed_interpret(rng):
     assert rel < 2e-2, rel
 
 
+def test_gemv_int4_packed_stacked_interpret(rng):
+    """Stacked-layer GEMV (scalar-prefetch layer select) matches the sliced
+    kernel for every layer index."""
+    from pygpukit_tpu.kernels.gemv_quant import (
+        gemv_int4_packed, gemv_int4_packed_stacked,
+    )
+    L, n, k = 3, 256, 256
+    w = rng.standard_normal((L, n, k)).astype(np.float32)
+    scale = (np.abs(w).max(axis=2, keepdims=True) / 7.0).astype(np.float32)
+    q = np.clip(np.round(w / scale), -7, 7).astype(np.int8)
+    lo = q[:, :, :k // 2] & 0xF
+    hi = q[:, :, k // 2:] & 0xF
+    packed = jnp.asarray((lo | (hi << 4)).astype(np.uint8))   # [L, N, K/2]
+    sc3 = jnp.asarray(np.swapaxes(scale, 1, 2))               # [L, 1, N]
+    x = rng.standard_normal(k).astype(np.float32)
+    for i in range(L):
+        y = np.asarray(gemv_int4_packed_stacked(
+            packed, jnp.int32(i), jnp.asarray(x), sc3,
+            bn=128, bk_half=128), np.float32)
+        ref = np.asarray(gemv_int4_packed(
+            packed[i], jnp.asarray(x), jnp.asarray(scale[i, :, 0]),
+            bn=128, bk_half=128), np.float32)
+        np.testing.assert_allclose(y, ref, rtol=1e-6, atol=1e-6)
+
+
 def test_pallas_gemm_interpret(rng):
     from pygpukit_tpu.kernels.gemm import gemm
     a = jnp.asarray(rng.standard_normal((256, 256)), jnp.float32)

@@ -143,3 +143,37 @@ def test_gemv_int4_packed(rng):
     ref = (q.astype(np.float32) * scale) @ x
     rel = np.abs(y[0] - ref).max() / np.abs(ref).max()
     assert rel < 2e-2, rel
+
+
+def test_gemv_int4_packed_stacked(rng):
+    """Stacked scalar-prefetch GEMV == sliced kernel BITWISE, per layer and
+    under vmap (the decode path streams layer tiles straight from the
+    [L, N, K/2] stack — no materialized slice copies)."""
+    import jax
+    import jax.numpy as jnp
+    from pygpukit_tpu.kernels.gemv_quant import (
+        gemv_int4_packed, gemv_int4_packed_stacked,
+    )
+    L, n, k = 3, 2048, 2048
+    w = rng.standard_normal((L, n, k)).astype(np.float32)
+    scale = (np.abs(w).max(axis=2, keepdims=True) / 7.0).astype(np.float32)
+    q = np.clip(np.round(w / scale), -7, 7).astype(np.int8)
+    lo = q[:, :, :k // 2] & 0xF
+    hi = q[:, :, k // 2:] & 0xF
+    packed = jnp.asarray((lo | (hi << 4)).astype(np.uint8))
+    sc3 = jnp.asarray(np.swapaxes(scale, 1, 2))               # [L, 1, N]
+    x = rng.standard_normal(k).astype(np.float32)
+    for i in (0, 2):
+        y = np.asarray(gemv_int4_packed_stacked(
+            packed, jnp.int32(i), jnp.asarray(x), sc3), np.float32)
+        ref = np.asarray(gemv_int4_packed(
+            packed[i], jnp.asarray(x), jnp.asarray(scale[i, :, 0])),
+            np.float32)
+        np.testing.assert_array_equal(y, ref)
+    # vmap batching (the serving chunk) must also be bitwise
+    xs = jnp.asarray(rng.standard_normal((4, 1, k)).astype(np.float32),
+                     dtype=jnp.bfloat16)
+    f = lambda xv: gemv_int4_packed_stacked(packed, jnp.int32(1), xv, sc3)
+    yv = np.asarray(jax.jit(jax.vmap(f))(xs))
+    yl = np.stack([np.asarray(jax.jit(f)(xs[b])) for b in range(4)])
+    np.testing.assert_array_equal(yv, yl)
