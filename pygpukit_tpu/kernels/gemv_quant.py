@@ -269,10 +269,16 @@ def gemv_int4_packed_stacked(w_stack, idx, x, scale_stack,
     return out[:max(rows, 1), :n][:rows]
 
 
-def stacked_tiles_exact(n: int, k_half: int) -> bool:
+def stacked_tiles_exact(n: int, k_half: int, blk: int | None = None) -> bool:
     """True when the adaptive tiles divide [N, K/2] exactly (the stacked
-    GEMV's no-padding precondition)."""
+    GEMVs' no-padding precondition); with ``blk``, also applies the block
+    kernel's bk adjustment (blk must divide the K-tile)."""
     bn, bk_half = _adaptive_tiles(n, k_half)
+    if blk is not None:
+        if blk > k_half or k_half % blk:
+            return False
+        if bk_half % blk:
+            bk_half = max(blk, bk_half - bk_half % blk)
     return n % bn == 0 and k_half % bk_half == 0
 
 
@@ -314,6 +320,127 @@ def gemv_int4_packed(w_packed, x, scale=None, bn: int | None = None,
     sc = jnp.pad(scale.reshape(1, -1).astype(_F32), ((0, 0), (0, npad)))
     out = _gemv_packed_pallas(w_packed, x_lo, x_hi, sc, bn=bn,
                               bk_half=bk_half, interpret=interpret_mode())
+    return out[:max(rows, 1), :n][:rows]
+
+
+def _gemv_block_stacked_kernel(idx_ref, w_ref, xlo_ref, xhi_ref, s_ref,
+                               o_ref, acc_ref, *, n_k: int, blk: int):
+    """Stacked block-scaled packed-int4 GEMV. Differences from the sliced
+    kernel beyond the scalar-prefetch layer select:
+    - scales arrive in their NATIVE [K/B, N] orientation (no per-call
+      host transpose of the whole scale stack), riding FULL-height
+      (a per-K-tile ``nb`` window is not sublane-aligned for every shape —
+      e.g. nb=44 on the 1B down projection); the ki-offset lives in the
+      expansion iota, and the dot contracts the block axis directly:
+      dot_general(s [K/B, bn], e [K/B, bk]) -> [bn, bk].
+    - hi16 carries the high nibble *16 (see _unpack_nibbles_bf16); the
+      exact 1/16 folds into the hi expansion matrix.
+    """
+    ki = pl.program_id(1)
+
+    @pl.when(ki == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    lo, hi16 = _unpack_nibbles_bf16(w_ref[0])    # [bn, bk_half]
+    bk_half = w_ref.shape[2]
+    nb = bk_half // blk                          # blocks per K-tile
+    kb_full = s_ref.shape[1]                     # total K/B rows (lo + hi)
+    # E[b, j] = 1 iff lane j of THIS K-tile belongs to global block row b
+    jb = jax.lax.broadcasted_iota(jnp.int32, (kb_full, bk_half), 1) // blk
+    bb = jax.lax.broadcasted_iota(jnp.int32, (kb_full, bk_half), 0)
+    half = kb_full // 2
+    e_lo = (bb == jb + ki * nb).astype(_F32)
+    e_hi = (bb == jb + half + ki * nb).astype(_F32) * _F32(1.0 / 16.0)
+    s = s_ref[0]                                 # [K/B, bn]
+    slo = jax.lax.dot_general(s, e_lo, (((0,), (0,)), ((), ())),
+                              preferred_element_type=_F32)   # [bn, bk]
+    shi = jax.lax.dot_general(s, e_hi, (((0,), (0,)), ((), ())),
+                              preferred_element_type=_F32)
+    wlo = (lo.astype(_F32) * slo).astype(jnp.bfloat16)
+    whi = (hi16.astype(_F32) * shi).astype(jnp.bfloat16)
+    acc_ref[:] += jax.lax.dot_general(
+        xlo_ref[:].astype(jnp.bfloat16), wlo, (((1,), (1,)), ((), ())),
+        preferred_element_type=_F32)
+    acc_ref[:] += jax.lax.dot_general(
+        xhi_ref[:].astype(jnp.bfloat16), whi, (((1,), (1,)), ((), ())),
+        preferred_element_type=_F32)
+
+    @pl.when(ki == n_k - 1)
+    def _():
+        o_ref[:] = acc_ref[:].astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("bn", "bk_half", "blk",
+                                             "interpret"))
+def _gemv_block_stacked_pallas(w_stack, idx, x_lo, x_hi, s_stack, *,
+                               bn: int, bk_half: int, blk: int,
+                               interpret: bool):
+    n_layers, n, k_half = w_stack.shape
+    rows = x_lo.shape[0]
+    n_k = _cdiv(k_half, bk_half)
+    kb_full = s_stack.shape[1]
+    kernel = functools.partial(_gemv_block_stacked_kernel, n_k=n_k, blk=blk)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(_cdiv(n, bn), n_k),
+            in_specs=[
+                pl.BlockSpec((1, bn, bk_half),
+                             lambda ni, ki, idx: (idx[0], ni, ki)),
+                pl.BlockSpec((rows, bk_half), lambda ni, ki, idx: (0, ki)),
+                pl.BlockSpec((rows, bk_half), lambda ni, ki, idx: (0, ki)),
+                # scale_block stays [L, K/B, N], riding FULL-height (a
+                # per-K-tile nb window is not sublane-aligned for every
+                # shape); the kernel's expansion iota applies the ki offset
+                pl.BlockSpec((1, kb_full, bn),
+                             lambda ni, ki, idx: (idx[0], 0, ni)),
+            ],
+            out_specs=pl.BlockSpec((rows, bn), lambda ni, ki, idx: (0, ni)),
+            scratch_shapes=[pltpu.VMEM((rows, bn), _F32)],
+        ),
+        out_shape=jax.ShapeDtypeStruct((rows, n), jnp.bfloat16),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=100 * 2**20),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n * k_half * 2,
+            bytes_accessed=n * k_half + n * k_half // blk * 4 * 2
+            + k_half * 2 * 2 + n * 2,
+            transcendentals=0),
+        interpret=interpret,
+    )(jnp.asarray(idx, jnp.int32).reshape(1), w_stack, x_lo, x_hi, s_stack)
+
+
+def gemv_int4_block_stacked(w_stack, idx, x, scale_block_stack,
+                            bn: int | None = None,
+                            bk_half: int | None = None):
+    """y[rows, N] for layer ``idx`` of a stacked block-scaled packed-int4
+    weight [L, N, K/2] with NATIVE-orientation scales [L, K/B, N] — zero
+    weight copies and zero scale transposes. Requires exact tiling and
+    blk | bk_half; callers gate and fall back to the sliced form."""
+    n_layers, n, k_half = w_stack.shape
+    k = 2 * k_half
+    blk = k // scale_block_stack.shape[-2]
+    abn, abk = _adaptive_tiles(n, k_half)
+    bn = abn if bn is None else min(bn, n)
+    bk_half = abk if bk_half is None else min(bk_half, k_half)
+    if bk_half % blk:
+        bk_half = max(blk, bk_half - bk_half % blk)
+    if n % bn or k_half % bk_half:
+        raise ValueError(
+            f"stacked int4_block GEMV needs exact tiling: N={n} bn={bn}, "
+            f"K/2={k_half} bk_half={bk_half}")
+    rows = x.shape[0] if x.ndim == 2 else 1
+    xr = x.reshape(rows, -1).astype(jnp.bfloat16)
+    rpad = max(8 - rows, 0)
+    x_lo = jnp.pad(xr[:, :k_half], ((0, rpad), (0, 0)))
+    x_hi = jnp.pad(xr[:, k_half:k_half * 2], ((0, rpad), (0, 0)))
+    out = _gemv_block_stacked_pallas(
+        w_stack, idx, x_lo, x_hi,
+        scale_block_stack.astype(_F32), bn=bn, bk_half=bk_half, blk=blk,
+        interpret=interpret_mode())
     return out[:max(rows, 1), :n][:rows]
 
 

@@ -106,13 +106,25 @@ def _mm(x, w, out_dtype=None, int8_mode=None):
             if idx is not None and packed.ndim == 3:
                 from ..kernels.gemv_quant import stacked_tiles_exact
                 n3, kh3 = packed.shape[-2], packed.shape[-1]
-                if (env_pallas and on_tpu and not blocked
+                blk3 = (2 * kh3 // w["scale_block"].shape[-2] if blocked
+                        else None)
+                if (env_pallas and on_tpu
                         and x.shape[0] <= 8
                         and x.shape[-1] == 2 * kh3
                         and n3 * kh3 >= (1 << 19)
-                        and stacked_tiles_exact(n3, kh3)):
-                    from ..kernels.gemv_quant import gemv_int4_packed_stacked
-                    y = gemv_int4_packed_stacked(packed, idx, x, w["scale"])
+                        and stacked_tiles_exact(n3, kh3, blk3)):
+                    if blocked:
+                        from ..kernels.gemv_quant import (
+                            gemv_int4_block_stacked,
+                        )
+                        y = gemv_int4_block_stacked(packed, idx, x,
+                                                    w["scale_block"])
+                    else:
+                        from ..kernels.gemv_quant import (
+                            gemv_int4_packed_stacked,
+                        )
+                        y = gemv_int4_packed_stacked(packed, idx, x,
+                                                     w["scale"])
                     return y.astype(out_dtype)
                 # fallback: slice the layer here (same as the caller would
                 # have) and continue through the 2-D paths below

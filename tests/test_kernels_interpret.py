@@ -71,6 +71,29 @@ def test_gemv_int4_packed_stacked_interpret(rng):
         np.testing.assert_allclose(y, ref, rtol=1e-6, atol=1e-6)
 
 
+def test_gemv_int4_block_stacked_interpret(rng):
+    """Stacked block-scaled GEMV (native [K/B, N] scales, scalar-prefetch
+    layer select) matches the sliced block kernel per layer."""
+    import jax.numpy as jnp
+
+    from pygpukit_tpu.kernels.gemv_quant import (
+        gemv_int4_block, gemv_int4_block_stacked,
+    )
+    from pygpukit_tpu.llm.quant import quantize_weight
+    L, k, n, blk = 3, 256, 256, 32
+    w = rng.standard_normal((L, k, n)).astype(np.float32)
+    wq = quantize_weight(jnp.asarray(w), "int4_block", block_size=blk)
+    x = rng.standard_normal(k).astype(np.float32)
+    for i in range(L):
+        y = np.asarray(gemv_int4_block_stacked(
+            wq["q_packed"], jnp.int32(i), jnp.asarray(x),
+            wq["scale_block"], bn=128, bk_half=128), np.float32)
+        ref = np.asarray(gemv_int4_block(
+            wq["q_packed"][i], jnp.asarray(x), wq["scale_block"][i],
+            bn=128, bk_half=128), np.float32)
+        np.testing.assert_allclose(y, ref, rtol=2e-6, atol=2e-6)
+
+
 def test_pallas_gemm_interpret(rng):
     from pygpukit_tpu.kernels.gemm import gemm
     a = jnp.asarray(rng.standard_normal((256, 256)), jnp.float32)
