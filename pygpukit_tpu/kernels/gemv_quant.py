@@ -350,15 +350,22 @@ def _gemv_block_stacked_kernel(idx_ref, w_ref, xlo_ref, xhi_ref, s_ref,
     jb = jax.lax.broadcasted_iota(jnp.int32, (kb_full, bk_half), 1) // blk
     bb = jax.lax.broadcasted_iota(jnp.int32, (kb_full, bk_half), 0)
     half = kb_full // 2
-    e_lo = (bb == jb + ki * nb).astype(_F32)
-    e_hi = (bb == jb + half + ki * nb).astype(_F32) * _F32(1.0 / 16.0)
-    s = s_ref[0]                                 # [K/B, bn]
+    # bf16 expansion: e is exactly 0/1 (and an exact power-of-2 for the hi
+    # half), so the dot reproduces each scale exactly up to the bf16
+    # rounding of the scale itself (~0.2% — noise next to the format's
+    # ~10% RMS envelope). The f32 version of these dots cost 8-40x the
+    # main GEMV's MACs on the MXU and dominated the whole decode step
+    # (int4_block measured 3.3 ms/tok vs int4's 1.6 — trace-confirmed).
+    e_lo = (bb == jb + ki * nb).astype(jnp.bfloat16)
+    e_hi = ((bb == jb + half + ki * nb).astype(jnp.bfloat16)
+            * jnp.bfloat16(1.0 / 16.0))
+    s = s_ref[0].astype(jnp.bfloat16)            # [K/B, bn]
     slo = jax.lax.dot_general(s, e_lo, (((0,), (0,)), ((), ())),
                               preferred_element_type=_F32)   # [bn, bk]
     shi = jax.lax.dot_general(s, e_hi, (((0,), (0,)), ((), ())),
                               preferred_element_type=_F32)
-    wlo = (lo.astype(_F32) * slo).astype(jnp.bfloat16)
-    whi = (hi16.astype(_F32) * shi).astype(jnp.bfloat16)
+    wlo = lo * slo.astype(jnp.bfloat16)
+    whi = hi16 * shi.astype(jnp.bfloat16)
     acc_ref[:] += jax.lax.dot_general(
         xlo_ref[:].astype(jnp.bfloat16), wlo, (((1,), (1,)), ((), ())),
         preferred_element_type=_F32)
@@ -467,17 +474,22 @@ def _gemv_block_kernel(w_ref, xlo_ref, xhi_ref, slo_ref, shi_ref, o_ref,
     nb = bk_half // blk                          # scale blocks per K-tile
     jb = jax.lax.broadcasted_iota(jnp.int32, (half_b, bk_half), 1) // blk
     bb = jax.lax.broadcasted_iota(jnp.int32, (half_b, bk_half), 0)
-    # E[b, j] = 1 iff global block index of lane j in THIS K-tile == b
-    e = (bb == jb + ki * nb).astype(_F32)
-    slo = jax.lax.dot_general(slo_ref[:], e, (((1,), (0,)), ((), ())),
+    # E[b, j] = 1 iff global block index of lane j in THIS K-tile == b.
+    # bf16 expansion dot: e is exactly 0/1, so the result is the scale
+    # itself up to bf16 rounding (~0.2% — noise next to the int4 block
+    # envelope); the f32 dot cost 8-40x the main GEMV's MXU MACs.
+    e = (bb == jb + ki * nb).astype(jnp.bfloat16)
+    slo = jax.lax.dot_general(slo_ref[:].astype(jnp.bfloat16), e,
+                              (((1,), (0,)), ((), ())),
                               preferred_element_type=_F32)
     # hi16 carries the high nibble *16 (see _unpack_nibbles_bf16); fold the
     # exact power-of-2 1/16 into the small pre-expansion scale tile
-    shi = jax.lax.dot_general(shi_ref[:] * (1.0 / 16.0), e,
-                              (((1,), (0,)), ((), ())),
-                              preferred_element_type=_F32)
-    wlo = (lo.astype(_F32) * slo).astype(jnp.bfloat16)
-    whi = (hi16.astype(_F32) * shi).astype(jnp.bfloat16)
+    shi = jax.lax.dot_general(
+        (shi_ref[:] * (1.0 / 16.0)).astype(jnp.bfloat16), e,
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=_F32)
+    wlo = lo * slo.astype(jnp.bfloat16)
+    whi = hi16 * shi.astype(jnp.bfloat16)
     acc_ref[:] += jax.lax.dot_general(
         xlo_ref[:].astype(jnp.bfloat16), wlo, (((1,), (1,)), ((), ())),
         preferred_element_type=_F32)
