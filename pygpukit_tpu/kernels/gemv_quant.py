@@ -269,17 +269,54 @@ def gemv_int4_packed_stacked(w_stack, idx, x, scale_stack,
     return out[:max(rows, 1), :n][:rows]
 
 
-def stacked_tiles_exact(n: int, k_half: int, blk: int | None = None) -> bool:
+def stacked_tiles_exact(n: int, k_half: int) -> bool:
     """True when the adaptive tiles divide [N, K/2] exactly (the stacked
-    GEMVs' no-padding precondition); with ``blk``, also applies the block
-    kernel's bk adjustment (blk must divide the K-tile)."""
+    per-column GEMV's no-padding precondition)."""
     bn, bk_half = _adaptive_tiles(n, k_half)
-    if blk is not None:
-        if blk > k_half or k_half % blk:
-            return False
-        if bk_half % blk:
-            bk_half = max(blk, bk_half - bk_half % blk)
     return n % bn == 0 and k_half % bk_half == 0
+
+
+def stacked_tiles_exact_km(k_half: int, n: int, blk: int) -> bool:
+    """True when the K-major block kernel's adaptive tiles divide [K/2, N]
+    exactly AND the scale tiles stay sublane-aligned (8 | nb, so the hi
+    scale rows at block offset n_k + ki land on 8-row boundaries)."""
+    if blk > k_half or k_half % blk:
+        return False
+    bn, bk_half = _adaptive_tiles_km(k_half, n, blk)
+    nb = bk_half // blk
+    return (n % bn == 0 and k_half % bk_half == 0
+            and bk_half % blk == 0 and nb % 8 == 0)
+
+
+def block_tiles_aligned(k_half: int, n: int, blk: int) -> bool:
+    """True when the K-major block kernel's chosen tiles keep the scale
+    sublane offsets 8-aligned (the sliced path pads, so exact tiling is
+    not required — only alignment)."""
+    if blk > k_half or k_half % blk:
+        return False
+    bn, bk_half = _adaptive_tiles_km(k_half, n, blk)
+    return bk_half % blk == 0 and (bk_half // blk) % 8 == 0
+
+
+def _adaptive_tiles_km(k_half: int, n: int, blk: int):
+    """Tile choice for the K-major block GEMV: K/2 on sublanes (multiples
+    of max(blk, 8*blk) so scale tiles stay aligned), N on lanes (multiples
+    of 128), targeting ~2-6 MB packed tiles. The 1B fused shapes all get
+    whole-K tiles (K/2 = 1024 or 2816), which also makes most projections
+    single-K-step — fewer accumulator round-trips than the N-major form."""
+    step = 8 * blk                               # 8 | nb => aligned scales
+    bk_half = 0
+    if step <= k_half and k_half % blk == 0:
+        # largest multiple-of-step divisor of K/2 up to ~2816 sublanes
+        for m in range(min(k_half // step, 2816 // step), 0, -1):
+            if k_half % (m * step) == 0:
+                bk_half = m * step
+                break
+    if not bk_half:                              # sliced path pads instead
+        bk_half = min(k_half, max(blk, (1024 // blk) * blk))
+    n_tiles = _cdiv(n, 2816)
+    bn = min(_cdiv(_cdiv(n, n_tiles), 128) * 128, n)
+    return max(bn, min(n, 128)), bk_half
 
 
 def _adaptive_tiles(n: int, k_half: int):
@@ -323,55 +360,47 @@ def gemv_int4_packed(w_packed, x, scale=None, bn: int | None = None,
     return out[:max(rows, 1), :n][:rows]
 
 
-def _gemv_block_stacked_kernel(idx_ref, w_ref, xlo_ref, xhi_ref, s_ref,
-                               o_ref, acc_ref, *, n_k: int, blk: int):
-    """Stacked block-scaled packed-int4 GEMV. Differences from the sliced
-    kernel beyond the scalar-prefetch layer select:
-    - scales arrive in their NATIVE [K/B, N] orientation (no per-call
-      host transpose of the whole scale stack), riding FULL-height
-      (a per-K-tile ``nb`` window is not sublane-aligned for every shape —
-      e.g. nb=44 on the 1B down projection); the ki-offset lives in the
-      expansion iota, and the dot contracts the block axis directly:
-      dot_general(s [K/B, bn], e [K/B, bk]) -> [bn, bk].
-    - hi16 carries the high nibble *16 (see _unpack_nibbles_bf16); the
-      exact 1/16 folds into the hi expansion matrix.
-    """
+def _block_scale_expand(s_ref, blk: int):
+    """[nb, bn] f32 scale tile -> [nb*blk, bn] bf16, each scale row repeated
+    ``blk`` times along sublanes. Pure VPU: a sublane broadcast + major-dim
+    reshape (Mosaic lowers both; it is the LANE-dim merge [bn, nb, blk] ->
+    [bn, nb*blk] that is an unsupported shape cast). This is the whole point
+    of the K-major int4_block layout: the N-major layout could only expand
+    scales with MXU dots against 0/1 iota matrices, which cost ~2x the main
+    GEMV's MXU work and made int4_block 1.85x slower than plain int4."""
+    nb, bn = s_ref.shape
+    s = s_ref[:].astype(jnp.bfloat16)
+    return jnp.broadcast_to(s[:, None, :], (nb, blk, bn)).reshape(
+        nb * blk, bn)
+
+
+def _gemv_block_stacked_kernel(idx_ref, w_ref, xlo_ref, xhi_ref, slo_ref,
+                               shi_ref, o_ref, acc_ref, *, n_k: int,
+                               blk: int):
+    """Stacked K-major block-scaled packed-int4 GEMV. The weight tile is
+    [bk_half, bn] with K on SUBLANES (packed row r holds W[k] in the low
+    nibble and W[K/2 + k] in the high one), so the per-block scales expand
+    with a sublane broadcast (see _block_scale_expand) and the dot is a
+    plain x @ W contraction — the same 2-dots-per-tile MXU cost as the
+    per-column int4 kernel. The two scale operands are the SAME [K/B, N]
+    array delivered through two index_maps (lo rows ki*nb, hi rows
+    half_b + ki*nb); hi16 carries the high nibble *16, the exact 1/16
+    folding into x_hi as an exponent shift."""
     ki = pl.program_id(1)
 
     @pl.when(ki == 0)
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    lo, hi16 = _unpack_nibbles_bf16(w_ref[0])    # [bn, bk_half]
-    bk_half = w_ref.shape[2]
-    nb = bk_half // blk                          # blocks per K-tile
-    kb_full = s_ref.shape[1]                     # total K/B rows (lo + hi)
-    # E[b, j] = 1 iff lane j of THIS K-tile belongs to global block row b
-    jb = jax.lax.broadcasted_iota(jnp.int32, (kb_full, bk_half), 1) // blk
-    bb = jax.lax.broadcasted_iota(jnp.int32, (kb_full, bk_half), 0)
-    half = kb_full // 2
-    # bf16 expansion: e is exactly 0/1 (and an exact power-of-2 for the hi
-    # half), so the dot reproduces each scale exactly up to the bf16
-    # rounding of the scale itself (~0.2% — noise next to the format's
-    # ~10% RMS envelope). The f32 version of these dots cost 8-40x the
-    # main GEMV's MACs on the MXU and dominated the whole decode step
-    # (int4_block measured 3.3 ms/tok vs int4's 1.6 — trace-confirmed).
-    e_lo = (bb == jb + ki * nb).astype(jnp.bfloat16)
-    e_hi = ((bb == jb + half + ki * nb).astype(jnp.bfloat16)
-            * jnp.bfloat16(1.0 / 16.0))
-    s = s_ref[0].astype(jnp.bfloat16)            # [K/B, bn]
-    slo = jax.lax.dot_general(s, e_lo, (((0,), (0,)), ((), ())),
-                              preferred_element_type=_F32)   # [bn, bk]
-    shi = jax.lax.dot_general(s, e_hi, (((0,), (0,)), ((), ())),
-                              preferred_element_type=_F32)
-    wlo = lo * slo.astype(jnp.bfloat16)
-    whi = hi16 * shi.astype(jnp.bfloat16)
+    lo, hi16 = _unpack_nibbles_bf16(w_ref[0])    # [bk_half, bn]
+    wlo = lo * _block_scale_expand(slo_ref[0], blk)
+    whi = hi16 * _block_scale_expand(shi_ref[0], blk)
     acc_ref[:] += jax.lax.dot_general(
-        xlo_ref[:].astype(jnp.bfloat16), wlo, (((1,), (1,)), ((), ())),
+        xlo_ref[:].astype(jnp.bfloat16), wlo, (((1,), (0,)), ((), ())),
         preferred_element_type=_F32)
     acc_ref[:] += jax.lax.dot_general(
-        xhi_ref[:].astype(jnp.bfloat16), whi, (((1,), (1,)), ((), ())),
-        preferred_element_type=_F32)
+        xhi_ref[:].astype(jnp.bfloat16) * jnp.bfloat16(1.0 / 16.0), whi,
+        (((1,), (0,)), ((), ())), preferred_element_type=_F32)
 
     @pl.when(ki == n_k - 1)
     def _():
@@ -383,10 +412,10 @@ def _gemv_block_stacked_kernel(idx_ref, w_ref, xlo_ref, xhi_ref, s_ref,
 def _gemv_block_stacked_pallas(w_stack, idx, x_lo, x_hi, s_stack, *,
                                bn: int, bk_half: int, blk: int,
                                interpret: bool):
-    n_layers, n, k_half = w_stack.shape
+    n_layers, k_half, n = w_stack.shape
     rows = x_lo.shape[0]
     n_k = _cdiv(k_half, bk_half)
-    kb_full = s_stack.shape[1]
+    nb = bk_half // blk
     kernel = functools.partial(_gemv_block_stacked_kernel, n_k=n_k, blk=blk)
     return pl.pallas_call(
         kernel,
@@ -394,15 +423,16 @@ def _gemv_block_stacked_pallas(w_stack, idx, x_lo, x_hi, s_stack, *,
             num_scalar_prefetch=1,
             grid=(_cdiv(n, bn), n_k),
             in_specs=[
-                pl.BlockSpec((1, bn, bk_half),
-                             lambda ni, ki, idx: (idx[0], ni, ki)),
+                pl.BlockSpec((1, bk_half, bn),
+                             lambda ni, ki, idx: (idx[0], ki, ni)),
                 pl.BlockSpec((rows, bk_half), lambda ni, ki, idx: (0, ki)),
                 pl.BlockSpec((rows, bk_half), lambda ni, ki, idx: (0, ki)),
-                # scale_block stays [L, K/B, N], riding FULL-height (a
-                # per-K-tile nb window is not sublane-aligned for every
-                # shape); the kernel's expansion iota applies the ki offset
-                pl.BlockSpec((1, kb_full, bn),
-                             lambda ni, ki, idx: (idx[0], 0, ni)),
+                # the SAME [L, K/B, N] scale stack twice: lo rows at block
+                # ki, hi rows at block n_k + ki (half_b = n_k * nb)
+                pl.BlockSpec((1, nb, bn),
+                             lambda ni, ki, idx: (idx[0], ki, ni)),
+                pl.BlockSpec((1, nb, bn),
+                             lambda ni, ki, idx: (idx[0], n_k + ki, ni)),
             ],
             out_specs=pl.BlockSpec((rows, bn), lambda ni, ki, idx: (0, ni)),
             scratch_shapes=[pltpu.VMEM((rows, bn), _F32)],
@@ -417,28 +447,28 @@ def _gemv_block_stacked_pallas(w_stack, idx, x_lo, x_hi, s_stack, *,
             + k_half * 2 * 2 + n * 2,
             transcendentals=0),
         interpret=interpret,
-    )(jnp.asarray(idx, jnp.int32).reshape(1), w_stack, x_lo, x_hi, s_stack)
+    )(jnp.asarray(idx, jnp.int32).reshape(1), w_stack, x_lo, x_hi, s_stack,
+      s_stack)
 
 
 def gemv_int4_block_stacked(w_stack, idx, x, scale_block_stack,
                             bn: int | None = None,
                             bk_half: int | None = None):
-    """y[rows, N] for layer ``idx`` of a stacked block-scaled packed-int4
-    weight [L, N, K/2] with NATIVE-orientation scales [L, K/B, N] — zero
-    weight copies and zero scale transposes. Requires exact tiling and
-    blk | bk_half; callers gate and fall back to the sliced form."""
-    n_layers, n, k_half = w_stack.shape
+    """y[rows, N] for layer ``idx`` of a stacked K-MAJOR block-scaled
+    packed-int4 weight [L, K/2, N] with native scales [L, K/B, N] — zero
+    weight copies and zero scale transposes. Requires exact tiling, blk |
+    bk_half, and 8 | nb (scale sublane offsets); callers gate and fall
+    back to the sliced form."""
+    n_layers, k_half, n = w_stack.shape
     k = 2 * k_half
     blk = k // scale_block_stack.shape[-2]
-    abn, abk = _adaptive_tiles(n, k_half)
+    abn, abk = _adaptive_tiles_km(k_half, n, blk)
     bn = abn if bn is None else min(bn, n)
     bk_half = abk if bk_half is None else min(bk_half, k_half)
-    if bk_half % blk:
-        bk_half = max(blk, bk_half - bk_half % blk)
-    if n % bn or k_half % bk_half:
+    if n % bn or k_half % bk_half or bk_half % blk:
         raise ValueError(
-            f"stacked int4_block GEMV needs exact tiling: N={n} bn={bn}, "
-            f"K/2={k_half} bk_half={bk_half}")
+            f"stacked int4_block GEMV needs exact aligned tiling: N={n} "
+            f"bn={bn}, K/2={k_half} bk_half={bk_half}, blk={blk}")
     rows = x.shape[0] if x.ndim == 2 else 1
     xr = x.reshape(rows, -1).astype(jnp.bfloat16)
     rpad = max(8 - rows, 0)
@@ -453,49 +483,26 @@ def gemv_int4_block_stacked(w_stack, idx, x, scale_block_stack,
 
 def _gemv_block_kernel(w_ref, xlo_ref, xhi_ref, slo_ref, shi_ref, o_ref,
                        acc_ref, *, n_k: int, blk: int):
-    """Block-scaled packed-int4 GEMV (NVF4 analog — reference
-    native/ops/matmul/gemm/w4a16_bf16/): scales vary along K in blocks of
-    ``blk``, so they multiply the WEIGHT before the dot. The [bn, nb] scale
-    tile expands to [bn, bk_half] via an MXU dot against a 0/1 expansion
-    matrix built from iotas — Mosaic rejects the jnp.repeat lowering
-    (minor-dim reshape [bn, nb, blk] -> [bn, nb*blk] is an unsupported
-    shape cast), but dots and lane-broadcast compares always lower."""
+    """K-major block-scaled packed-int4 GEMV (NVF4 analog — reference
+    native/ops/matmul/gemm/w4a16_bf16/): weight tile [bk_half, bn] with K
+    on sublanes; scales vary along K in blocks of ``blk`` and expand with
+    a sublane broadcast (see _block_scale_expand — zero extra MXU work).
+    The exact 1/16 for the high nibble folds into x_hi."""
     ki = pl.program_id(1)
 
     @pl.when(ki == 0)
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    lo, hi16 = _unpack_nibbles_bf16(w_ref[:])    # [bn, bk_half]
-    half_b = slo_ref.shape[1]                    # FULL scale width (the
-    # [bn, half_b] scale tile rides along every ki — Mosaic TPU requires
-    # lane-dim tiles be 128-divisible or full-width, and half_b is small)
-    bk_half = w_ref.shape[1]
-    nb = bk_half // blk                          # scale blocks per K-tile
-    jb = jax.lax.broadcasted_iota(jnp.int32, (half_b, bk_half), 1) // blk
-    bb = jax.lax.broadcasted_iota(jnp.int32, (half_b, bk_half), 0)
-    # E[b, j] = 1 iff global block index of lane j in THIS K-tile == b.
-    # bf16 expansion dot: e is exactly 0/1, so the result is the scale
-    # itself up to bf16 rounding (~0.2% — noise next to the int4 block
-    # envelope); the f32 dot cost 8-40x the main GEMV's MXU MACs.
-    e = (bb == jb + ki * nb).astype(jnp.bfloat16)
-    slo = jax.lax.dot_general(slo_ref[:].astype(jnp.bfloat16), e,
-                              (((1,), (0,)), ((), ())),
-                              preferred_element_type=_F32)
-    # hi16 carries the high nibble *16 (see _unpack_nibbles_bf16); fold the
-    # exact power-of-2 1/16 into the small pre-expansion scale tile
-    shi = jax.lax.dot_general(
-        (shi_ref[:] * (1.0 / 16.0)).astype(jnp.bfloat16), e,
-        (((1,), (0,)), ((), ())),
-        preferred_element_type=_F32)
-    wlo = lo * slo.astype(jnp.bfloat16)
-    whi = hi16 * shi.astype(jnp.bfloat16)
+    lo, hi16 = _unpack_nibbles_bf16(w_ref[:])    # [bk_half, bn]
+    wlo = lo * _block_scale_expand(slo_ref[:], blk)
+    whi = hi16 * _block_scale_expand(shi_ref[:], blk)
     acc_ref[:] += jax.lax.dot_general(
-        xlo_ref[:].astype(jnp.bfloat16), wlo, (((1,), (1,)), ((), ())),
+        xlo_ref[:].astype(jnp.bfloat16), wlo, (((1,), (0,)), ((), ())),
         preferred_element_type=_F32)
     acc_ref[:] += jax.lax.dot_general(
-        xhi_ref[:].astype(jnp.bfloat16), whi, (((1,), (1,)), ((), ())),
-        preferred_element_type=_F32)
+        xhi_ref[:].astype(jnp.bfloat16) * jnp.bfloat16(1.0 / 16.0), whi,
+        (((1,), (0,)), ((), ())), preferred_element_type=_F32)
 
     @pl.when(ki == n_k - 1)
     def _():
@@ -504,22 +511,24 @@ def _gemv_block_kernel(w_ref, xlo_ref, xhi_ref, slo_ref, shi_ref, o_ref,
 
 @functools.partial(jax.jit, static_argnames=("bn", "bk_half", "blk",
                                              "interpret"))
-def _gemv_block_pallas(w_packed, x_lo, x_hi, s_lo, s_hi, *, bn: int,
+def _gemv_block_pallas(w_packed, x_lo, x_hi, s_block, *, bn: int,
                        bk_half: int, blk: int, interpret: bool):
-    n, k_half = w_packed.shape
+    k_half, n = w_packed.shape
     rows = x_lo.shape[0]
-    half_b = s_lo.shape[1]
     n_k = _cdiv(k_half, bk_half)
+    nb = bk_half // blk
     kernel = functools.partial(_gemv_block_kernel, n_k=n_k, blk=blk)
     return pl.pallas_call(
         kernel,
         grid=(_cdiv(n, bn), n_k),
         in_specs=[
-            pl.BlockSpec((bn, bk_half), lambda ni, ki: (ni, ki)),
+            pl.BlockSpec((bk_half, bn), lambda ni, ki: (ki, ni)),
             pl.BlockSpec((rows, bk_half), lambda ni, ki: (0, ki)),
             pl.BlockSpec((rows, bk_half), lambda ni, ki: (0, ki)),
-            pl.BlockSpec((bn, half_b), lambda ni, ki: (ni, 0)),
-            pl.BlockSpec((bn, half_b), lambda ni, ki: (ni, 0)),
+            # the SAME [K/B, N] scale array twice: lo rows at block ki,
+            # hi rows at block n_k + ki (half_b = n_k * nb after padding)
+            pl.BlockSpec((nb, bn), lambda ni, ki: (ki, ni)),
+            pl.BlockSpec((nb, bn), lambda ni, ki: (n_k + ki, ni)),
         ],
         out_specs=pl.BlockSpec((rows, bn), lambda ni, ki: (0, ni)),
         out_shape=jax.ShapeDtypeStruct((rows, n), jnp.bfloat16),
@@ -536,20 +545,20 @@ def _gemv_block_pallas(w_packed, x_lo, x_hi, s_lo, s_hi, *, bn: int,
             + k_half * 2 * 2 + n * 2,
             transcendentals=0),
         interpret=interpret,
-    )(w_packed, x_lo, x_hi, s_lo, s_hi)
+    )(w_packed, x_lo, x_hi, s_block, s_block)
 
 
 @functools.partial(jax.jit, static_argnames=("bn", "bk_half"))
 def gemv_int4_block(w_packed, x, scale_block, bn: int | None = None,
                     bk_half: int | None = None):
-    """y[rows,N] = x[rows,K] @ dequant(W_packed, scale_block).T with
-    per-(K-block, column) scales [K/B, N]. Split-half packing as
-    gemv_int4_packed; requires B | K/2 (callers fall back to the XLA
-    formulation otherwise — llm/model._mm)."""
-    n, k_half = w_packed.shape
+    """y[rows,N] = x[rows,K] @ dequant(W_packed, scale_block) with
+    per-(K-block, column) scales [K/B, N] and K-MAJOR packed storage
+    [K/2, N] (low nibble = W[:K/2], high = W[K/2:]). Requires B | K/2
+    (callers fall back to the XLA formulation otherwise — llm/model._mm)."""
+    k_half, n = w_packed.shape
     k = 2 * k_half
     blk = k // scale_block.shape[0]
-    abn, abk = _adaptive_tiles(n, k_half)
+    abn, abk = _adaptive_tiles_km(k_half, n, blk)
     bn = abn if bn is None else min(bn, n)
     bk_half = abk if bk_half is None else min(bk_half, k_half)
     if bk_half % blk:
@@ -557,21 +566,24 @@ def gemv_int4_block(w_packed, x, scale_block, bn: int | None = None,
     npad = _cdiv(n, bn) * bn - n
     kpad_half = _cdiv(k_half, bk_half) * bk_half - k_half
     if npad or kpad_half:
-        w_packed = jnp.pad(w_packed, ((0, npad), (0, kpad_half)))
+        w_packed = jnp.pad(w_packed, ((0, kpad_half), (0, npad)))
     rows = x.shape[0] if x.ndim == 2 else 1
     xr = x.reshape(rows, -1).astype(jnp.bfloat16)
     rpad = max(8 - rows, 0)
     x_lo = jnp.pad(xr[:, :k_half], ((0, rpad), (0, kpad_half)))
     x_hi = jnp.pad(xr[:, k_half:], ((0, rpad), (0, kpad_half)))
-    s_t = jnp.swapaxes(scale_block, -1, -2).astype(_F32)   # [N, K/B]
+    # pad scale rows so each padded K-half spans n_k * nb block rows (the
+    # padded weight rows are zero, so the padded scales' values are inert)
     half_b = k_half // blk
-    s_lo = s_t[:, :half_b]
-    s_hi = s_t[:, half_b:]
-    bpad = kpad_half // blk
+    n_k = _cdiv(k_half + kpad_half, bk_half)
+    nb = bk_half // blk
+    s = scale_block.astype(_F32)                           # [K/B, N]
+    bpad = n_k * nb - half_b
     if npad or bpad:
-        s_lo = jnp.pad(s_lo, ((0, npad), (0, bpad)))
-        s_hi = jnp.pad(s_hi, ((0, npad), (0, bpad)))
-    out = _gemv_block_pallas(w_packed, x_lo, x_hi, s_lo, s_hi, bn=bn,
+        s_lo = jnp.pad(s[:half_b], ((0, bpad), (0, npad)))
+        s_hi = jnp.pad(s[half_b:], ((0, bpad), (0, npad)))
+        s = jnp.concatenate([s_lo, s_hi], axis=0)
+    out = _gemv_block_pallas(w_packed, x_lo, x_hi, s, bn=bn,
                              bk_half=bk_half, blk=blk,
                              interpret=interpret_mode())
     return out[:max(rows, 1), :n][:rows]

@@ -94,25 +94,32 @@ def _mm(x, w, out_dtype=None, int8_mode=None):
         if "q_packed" in w:
             import os
             from ..core.backend import get_backend
-            packed = w["q_packed"]                     # [N, K/2] transposed
+            packed = w["q_packed"]    # plain int4: [N, K/2] transposed;
+            # int4_block: K-MAJOR [K/2, N] (sublane scales need no MXU
+            # expansion — kernels/gemv_quant._block_scale_expand)
             idx = w.get("_idx")       # set by _slice_layer_params: packed
-            # leaves arrive STACKED [L, N, K/2] with the layer index, so the
+            # leaves arrive STACKED [L, ...] with the layer index, so the
             # Pallas kernel can select the layer via scalar prefetch instead
             # of a materialized dynamic-slice copy (761 us/tok on 1B int4)
             blocked = "scale_block" in w               # NVF4-analog leaves
             env_pallas = (os.environ.get("PYGPUKIT_INT4_GEMV", "pallas")
                           == "pallas")
             on_tpu = get_backend().platform == "tpu"
+            kh_ax, n_ax = (-2, -1) if blocked else (-1, -2)
             if idx is not None and packed.ndim == 3:
-                from ..kernels.gemv_quant import stacked_tiles_exact
-                n3, kh3 = packed.shape[-2], packed.shape[-1]
-                blk3 = (2 * kh3 // w["scale_block"].shape[-2] if blocked
-                        else None)
+                kh3, n3 = packed.shape[kh_ax], packed.shape[n_ax]
+                if blocked:
+                    from ..kernels.gemv_quant import stacked_tiles_exact_km
+                    blk3 = 2 * kh3 // w["scale_block"].shape[-2]
+                    tiles_ok = stacked_tiles_exact_km(kh3, n3, blk3)
+                else:
+                    from ..kernels.gemv_quant import stacked_tiles_exact
+                    tiles_ok = stacked_tiles_exact(n3, kh3)
                 if (env_pallas and on_tpu
                         and x.shape[0] <= 8
                         and x.shape[-1] == 2 * kh3
                         and n3 * kh3 >= (1 << 19)
-                        and stacked_tiles_exact(n3, kh3, blk3)):
+                        and tiles_ok):
                     if blocked:
                         from ..kernels.gemv_quant import (
                             gemv_int4_block_stacked,
@@ -133,12 +140,16 @@ def _mm(x, w, out_dtype=None, int8_mode=None):
                 w = {k: (lax.dynamic_index_in_dim(v, idx, 0, keepdims=False)
                          if k != "_idx" and v.ndim > 2 else v)
                      for k, v in w.items() if k != "_idx"}
-            blk_ok = (not blocked or (packed.shape[-1]
-                                      % (x.shape[-1]
-                                         // w["scale_block"].shape[-2]) == 0))
+            if blocked:
+                from ..kernels.gemv_quant import block_tiles_aligned
+                blk_ok = (packed.ndim == 2 and block_tiles_aligned(
+                    packed.shape[-2], packed.shape[-1],
+                    x.shape[-1] // w["scale_block"].shape[-2]))
+            else:
+                blk_ok = True
             if (env_pallas
                     and x.shape[0] <= 8 and packed.ndim == 2
-                    and x.shape[-1] == 2 * packed.shape[-1]   # no pack padding
+                    and x.shape[-1] == 2 * packed.shape[kh_ax]  # no padding
                     and packed.size >= (1 << 19)   # tiny mats: XLA (a Mosaic
                     # compile costs ~3 min over the tunnel; sub-512KB weights
                     # are dispatch-bound either way)
@@ -153,22 +164,26 @@ def _mm(x, w, out_dtype=None, int8_mode=None):
                     y = gemv_int4_packed(packed, x, jnp.ravel(w["scale"]))
                 return y.astype(out_dtype)
             from .quant import unpack_int4
-            q_t = unpack_int4(packed)                  # [N, K(+pad)]
-            k_un = q_t.shape[-1]
             xb = x.astype(jnp.bfloat16)
-            if xb.shape[-1] < k_un:   # pack padding: zero-extend activations
-                xb = jnp.pad(xb, ((0, 0), (0, k_un - xb.shape[-1])))
             if blocked:
                 # dequantize per block into the dot operand (XLA fuses the
-                # broadcast-multiply into the contraction feed)
+                # broadcast-multiply into the contraction feed); K-major
+                # storage unpacks straight to [K, N]
+                q = unpack_int4(packed, axis=-2)       # [K(+pad), N]
+                k_un = q.shape[-2]
+                if xb.shape[-1] < k_un:   # pack padding: zero-extend acts
+                    xb = jnp.pad(xb, ((0, 0), (0, k_un - xb.shape[-1])))
                 s = w["scale_block"]                   # [K/B, N]
                 nb = s.shape[-2]
-                q = jnp.swapaxes(q_t, -1, -2)          # [K, N]
                 wd = (q.reshape(nb, k_un // nb, -1).astype(jnp.bfloat16)
                       * s[:, None, :].astype(jnp.bfloat16)
                       ).reshape(k_un, -1)
                 return jnp.dot(xb, wd,
                                preferred_element_type=_F32).astype(out_dtype)
+            q_t = unpack_int4(packed)                  # [N, K(+pad)]
+            k_un = q_t.shape[-1]
+            if xb.shape[-1] < k_un:   # pack padding: zero-extend activations
+                xb = jnp.pad(xb, ((0, 0), (0, k_un - xb.shape[-1])))
             acc = jax.lax.dot_general(
                 xb, q_t.astype(jnp.bfloat16), (((1,), (1,)), ((), ())),
                 preferred_element_type=_F32)
@@ -962,10 +977,11 @@ def fuse_params(params: dict) -> dict:
     and one [E, 2I] beats two. Dense leaves concatenate directly; quantized
     {"q","scale"} leaves fuse too (per-column scales concatenate along the
     out dim — _mm applies the scale after the dot, so the fused scale row
-    stays exact). int4 ``q_packed`` leaves fuse along their transposed OUT
-    axis ([L, N, K/2] → concat on N; split-half K packing is per-row, so
-    row concatenation is layout-exact), halving the per-token Pallas GEMV
-    dispatch count. Biases are fused likewise.
+    stays exact). int4 ``q_packed`` leaves fuse along their OUT axis
+    ([L, N, K/2] → concat on N for plain int4; K-major [L, K/2, N] →
+    concat on N=-1 for int4_block; split-half K packing is per-out-column,
+    so out-axis concatenation is layout-exact), halving the per-token
+    Pallas GEMV dispatch count. Biases are fused likewise.
     """
     layers = dict(params["layers"])
 
@@ -979,25 +995,32 @@ def fuse_params(params: dict) -> dict:
             return len({v["q"].dtype for v in leaves}) == 1
         if all(isinstance(v, dict) and "q_packed" in v for v in leaves):
             # same in-dim and same scale granularity concatenate exactly
-            return (len({v["q_packed"].shape[-1] for v in leaves}) == 1
-                    and len({("scale_block" in v) for v in leaves}) == 1
-                    and len({v["scale_block"].shape[-2]
-                             for v in leaves if "scale_block" in v} or {0})
-                    == 1)
+            # (plain int4 stores [N, K/2] — in-dim is axis -1; int4_block
+            # stores K-major [K/2, N] — in-dim is axis -2)
+            if len({("scale_block" in v) for v in leaves}) != 1:
+                return False
+            if "scale_block" in leaves[0]:
+                return (len({v["q_packed"].shape[-2] for v in leaves}) == 1
+                        and len({v["scale_block"].shape[-2]
+                                 for v in leaves}) == 1)
+            return len({v["q_packed"].shape[-1] for v in leaves}) == 1
         return False
 
     def cat(keys):
         leaves = [layers.pop(k) for k in keys]
         if isinstance(leaves[0], dict) and "q_packed" in leaves[0]:
+            if "scale_block" in leaves[0]:
+                # K-major [.., K/2, N]: OUT is the last axis for weight
+                # and scales alike
+                return {"q_packed": jnp.concatenate(
+                            [v["q_packed"] for v in leaves], axis=-1),
+                        "scale_block": jnp.concatenate(
+                            [v["scale_block"] for v in leaves], axis=-1)}
             fused = {"q_packed": jnp.concatenate(
                 [v["q_packed"] for v in leaves], axis=-2)}
-            if "scale_block" in leaves[0]:
-                fused["scale_block"] = jnp.concatenate(
-                    [v["scale_block"] for v in leaves], axis=-1)
-            else:
-                fused["scale"] = jnp.concatenate(
-                    [v["scale"].astype(jnp.float32) for v in leaves],
-                    axis=-1)
+            fused["scale"] = jnp.concatenate(
+                [v["scale"].astype(jnp.float32) for v in leaves],
+                axis=-1)
             return fused
         if isinstance(leaves[0], dict):
             out_dims = [v["q"].shape[-1] for v in leaves]

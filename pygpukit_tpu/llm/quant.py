@@ -135,12 +135,17 @@ def quantize_weight(w: jnp.ndarray, mode: str = "fp8",
         scale_b = jnp.maximum(amax_b / 7.0, 1e-12)            # [...,K/B,1,N]
         q = jnp.clip(jnp.round(blk / scale_b), -7, 7).astype(jnp.int8)
         q = q.reshape(*lead, K, N)
-        # same packed-transposed storage as plain int4 (K even: B is even)
-        qt = jnp.swapaxes(q, -1, -2)                          # [..., N, K]
-        half = qt.shape[-1] // 2
-        packed = ((qt[..., :half] & 0xF)
-                  | ((qt[..., half:] & 0xF) << 4)).astype(jnp.uint8)
-        return {"q_packed": packed,
+        # K-MAJOR split-half packed storage [..., K/2, N] (unlike plain
+        # int4's transposed [N, K/2]): with K on sublanes, the Pallas GEMV
+        # expands the per-block scales with a SUBLANE broadcast + major-dim
+        # reshape — pure VPU ops — instead of the MXU expansion dots the
+        # N-major layout forced (those cost 2x the main GEMV's MXU work
+        # and made int4_block 1.85x slower than int4). Row r carries
+        # W[r] (low nibble) and W[K/2 + r] (high nibble).
+        half = K // 2
+        packed = ((q[..., :half, :] & 0xF)
+                  | ((q[..., half:, :] & 0xF) << 4)).astype(jnp.uint8)
+        return {"q_packed": packed,                           # [..., K/2, N]
                 "scale_block": scale_b[..., 0, :]}            # [..., K/B, N]
     amax = jnp.max(jnp.abs(wf), axis=-2, keepdims=True)       # [..., 1, out]
     if mode == "fp8":
@@ -175,25 +180,28 @@ def quantize_weight(w: jnp.ndarray, mode: str = "fp8",
     return {"q": q, "scale": scale}
 
 
-def unpack_int4(packed):
-    """[..., N, K/2] uint8 -> [..., N, K] int8 (split-half nibble layout:
-    low nibble = K[:K/2], high nibble = K[K/2:]). K includes any pack
-    padding; callers zero-pad activations to match."""
+def unpack_int4(packed, axis: int = -1):
+    """Split-half nibble unpack along ``axis``: low nibble = first half,
+    high nibble = second half. Plain int4 stores [..., N, K/2] (axis=-1 ->
+    [..., N, K]); int4_block stores K-major [..., K/2, N] (axis=-2 ->
+    [..., K, N]). The unpacked dim includes any pack padding; callers
+    zero-pad activations to match."""
     lo = ((packed << 4).astype(jnp.int8) >> 4)
     hi = packed.astype(jnp.int8) >> 4
-    return jnp.concatenate([lo, hi], axis=-1)
+    return jnp.concatenate([lo, hi], axis=axis)
 
 
 def dequantize_weight(wq: dict, dtype=jnp.bfloat16) -> jnp.ndarray:
     if "q_packed" in wq:
-        q = jnp.swapaxes(unpack_int4(wq["q_packed"]), -1, -2)  # -> [..., K, N]
         if "scale_block" in wq:
+            q = unpack_int4(wq["q_packed"], axis=-2)           # [..., K, N]
             s = wq["scale_block"]                              # [..., K/B, N]
             *lead, K, N = q.shape
             nb = s.shape[-2]
             blk = q.reshape(*lead, nb, K // nb, N).astype(jnp.float32)
             return (blk * s[..., :, None, :]).reshape(*lead, K, N
                                                       ).astype(dtype)
+        q = jnp.swapaxes(unpack_int4(wq["q_packed"]), -1, -2)  # -> [..., K, N]
         return (q.astype(jnp.float32) * wq["scale"]).astype(dtype)
     return (wq["q"].astype(jnp.float32) * wq["scale"]).astype(dtype)
 
