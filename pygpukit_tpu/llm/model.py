@@ -104,6 +104,15 @@ def _mm(x, w, out_dtype=None, int8_mode=None):
             blocked = "scale_block" in w               # NVF4-analog leaves
             env_pallas = (os.environ.get("PYGPUKIT_INT4_GEMV", "pallas")
                           == "pallas")
+            # w4a8 default on TPU: per-row int8 activation quant + NATIVE
+            # int8 MXU dots — the bf16-unpack GEMV was VPU-bound (traced
+            # ~53 us/layer vs ~36 stream-ideal; w4a8 streamed 725 vs 574
+            # GB/s packed). PYGPUKIT_INT4_MODE=w4a16 opts out (bf16 acts,
+            # no activation quant error). Blocked leaves stay w4a16 —
+            # per-block scales must multiply the weight BEFORE an int8 dot.
+            w4a8 = (not blocked
+                    and os.environ.get("PYGPUKIT_INT4_MODE", "w4a8")
+                    == "w4a8")
             on_tpu = get_backend().platform == "tpu"
             kh_ax, n_ax = (-2, -1) if blocked else (-1, -2)
             if idx is not None and packed.ndim == 3:
@@ -126,6 +135,12 @@ def _mm(x, w, out_dtype=None, int8_mode=None):
                         )
                         y = gemv_int4_block_stacked(packed, idx, x,
                                                     w["scale_block"])
+                    elif w4a8:
+                        from ..kernels.gemv_quant import (
+                            gemv_int4_w4a8_stacked,
+                        )
+                        y = gemv_int4_w4a8_stacked(packed, idx, x,
+                                                   w["scale"])
                     else:
                         from ..kernels.gemv_quant import (
                             gemv_int4_packed_stacked,
@@ -159,6 +174,9 @@ def _mm(x, w, out_dtype=None, int8_mode=None):
                 if blocked:
                     from ..kernels.gemv_quant import gemv_int4_block
                     y = gemv_int4_block(packed, x, w["scale_block"])
+                elif w4a8:
+                    from ..kernels.gemv_quant import gemv_int4_w4a8
+                    y = gemv_int4_w4a8(packed, x, jnp.ravel(w["scale"]))
                 else:
                     from ..kernels.gemv_quant import gemv_int4_packed
                     y = gemv_int4_packed(packed, x, jnp.ravel(w["scale"]))

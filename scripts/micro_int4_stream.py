@@ -59,10 +59,30 @@ def make_kernel(variant):
                   - jnp.bfloat16(8.0))
             hi = lax.bitcast_convert_type(p & 0xF0, jnp.int8).astype(_BF16)
             xhi = xhi * jnp.bfloat16(1.0 / 16.0)
-        acc_ref[:] += lax.dot_general(
-            xlo, lo, (((1,), (1,)), ((), ())), preferred_element_type=_F32)
-        acc_ref[:] += lax.dot_general(
-            xhi, hi, (((1,), (1,)), ((), ())), preferred_element_type=_F32)
+        elif variant == "w4a8":
+            # zero-convert unpack + NATIVE int8 MXU dots: u = low nibble
+            # + 8 (unsigned bits, bitcast int8), v16 = high nibble * 16.
+            # y_raw = dot(xi, u) - 8*rowsum(xi) + dot(xi, v16)/16 — the
+            # bias correction is a per-row scalar, the /16 an exact
+            # epilogue multiply. No bf16 converts of the weight AT ALL.
+            u = lax.bitcast_convert_type((p & 0x0F) ^ 0x08, jnp.int8)
+            v16 = lax.bitcast_convert_type(p & 0xF0, jnp.int8)
+            xl8 = xlo_ref[:]                            # [rows, bk] int8
+            xh8 = xhi_ref[:]
+            dlo = lax.dot_general(xl8, u, (((1,), (1,)), ((), ())),
+                                  preferred_element_type=jnp.int32)
+            dhi = lax.dot_general(xh8, v16, (((1,), (1,)), ((), ())),
+                                  preferred_element_type=jnp.int32)
+            rs = jnp.sum(xl8.astype(jnp.int32), axis=1, keepdims=True)
+            acc_ref[:] += ((dlo - 8 * rs).astype(_F32)
+                           + dhi.astype(_F32) * _F32(1.0 / 16.0))
+        if variant != "w4a8":
+            acc_ref[:] += lax.dot_general(
+                xlo, lo, (((1,), (1,)), ((), ())),
+                preferred_element_type=_F32)
+            acc_ref[:] += lax.dot_general(
+                xhi, hi, (((1,), (1,)), ((), ())),
+                preferred_element_type=_F32)
 
         @pl.when(ki == n_k - 1)
         def _():
@@ -117,11 +137,22 @@ xf = np.asarray(x, np.float32)
 want_s = (xf @ lo_r.T + xf @ hi_r.T) * np.asarray(sc[:, :N1])
 
 
+xi8 = jnp.asarray(rng.integers(-127, 127, (8, KH), dtype=np.int64),
+                  jnp.int8)
+xin = np.asarray(xi8, np.int32)
+p_i = np.asarray(wp[:N1])
+u_r = ((p_i & 0xF) ^ 8).astype(np.int32)
+v16_r = (p_i & 0xF0).astype(np.uint8).view(np.int8).astype(np.int32)
+want_i = ((xin @ u_r.T - 8 * xin.sum(1, keepdims=True)
+           + (xin @ v16_r.T) / 16.0) * np.asarray(sc[:, :N1]))
+
+
 @functools.partial(jax.jit, static_argnames=("variant", "bn", "bk_half",
                                              "passes"))
 def chained(wp, x, sc, *, variant, bn, bk_half, passes):
     def body(i, carry):
-        xdep = x * (1 + 0 * carry)
+        dep = (0 * carry).astype(x.dtype)
+        xdep = x + dep
         y = gemv_v(wp, xdep, xdep, sc, variant=variant, bn=bn,
                    bk_half=bk_half)
         return y[0, 0].astype(_BF16)
@@ -129,6 +160,9 @@ def chained(wp, x, sc, *, variant, bn, bk_half, passes):
 
 
 def timeit(variant, bn, bk_half):
+    global x, want_s
+    if variant == "w4a8":
+        x, want_s = xi8, want_i
     try:
         y = gemv_v(wp, x, x, sc, variant=variant, bn=bn, bk_half=bk_half)
         err = np.abs(np.asarray(y[:, :N1], np.float32) - want_s).max() / (

@@ -133,3 +133,51 @@ def test_gemv_int4_block_interpret(rng):
     ref = x @ np.asarray(dequantize_weight(wq, jnp.float32))
     rel = np.abs(y - ref).max() / np.abs(ref).max()
     assert rel < 2e-2, rel
+
+
+def test_gemv_int4_w4a8_interpret(rng):
+    """w4a8 GEMV (int8 activation quant + native int8 dots, XOR-bias
+    unpack with rowsum correction) matches the dequantized reference
+    within the int4 + int8-act envelope."""
+    from pygpukit_tpu.kernels.gemv_quant import gemv_int4_w4a8
+    n, k = 256, 256
+    w = rng.standard_normal((n, k)).astype(np.float32)
+    scale = (np.abs(w).max(axis=1, keepdims=True) / 7.0).astype(np.float32)
+    q = np.clip(np.round(w / scale), -7, 7).astype(np.int8)
+    lo = q[:, :k // 2] & 0xF
+    hi = q[:, k // 2:] & 0xF
+    packed = jnp.asarray((lo | (hi << 4)).astype(np.uint8))
+    x = rng.standard_normal((2, k)).astype(np.float32)
+    y = np.asarray(gemv_int4_w4a8(packed, jnp.asarray(x),
+                                  jnp.asarray(scale[:, 0]),
+                                  bn=128, bk_half=128), np.float32)
+    # int-exact reference including the activation quantization
+    sx = np.maximum(np.abs(x).max(axis=1, keepdims=True) / 127.0, 1e-12)
+    xi = np.clip(np.round(x / sx), -127, 127).astype(np.int32)
+    ref = (xi @ q.astype(np.int32).T) * sx * scale[:, 0]
+    rel = np.abs(y - ref).max() / np.abs(ref).max()
+    assert rel < 2e-2, rel
+
+
+def test_gemv_int4_w4a8_stacked_interpret(rng):
+    """Stacked w4a8 GEMV matches the sliced w4a8 kernel per layer."""
+    from pygpukit_tpu.kernels.gemv_quant import (
+        gemv_int4_w4a8, gemv_int4_w4a8_stacked,
+    )
+    L, n, k = 3, 256, 256
+    w = rng.standard_normal((L, n, k)).astype(np.float32)
+    scale = (np.abs(w).max(axis=2, keepdims=True) / 7.0).astype(np.float32)
+    q = np.clip(np.round(w / scale), -7, 7).astype(np.int8)
+    lo = q[:, :, :k // 2] & 0xF
+    hi = q[:, :, k // 2:] & 0xF
+    packed = jnp.asarray((lo | (hi << 4)).astype(np.uint8))  # [L, N, K/2]
+    sc3 = jnp.asarray(np.swapaxes(scale, 1, 2))              # [L, 1, N]
+    x = rng.standard_normal(k).astype(np.float32)
+    for i in range(L):
+        y = np.asarray(gemv_int4_w4a8_stacked(
+            packed, jnp.int32(i), jnp.asarray(x), sc3,
+            bn=128, bk_half=128), np.float32)
+        ref = np.asarray(gemv_int4_w4a8(
+            packed[i], jnp.asarray(x), jnp.asarray(scale[i, :, 0]),
+            bn=128, bk_half=128), np.float32)
+        np.testing.assert_allclose(y, ref, rtol=1e-6, atol=1e-6)
