@@ -250,7 +250,7 @@ def gemv_int4_packed_stacked(w_stack, idx, x, scale_stack,
     reintroduce the copy this kernel exists to avoid); callers gate on
     ``stacked_tiles_exact`` and fall back to the sliced form otherwise."""
     n_layers, n, k_half = w_stack.shape
-    abn, abk = _adaptive_tiles(n, k_half)
+    abn, abk = _tiles_for(n, k_half)
     bn = abn if bn is None else min(bn, n)
     bk_half = abk if bk_half is None else min(bk_half, k_half)
     if n % bn or k_half % bk_half:
@@ -272,7 +272,7 @@ def gemv_int4_packed_stacked(w_stack, idx, x, scale_stack,
 def stacked_tiles_exact(n: int, k_half: int) -> bool:
     """True when the adaptive tiles divide [N, K/2] exactly (the stacked
     per-column GEMV's no-padding precondition)."""
-    bn, bk_half = _adaptive_tiles(n, k_half)
+    bn, bk_half = _tiles_for(n, k_half)
     return n % bn == 0 and k_half % bk_half == 0
 
 
@@ -331,6 +331,24 @@ def _adaptive_tiles(n: int, k_half: int):
     return max(bn, min(n, 128)), max(bk_half, min(k_half, 128))
 
 
+#: Per-shape tile overrides for the packed/w4a8 GEMVs, keyed (N, K/2).
+#: Rationale (scripts/micro_int4_tiles.py): _adaptive_tiles gives the small
+#: per-layer decode projections single-tile grids — grid=(1,1) means Mosaic
+#: has NOTHING to double-buffer, so the tile DMA fully serialises against
+#: the unpack+dot (ramp exposure). Splitting K restores the revolving-buffer
+#: overlap. Entries are set from real-decode A/B measurements, not the
+#: micro alone (the micro's qkv/o/down stacks fit in VMEM and can go
+#: resident, which hides the DMA ramp the real loop pays).
+TILE_OVERRIDES: dict[tuple[int, int], tuple[int, int]] = {}
+
+
+def _tiles_for(n: int, k_half: int):
+    ov = TILE_OVERRIDES.get((n, k_half))
+    if ov is not None and n % ov[0] == 0 and k_half % ov[1] == 0:
+        return ov
+    return _adaptive_tiles(n, k_half)
+
+
 @functools.partial(jax.jit, static_argnames=("bn", "bk_half"))
 def gemv_int4_packed(w_packed, x, scale=None, bn: int | None = None,
                      bk_half: int | None = None):
@@ -338,7 +356,7 @@ def gemv_int4_packed(w_packed, x, scale=None, bn: int | None = None,
     scales. Split-half packing: low nibble = W[:, :K/2], high = W[:, K/2:]
     (matches llm/quant.quantize_weight int4 layout transposed to [N, K/2])."""
     n, k_half = w_packed.shape
-    abn, abk = _adaptive_tiles(n, k_half)
+    abn, abk = _tiles_for(n, k_half)
     bn = abn if bn is None else min(bn, n)
     bk_half = abk if bk_half is None else min(bk_half, k_half)
     npad = _cdiv(n, bn) * bn - n
@@ -449,7 +467,7 @@ def gemv_int4_w4a8(w_packed, x, scale=None, bn: int | None = None,
     MXU dots (the TPU analog of the reference's w8a8 GEMV fast path). Adds
     ~0.4% RMS activation error on top of int4's weight envelope."""
     n, k_half = w_packed.shape
-    abn, abk = _adaptive_tiles(n, k_half)
+    abn, abk = _tiles_for(n, k_half)
     bn = abn if bn is None else min(bn, n)
     bk_half = abk if bk_half is None else min(bk_half, k_half)
     npad = _cdiv(n, bn) * bn - n
@@ -530,7 +548,7 @@ def gemv_int4_w4a8_stacked(w_stack, idx, x, scale_stack,
     packed-int4 weight [L, N, K/2], activations quantized per row to int8
     feeding native int8 MXU dots. Same exact-tiling precondition."""
     n_layers, n, k_half = w_stack.shape
-    abn, abk = _adaptive_tiles(n, k_half)
+    abn, abk = _tiles_for(n, k_half)
     bn = abn if bn is None else min(bn, n)
     bk_half = abk if bk_half is None else min(bk_half, k_half)
     if n % bn or k_half % bk_half:
