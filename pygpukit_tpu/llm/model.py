@@ -20,6 +20,7 @@ zero-alloc decode, fixed-cache decode, KV snapshot/restore) TPU-first:
 
 from __future__ import annotations
 
+import contextlib
 import functools
 from dataclasses import dataclass
 from typing import Any, Iterator
@@ -38,6 +39,26 @@ from ..ops.nn.rope import apply_rope_fn
 from .config import ModelSpec, TransformerConfig
 
 _F32 = jnp.float32
+
+#: see batched_trace() — consulted by _mm at trace time
+_batched_trace_depth = 0
+
+
+@contextlib.contextmanager
+def batched_trace():
+    """Mark the enclosing capture as a BATCHED decode trace (vmapped over
+    serving slots). Kernel selection in _mm happens at Python trace time,
+    but vmap's scan/body batching rules re-trace with per-example tracers,
+    so batching is invisible from inside — the serving engines wrap their
+    chunk-executable captures in this context instead. Single-stream-only
+    kernels (the Pallas packed-int4 GEMVs, which would re-stream the whole
+    weight stack once per slot under vmap) defer to XLA inside it."""
+    global _batched_trace_depth
+    _batched_trace_depth += 1
+    try:
+        yield
+    finally:
+        _batched_trace_depth -= 1
 
 
 def _pf32(*arrs):
@@ -102,7 +123,23 @@ def _mm(x, w, out_dtype=None, int8_mode=None):
             # Pallas kernel can select the layer via scalar prefetch instead
             # of a materialized dynamic-slice copy (761 us/tok on 1B int4)
             blocked = "scale_block" in w               # NVF4-analog leaves
-            env_pallas = (os.environ.get("PYGPUKIT_INT4_GEMV", "pallas")
+            # The Pallas GEMV is a SINGLE-STREAM kernel: under vmap (the
+            # serving engine's batched chunk) the batch becomes a leading
+            # grid dim whose weight index_map ignores the batch index, so
+            # the kernel re-streams the whole weight stack once PER SLOT —
+            # measured batch-8 serving 1065 tok/s Pallas vs 1584-1616 XLA
+            # vs int8's 1798-1816 (scripts/micro_serving_int4.py). Batched
+            # traces auto-route to the XLA dequant dot (weights stream
+            # once for all rows); PYGPUKIT_INT4_BATCHED=pallas opts out.
+            # (An explicit trace-scope flag, not a BatchTracer check: the
+            # scan/vmap batching rules trace the body with PER-EXAMPLE
+            # tracers, so vmap is invisible from inside _mm — the serving
+            # engine wraps its chunk captures in ``batched_trace()``.)
+            batched = (_batched_trace_depth > 0
+                       and os.environ.get("PYGPUKIT_INT4_BATCHED", "xla")
+                       != "pallas")
+            env_pallas = (not batched
+                          and os.environ.get("PYGPUKIT_INT4_GEMV", "pallas")
                           == "pallas")
             # w4a8 default on TPU: per-row int8 activation quant + NATIVE
             # int8 MXU dots — the bf16-unpack GEMV was VPU-bound (traced

@@ -25,8 +25,8 @@ from jax import lax
 
 from ..core.executable import capture
 from .model import (
-    CausalTransformerModel, _bucket, decode_step_fn, generate_scan_fn,
-    prefill_fn,
+    CausalTransformerModel, _bucket, batched_trace, decode_step_fn,
+    generate_scan_fn, prefill_fn,
 )
 
 
@@ -579,12 +579,13 @@ class ContinuousBatchingEngine:
                 paged_serve_chunk_fn, self.model.config, n,
                 float(self.temperature), int(self.top_k), int(self.seed),
                 int(self.max_seq_len))
-            self._decode_exe = capture(
-                fn, self.model.params, self.k_cache, self.v_cache,
-                self._tables_dev,
-                jnp.zeros((self.max_batch,), jnp.int32),
-                jnp.zeros((self.max_batch,), jnp.int32), jnp.int32(0),
-                donate_argnums=(1, 2), name=f"serve_chunk_paged_{n}")
+            with batched_trace():
+                self._decode_exe = capture(
+                    fn, self.model.params, self.k_cache, self.v_cache,
+                    self._tables_dev,
+                    jnp.zeros((self.max_batch,), jnp.int32),
+                    jnp.zeros((self.max_batch,), jnp.int32), jnp.int32(0),
+                    donate_argnums=(1, 2), name=f"serve_chunk_paged_{n}")
         return self._decode_exe
 
     def _step_paged(self) -> int:
@@ -638,20 +639,23 @@ class ContinuousBatchingEngine:
                     paged_serve_chunk_fn, self.model.config, n,
                     float(self.temperature), int(self.top_k), int(self.seed),
                     int(self.max_seq_len))
-                self._decode_exe = capture(
-                    fn, self.model.params, self.k_cache, self.v_cache,
-                    self._tables_dev, self._last_dev, self._poss_dev,
-                    jnp.int32(0), donate_argnums=(1, 2, 4, 5),
-                    name=f"serve_chunk_paged_pl_{n}")
+                with batched_trace():
+                    self._decode_exe = capture(
+                        fn, self.model.params, self.k_cache, self.v_cache,
+                        self._tables_dev, self._last_dev, self._poss_dev,
+                        jnp.int32(0), donate_argnums=(1, 2, 4, 5),
+                        name=f"serve_chunk_paged_pl_{n}")
             else:
                 fn = functools.partial(
                     _serve_chunk_fn, self.model.config, n,
                     float(self.temperature), int(self.top_k), int(self.seed),
                     int(self.max_seq_len))
-                self._decode_exe = capture(
-                    fn, self.model.params, self.k_cache, self.v_cache,
-                    self._last_dev, self._poss_dev, jnp.int32(0),
-                    donate_argnums=(1, 2, 3, 4), name=f"serve_chunk_pl_{n}")
+                with batched_trace():
+                    self._decode_exe = capture(
+                        fn, self.model.params, self.k_cache, self.v_cache,
+                        self._last_dev, self._poss_dev, jnp.int32(0),
+                        donate_argnums=(1, 2, 3, 4),
+                        name=f"serve_chunk_pl_{n}")
         return self._decode_exe
 
     def _ensure_decode_exe(self):
@@ -661,22 +665,24 @@ class ContinuousBatchingEngine:
                 fn = jax.vmap(
                     functools.partial(decode_step_fn, self.model.config),
                     in_axes=(None, 0, 0, 0, 0))
-                self._decode_exe = capture(
-                    fn, self.model.params, self.k_cache, self.v_cache,
-                    jnp.zeros((self.max_batch,), jnp.int32),
-                    jnp.zeros((self.max_batch,), jnp.int32),
-                    donate_argnums=(1, 2), name="serve_decode")
+                with batched_trace():
+                    self._decode_exe = capture(
+                        fn, self.model.params, self.k_cache, self.v_cache,
+                        jnp.zeros((self.max_batch,), jnp.int32),
+                        jnp.zeros((self.max_batch,), jnp.int32),
+                        donate_argnums=(1, 2), name="serve_decode")
             else:
                 scan_fn = functools.partial(
                     generate_scan_fn, self.model.config, n,
                     float(self.temperature), int(self.top_k))
                 fn = jax.vmap(scan_fn, in_axes=(None, 0, 0, 0, 0, 0))
                 keys = jax.random.split(jax.random.PRNGKey(0), self.max_batch)
-                self._decode_exe = capture(
-                    fn, self.model.params, self.k_cache, self.v_cache,
-                    jnp.zeros((self.max_batch,), jnp.int32),
-                    jnp.zeros((self.max_batch,), jnp.int32), keys,
-                    donate_argnums=(1, 2), name=f"serve_decode_{n}")
+                with batched_trace():
+                    self._decode_exe = capture(
+                        fn, self.model.params, self.k_cache, self.v_cache,
+                        jnp.zeros((self.max_batch,), jnp.int32),
+                        jnp.zeros((self.max_batch,), jnp.int32), keys,
+                        donate_argnums=(1, 2), name=f"serve_decode_{n}")
         return self._decode_exe
 
     def _maybe_finish(self, slot: int, tok: int) -> None:

@@ -43,7 +43,7 @@ import numpy as np
 from jax import lax
 
 from ..core.executable import capture
-from .model import _bucket
+from .model import _bucket, batched_trace
 from .serving import EngineStats, Request, _sample_logits
 
 
@@ -221,12 +221,14 @@ class HybridServingEngine:
                 _hybrid_chunk_fn, self.model.config, cls._decode_step_fn,
                 self.steps_per_dispatch, float(self.temperature),
                 int(self.top_k), int(self.seed), int(self.max_seq_len))
-            self._chunk_exe = capture(
-                fn, self.model.params, self._caches,
-                jnp.zeros((self.max_batch,), jnp.int32),
-                jnp.zeros((self.max_batch,), jnp.int32), jnp.int32(0),
-                donate_argnums=(1,),
-                name=f"{cls._name}_serve_chunk_{self.steps_per_dispatch}")
+            with batched_trace():
+                self._chunk_exe = capture(
+                    fn, self.model.params, self._caches,
+                    jnp.zeros((self.max_batch,), jnp.int32),
+                    jnp.zeros((self.max_batch,), jnp.int32), jnp.int32(0),
+                    donate_argnums=(1,),
+                    name=f"{cls._name}_serve_chunk_"
+                         f"{self.steps_per_dispatch}")
         return self._chunk_exe
 
     def step(self) -> int:
