@@ -222,6 +222,41 @@ def bench_decode(mode: str, n_tokens: int = 256) -> dict:
     return res
 
 
+def bench_serving(mode: str = "int8", n_req: int = 32, steps: int = 32,
+                  gen: int = 128) -> float:
+    """Aggregate batch-8 serving throughput on the 1B bench model: the
+    pipelined continuous-batching engine, n_req x gen-token requests,
+    steps_per_dispatch chunks (int8 w8a8 is the measured-best batch rung —
+    docs/performance.md "Batch serving"). Warmup requests compile the
+    chunk/prefill/wave executables outside the timed window."""
+    import jax.numpy as jnp
+    from pygpukit_tpu.llm.config import TransformerConfig
+    from pygpukit_tpu.llm.model import (
+        CausalTransformerModel, fuse_params, init_params_device,
+    )
+    from pygpukit_tpu.llm.quant import quantize_model_params
+    from pygpukit_tpu.llm.serving import ContinuousBatchingEngine
+
+    cfg = TransformerConfig(
+        vocab_size=32000, hidden_size=2048, num_layers=22, num_heads=32,
+        num_kv_heads=4, intermediate_size=5632,
+        max_position_embeddings=2048, tie_word_embeddings=False)
+    params = quantize_model_params(
+        fuse_params(init_params_device(cfg, 0, jnp.bfloat16)), mode)
+    model = CausalTransformerModel(cfg, params, dtype=jnp.bfloat16)
+    eng = ContinuousBatchingEngine(model, max_batch=8, max_seq_len=512,
+                                   steps_per_dispatch=steps, pipelined=True)
+    prompt = list(range(1, 17))
+    for _ in range(8):
+        eng.submit(prompt, max_new_tokens=steps)
+    eng.run_until_complete()
+    for _ in range(n_req):
+        eng.submit(prompt, max_new_tokens=gen)
+    t0 = time.perf_counter()
+    eng.run_until_complete()
+    return n_req * gen / (time.perf_counter() - t0)
+
+
 def main() -> None:
     tflops = bench_gemm_bf16()
     extra = {}
@@ -273,6 +308,10 @@ def main() -> None:
     if "decode_1b_bf16_gbps" in extra:
         extra["decode_bf16_vs_ref_gemv_bw"] = round(
             extra["decode_1b_bf16_gbps"] / BASELINE_GEMV_GBPS, 4)
+    try:
+        extra["serving_1b_int8_toks_per_s"] = round(bench_serving("int8"), 1)
+    except Exception as e:
+        extra["serving_1b_int8_error"] = type(e).__name__
     print(json.dumps({
         "metric": "bf16_gemm_8192_tflops",
         "value": round(tflops, 2),
