@@ -21,6 +21,11 @@ from ..core.backend import interpret_mode
 
 _F32 = jnp.float32
 
+#: Scoped-VMEM limit for every GEMV pallas_call: the 2-3 MB adaptive tiles
+#: overflow the 16 MB default (unpacked bf16 + expanded f32 scales are
+#: 4-8x the packed tile); v5e has 128 MB VMEM (CLAUDE.md).
+_VMEM_LIMIT = 100 * 2**20
+
 
 def _cdiv(a, b):
     return -(-a // b)
@@ -63,10 +68,7 @@ def _gemv_pallas(w, x, scale, *, bn: int, bk: int, interpret: bool):
         scratch_shapes=[pltpu.VMEM((rows, bn), _F32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
-            # the 2-3 MB adaptive tiles overflow the 16 MB default scoped
-            # VMEM (unpacked bf16 + expanded f32 scales are 4-8x the packed
-            # tile); v5e has 128 MB VMEM (CLAUDE.md)
-            vmem_limit_bytes=100 * 2**20),
+            vmem_limit_bytes=_VMEM_LIMIT),
         cost_estimate=pl.CostEstimate(
             flops=2 * n * k,
             bytes_accessed=n * k * w.dtype.itemsize + k * 2 + n * 2,
@@ -117,6 +119,21 @@ def _unpack_nibbles_bf16(p):
     return lo, hi16
 
 
+def _packed_tile_dots(p, xlo, xhi):
+    """Shared packed-int4 (w4a16) tile math for the sliced AND stacked
+    kernels: in-register nibble unpack + two bf16 MXU dots, the exact 1/16
+    for the high nibble folded into x_hi. Keeping one body is what
+    preserves the sliced/stacked bitwise-identity invariant the interpret
+    tests assert."""
+    lo, hi16 = _unpack_nibbles_bf16(p)
+    xl = xlo.astype(jnp.bfloat16)
+    xh = xhi.astype(jnp.bfloat16) * jnp.bfloat16(1.0 / 16.0)
+    return (jax.lax.dot_general(xl, lo, (((1,), (1,)), ((), ())),
+                                preferred_element_type=_F32)
+            + jax.lax.dot_general(xh, hi16, (((1,), (1,)), ((), ())),
+                                  preferred_element_type=_F32))
+
+
 def _gemv_packed_kernel(w_ref, xlo_ref, xhi_ref, scale_ref, o_ref, acc_ref,
                         *, n_k: int):
     """Packed-int4 GEMV: w tile [bn, bk_half] uint8, nibbles unpacked to bf16
@@ -129,13 +146,7 @@ def _gemv_packed_kernel(w_ref, xlo_ref, xhi_ref, scale_ref, o_ref, acc_ref,
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    lo, hi16 = _unpack_nibbles_bf16(w_ref[:])    # [bn, bk_half]
-    xlo = xlo_ref[:].astype(jnp.bfloat16)        # [rows, bk_half]
-    xhi = xhi_ref[:].astype(jnp.bfloat16) * jnp.bfloat16(1.0 / 16.0)
-    acc_ref[:] += jax.lax.dot_general(
-        xlo, lo, (((1,), (1,)), ((), ())), preferred_element_type=_F32)
-    acc_ref[:] += jax.lax.dot_general(
-        xhi, hi16, (((1,), (1,)), ((), ())), preferred_element_type=_F32)
+    acc_ref[:] += _packed_tile_dots(w_ref[:], xlo_ref[:], xhi_ref[:])
 
     @pl.when(ki == n_k - 1)
     def _():
@@ -163,10 +174,7 @@ def _gemv_packed_pallas(w_packed, x_lo, x_hi, scale, *, bn: int,
         scratch_shapes=[pltpu.VMEM((rows, bn), _F32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
-            # the 2-3 MB adaptive tiles overflow the 16 MB default scoped
-            # VMEM (unpacked bf16 + expanded f32 scales are 4-8x the packed
-            # tile); v5e has 128 MB VMEM (CLAUDE.md)
-            vmem_limit_bytes=100 * 2**20),
+            vmem_limit_bytes=_VMEM_LIMIT),
         cost_estimate=pl.CostEstimate(
             flops=2 * n * k_half * 2,
             bytes_accessed=n * k_half + k_half * 2 * 2 + n * 2,
@@ -189,13 +197,7 @@ def _gemv_packed_stacked_kernel(idx_ref, w_ref, xlo_ref, xhi_ref, scale_ref,
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    lo, hi16 = _unpack_nibbles_bf16(w_ref[0])    # [bn, bk_half]
-    xlo = xlo_ref[:].astype(jnp.bfloat16)        # [rows, bk_half]
-    xhi = xhi_ref[:].astype(jnp.bfloat16) * jnp.bfloat16(1.0 / 16.0)
-    acc_ref[:] += jax.lax.dot_general(
-        xlo, lo, (((1,), (1,)), ((), ())), preferred_element_type=_F32)
-    acc_ref[:] += jax.lax.dot_general(
-        xhi, hi16, (((1,), (1,)), ((), ())), preferred_element_type=_F32)
+    acc_ref[:] += _packed_tile_dots(w_ref[0], xlo_ref[:], xhi_ref[:])
 
     @pl.when(ki == n_k - 1)
     def _():
@@ -228,7 +230,7 @@ def _gemv_packed_stacked_pallas(w_stack, idx, x_lo, x_hi, scale_stack, *,
         out_shape=jax.ShapeDtypeStruct((rows, n), jnp.bfloat16),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
-            vmem_limit_bytes=100 * 2**20),
+            vmem_limit_bytes=_VMEM_LIMIT),
         cost_estimate=pl.CostEstimate(
             flops=2 * n * k_half * 2,
             bytes_accessed=n * k_half + k_half * 2 * 2 + n * 2,
@@ -450,7 +452,7 @@ def _gemv_w4a8_pallas(w_packed, x_lo, x_hi, sx, scale, *, bn: int,
         scratch_shapes=[pltpu.VMEM((rows, bn), _F32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
-            vmem_limit_bytes=100 * 2**20),
+            vmem_limit_bytes=_VMEM_LIMIT),
         cost_estimate=pl.CostEstimate(
             flops=2 * n * k_half * 2,
             bytes_accessed=n * k_half + k_half * 2 * 2 + n * 2,
@@ -531,7 +533,7 @@ def _gemv_w4a8_stacked_pallas(w_stack, idx, x_lo, x_hi, sx, scale_stack, *,
         out_shape=jax.ShapeDtypeStruct((rows, n), jnp.bfloat16),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
-            vmem_limit_bytes=100 * 2**20),
+            vmem_limit_bytes=_VMEM_LIMIT),
         cost_estimate=pl.CostEstimate(
             flops=2 * n * k_half * 2,
             bytes_accessed=n * k_half + k_half * 2 * 2 + n * 2,
@@ -563,18 +565,33 @@ def gemv_int4_w4a8_stacked(w_stack, idx, x, scale_stack,
     return out[:max(rows, 1), :n][:rows]
 
 
-def _block_scale_expand(s_ref, blk: int):
-    """[nb, bn] f32 scale tile -> [nb*blk, bn] bf16, each scale row repeated
+def _block_scale_expand(s, blk: int):
+    """[nb, bn] f32 scale tile (a value, not a ref) -> [nb*blk, bn] bf16, rows repeated
     ``blk`` times along sublanes. Pure VPU: a sublane broadcast + major-dim
     reshape (Mosaic lowers both; it is the LANE-dim merge [bn, nb, blk] ->
     [bn, nb*blk] that is an unsupported shape cast). This is the whole point
     of the K-major int4_block layout: the N-major layout could only expand
     scales with MXU dots against 0/1 iota matrices, which cost ~2x the main
     GEMV's MXU work and made int4_block 1.85x slower than plain int4."""
-    nb, bn = s_ref.shape
-    s = s_ref[:].astype(jnp.bfloat16)
+    nb, bn = s.shape
+    s = s.astype(jnp.bfloat16)
     return jnp.broadcast_to(s[:, None, :], (nb, blk, bn)).reshape(
         nb * blk, bn)
+
+
+def _block_tile_dots(p, xlo, xhi, slo, shi, blk):
+    """Shared K-major block-scaled tile math for the sliced AND stacked
+    kernels: unpack, expand the lo/hi scale tiles along sublanes, two bf16
+    MXU dots with the exact 1/16 folded into x_hi."""
+    lo, hi16 = _unpack_nibbles_bf16(p)
+    wlo = lo * _block_scale_expand(slo, blk)
+    whi = hi16 * _block_scale_expand(shi, blk)
+    return (jax.lax.dot_general(
+                xlo.astype(jnp.bfloat16), wlo, (((1,), (0,)), ((), ())),
+                preferred_element_type=_F32)
+            + jax.lax.dot_general(
+                xhi.astype(jnp.bfloat16) * jnp.bfloat16(1.0 / 16.0), whi,
+                (((1,), (0,)), ((), ())), preferred_element_type=_F32))
 
 
 def _gemv_block_stacked_kernel(idx_ref, w_ref, xlo_ref, xhi_ref, slo_ref,
@@ -595,15 +612,8 @@ def _gemv_block_stacked_kernel(idx_ref, w_ref, xlo_ref, xhi_ref, slo_ref,
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    lo, hi16 = _unpack_nibbles_bf16(w_ref[0])    # [bk_half, bn]
-    wlo = lo * _block_scale_expand(slo_ref[0], blk)
-    whi = hi16 * _block_scale_expand(shi_ref[0], blk)
-    acc_ref[:] += jax.lax.dot_general(
-        xlo_ref[:].astype(jnp.bfloat16), wlo, (((1,), (0,)), ((), ())),
-        preferred_element_type=_F32)
-    acc_ref[:] += jax.lax.dot_general(
-        xhi_ref[:].astype(jnp.bfloat16) * jnp.bfloat16(1.0 / 16.0), whi,
-        (((1,), (0,)), ((), ())), preferred_element_type=_F32)
+    acc_ref[:] += _block_tile_dots(w_ref[0], xlo_ref[:], xhi_ref[:],
+                                   slo_ref[0], shi_ref[0], blk)
 
     @pl.when(ki == n_k - 1)
     def _():
@@ -643,7 +653,7 @@ def _gemv_block_stacked_pallas(w_stack, idx, x_lo, x_hi, s_stack, *,
         out_shape=jax.ShapeDtypeStruct((rows, n), jnp.bfloat16),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
-            vmem_limit_bytes=100 * 2**20),
+            vmem_limit_bytes=_VMEM_LIMIT),
         cost_estimate=pl.CostEstimate(
             flops=2 * n * k_half * 2,
             bytes_accessed=n * k_half + n * k_half // blk * 4 * 2
@@ -668,9 +678,15 @@ def gemv_int4_block_stacked(w_stack, idx, x, scale_block_stack,
     abn, abk = _adaptive_tiles_km(k_half, n, blk)
     bn = abn if bn is None else min(bn, n)
     bk_half = abk if bk_half is None else min(bk_half, k_half)
-    if n % bn or k_half % bk_half or bk_half % blk:
+    interp = interpret_mode()
+    if (n % bn or k_half % bk_half or bk_half % blk
+            or (not interp and (bk_half // blk) % 8)):
+        # 8 | nb keeps the [nb, bn] scale tiles sublane-aligned — a Mosaic
+        # lowering rule, so it binds on device only (interpret mode is the
+        # parity-test vehicle and accepts any exact tiling)
         raise ValueError(
-            f"stacked int4_block GEMV needs exact aligned tiling: N={n} "
+            f"stacked int4_block GEMV needs exact aligned tiling"
+            f"{'' if interp else ' with 8 | bk_half/blk'}: N={n} "
             f"bn={bn}, K/2={k_half} bk_half={bk_half}, blk={blk}")
     rows = x.shape[0] if x.ndim == 2 else 1
     xr = x.reshape(rows, -1).astype(jnp.bfloat16)
@@ -680,7 +696,7 @@ def gemv_int4_block_stacked(w_stack, idx, x, scale_block_stack,
     out = _gemv_block_stacked_pallas(
         w_stack, idx, x_lo, x_hi,
         scale_block_stack.astype(_F32), bn=bn, bk_half=bk_half, blk=blk,
-        interpret=interpret_mode())
+        interpret=interp)
     return out[:max(rows, 1), :n][:rows]
 
 
@@ -697,15 +713,8 @@ def _gemv_block_kernel(w_ref, xlo_ref, xhi_ref, slo_ref, shi_ref, o_ref,
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    lo, hi16 = _unpack_nibbles_bf16(w_ref[:])    # [bk_half, bn]
-    wlo = lo * _block_scale_expand(slo_ref[:], blk)
-    whi = hi16 * _block_scale_expand(shi_ref[:], blk)
-    acc_ref[:] += jax.lax.dot_general(
-        xlo_ref[:].astype(jnp.bfloat16), wlo, (((1,), (0,)), ((), ())),
-        preferred_element_type=_F32)
-    acc_ref[:] += jax.lax.dot_general(
-        xhi_ref[:].astype(jnp.bfloat16) * jnp.bfloat16(1.0 / 16.0), whi,
-        (((1,), (0,)), ((), ())), preferred_element_type=_F32)
+    acc_ref[:] += _block_tile_dots(w_ref[:], xlo_ref[:], xhi_ref[:],
+                                   slo_ref[:], shi_ref[:], blk)
 
     @pl.when(ki == n_k - 1)
     def _():
@@ -738,10 +747,7 @@ def _gemv_block_pallas(w_packed, x_lo, x_hi, s_block, *, bn: int,
         scratch_shapes=[pltpu.VMEM((rows, bn), _F32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
-            # the 2-3 MB adaptive tiles overflow the 16 MB default scoped
-            # VMEM (unpacked bf16 + expanded f32 scales are 4-8x the packed
-            # tile); v5e has 128 MB VMEM (CLAUDE.md)
-            vmem_limit_bytes=100 * 2**20),
+            vmem_limit_bytes=_VMEM_LIMIT),
         cost_estimate=pl.CostEstimate(
             flops=2 * n * k_half * 2,
             bytes_accessed=n * k_half + n * k_half // blk * 4 * 2
@@ -761,6 +767,12 @@ def gemv_int4_block(w_packed, x, scale_block, bn: int | None = None,
     k_half, n = w_packed.shape
     k = 2 * k_half
     blk = k // scale_block.shape[0]
+    if k % scale_block.shape[0] or k_half % blk:
+        # the lo/hi scale-half split at half_b = K/2 // B silently
+        # misassigns the block straddling the K/2 boundary otherwise
+        raise ValueError(
+            f"int4_block GEMV requires B | K/2: K={k}, "
+            f"K/B={scale_block.shape[0]} -> B={blk}, K/2={k_half}")
     abn, abk = _adaptive_tiles_km(k_half, n, blk)
     bn = abn if bn is None else min(bn, n)
     bk_half = abk if bk_half is None else min(bk_half, k_half)

@@ -19,43 +19,14 @@ single-stream rung; int8 w8a8 stays the batch-serving rung.
 """
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-import jax.numpy as jnp
-
-from pygpukit_tpu.llm.config import TransformerConfig
-from pygpukit_tpu.llm.model import (CausalTransformerModel, fuse_params,
-                                    init_params_device)
-from pygpukit_tpu.llm.quant import quantize_model_params
-from pygpukit_tpu.llm.serving import ContinuousBatchingEngine
-
-N_REQ = int(sys.argv[1]) if len(sys.argv) > 1 else 32
-STEPS = int(sys.argv[2]) if len(sys.argv) > 2 else 32
-
-cfg = TransformerConfig(
-    vocab_size=32000, hidden_size=2048, num_layers=22, num_heads=32,
-    num_kv_heads=4, intermediate_size=5632, max_position_embeddings=2048,
-    tie_word_embeddings=False)
-base = fuse_params(init_params_device(cfg, seed=0, dtype=jnp.bfloat16))
-prompt = list(range(1, 17))
+import bench
 
 
 def run(mode):
-    params = quantize_model_params(base, mode)
-    model = CausalTransformerModel(cfg, params, dtype=jnp.bfloat16)
-    eng = ContinuousBatchingEngine(model, max_batch=8, max_seq_len=512,
-                                   steps_per_dispatch=STEPS, pipelined=True)
-    for _ in range(8):                       # compile outside the window
-        eng.submit(prompt, max_new_tokens=STEPS)
-    eng.run_until_complete()
-    for _ in range(N_REQ):
-        eng.submit(prompt, max_new_tokens=128)
-    t0 = time.perf_counter()
-    eng.run_until_complete()
-    dt = time.perf_counter() - t0
-    tput = N_REQ * 128 / dt
+    tput = bench.bench_serving(mode)
     print(f"{mode:5s} {tput:7.1f} tok/s aggregate", flush=True)
     return tput
 

@@ -181,3 +181,19 @@ def test_gemv_int4_w4a8_stacked_interpret(rng):
             packed[i], jnp.asarray(x), jnp.asarray(scale[i, :, 0]),
             bn=128, bk_half=128), np.float32)
         np.testing.assert_allclose(y, ref, rtol=1e-6, atol=1e-6)
+
+
+def test_gemv_int4_block_rejects_misaligned_blocks(rng):
+    """B must divide K/2: the lo/hi scale-half split misassigns the block
+    straddling the K/2 boundary otherwise — the kernel raises instead of
+    silently computing wrong results (callers gate via block_tiles_aligned
+    and fall back to the XLA formulation)."""
+    import jax.numpy as jnp
+
+    from pygpukit_tpu.kernels.gemv_quant import gemv_int4_block
+    k, n, blk = 192, 256, 64                     # B | K but B does not | K/2
+    packed = jnp.zeros((k // 2, n), jnp.uint8)
+    s = jnp.ones((k // blk, n), jnp.float32)
+    x = jnp.zeros((k,), jnp.float32)
+    with pytest.raises(ValueError, match="B \\| K/2"):
+        gemv_int4_block(packed, x, s)

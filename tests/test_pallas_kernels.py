@@ -177,3 +177,81 @@ def test_gemv_int4_packed_stacked(rng):
     yv = np.asarray(jax.jit(jax.vmap(f))(xs))
     yl = np.stack([np.asarray(jax.jit(f)(xs[b])) for b in range(4)])
     np.testing.assert_array_equal(yv, yl)
+
+
+def test_gemv_int4_w4a8(rng):
+    """The w4a8 decode-default kernel (int8 act quant + native int8 MXU
+    dots) against the numpy int4 dequant reference — Mosaic lowering of
+    the 8-bit bitcast/XOR unpack and int32-accum dots, not just the
+    interpret-mode logic (tests/test_kernels_interpret.py)."""
+    import jax.numpy as jnp
+    from pygpukit_tpu.kernels.gemv_quant import gemv_int4_w4a8
+    n, k = 2048, 2048
+    w = rng.standard_normal((n, k)).astype(np.float32)
+    scale = (np.abs(w).max(axis=1, keepdims=True) / 7.0).astype(np.float32)
+    q = np.clip(np.round(w / scale), -7, 7).astype(np.int8)
+    lo = q[:, :k // 2] & 0xF
+    hi = q[:, k // 2:] & 0xF
+    packed = jnp.asarray((lo | (hi << 4)).astype(np.uint8))
+    x = rng.standard_normal(k).astype(np.float32)
+    y = np.asarray(gemv_int4_w4a8(packed, jnp.asarray(x),
+                                  jnp.asarray(scale[:, 0])), np.float32)
+    ref = (q.astype(np.float32) * scale) @ x
+    # int4 weights + int8 act quant: ~0.5% extra on top of the w4a16 2e-2
+    rel = np.abs(y[0] - ref).max() / np.abs(ref).max()
+    assert rel < 3e-2, rel
+
+
+def test_gemv_int4_w4a8_stacked(rng):
+    """Stacked w4a8 == sliced w4a8 BITWISE per layer (scalar-prefetch layer
+    select; the 1B decode path runs exactly this kernel)."""
+    import jax.numpy as jnp
+    from pygpukit_tpu.kernels.gemv_quant import (
+        gemv_int4_w4a8, gemv_int4_w4a8_stacked,
+    )
+    L, n, k = 3, 2048, 2048
+    w = rng.standard_normal((L, n, k)).astype(np.float32)
+    scale = (np.abs(w).max(axis=2, keepdims=True) / 7.0).astype(np.float32)
+    q = np.clip(np.round(w / scale), -7, 7).astype(np.int8)
+    lo = q[:, :, :k // 2] & 0xF
+    hi = q[:, :, k // 2:] & 0xF
+    packed = jnp.asarray((lo | (hi << 4)).astype(np.uint8))
+    sc3 = jnp.asarray(np.swapaxes(scale, 1, 2))               # [L, 1, N]
+    x = rng.standard_normal(k).astype(np.float32)
+    for i in (0, 2):
+        y = np.asarray(gemv_int4_w4a8_stacked(
+            packed, jnp.int32(i), jnp.asarray(x), sc3), np.float32)
+        ref = np.asarray(gemv_int4_w4a8(
+            packed[i], jnp.asarray(x), jnp.asarray(scale[i, :, 0])),
+            np.float32)
+        np.testing.assert_array_equal(y, ref)
+
+
+def test_gemv_int4_block_stacked_device_tiling(rng):
+    """K-major block-scaled stacked GEMV at a DEVICE-LEGAL tiling
+    (8 | bk_half/blk — the Mosaic sublane rule the interpret tests don't
+    enforce): sliced == stacked bitwise, both within the NVF4-class
+    error envelope of the numpy dequant reference."""
+    import jax.numpy as jnp
+    from pygpukit_tpu.kernels.gemv_quant import (
+        gemv_int4_block, gemv_int4_block_stacked,
+    )
+    from pygpukit_tpu.llm.quant import dequantize_weight, quantize_weight
+    L, k, n, blk = 3, 2048, 2048, 32
+    w = rng.standard_normal((L, k, n)).astype(np.float32)
+    wq = quantize_weight(jnp.asarray(w), "int4_block", block_size=blk)
+    x = rng.standard_normal(k).astype(np.float32)
+    for i in (0, 2):
+        y = np.asarray(gemv_int4_block_stacked(
+            wq["q_packed"], jnp.int32(i), jnp.asarray(x),
+            wq["scale_block"], bn=2048, bk_half=1024), np.float32)
+        ys = np.asarray(gemv_int4_block(
+            wq["q_packed"][i], jnp.asarray(x), wq["scale_block"][i],
+            bn=2048, bk_half=1024), np.float32)
+        np.testing.assert_array_equal(y, ys)
+        wd = np.asarray(dequantize_weight(
+            {"q_packed": wq["q_packed"][i],
+             "scale_block": wq["scale_block"][i]}, jnp.float32))
+        ref = x @ wd
+        rel = np.abs(y[0] - ref).max() / np.abs(ref).max()
+        assert rel < 2e-2, rel
