@@ -543,12 +543,93 @@ def _gemv_w4a8_stacked_pallas(w_stack, idx, x_lo, x_hi, sx, scale_stack, *,
       scale_stack)
 
 
+def _gemv_w4a8_stacked_fusedq_kernel(idx_ref, w_ref, x_ref, scale_ref,
+                                     o_ref, xq_ref, sx_ref, acc_ref, *,
+                                     n_k: int, bk_half: int):
+    """Stacked w4a8 GEMV with IN-KERNEL activation quantization: the whole
+    bf16 activation row arrives once, is quantized to int8 scratch at grid
+    step (0, 0) (grid executes row-major on the sequential TPU core), and
+    every tile dot reads its K-slice from scratch. Replaces the 4-per-layer
+    XLA act-quant fusions between Pallas calls on the decode path. The
+    quant math (f32 divide, round-half-even, clip, convert) is op-for-op
+    _quantize_acts_w4a8, so outputs stay BITWISE equal to the sliced
+    kernel fed by the XLA quant (asserted in test_pallas_kernels.py)."""
+    ni = pl.program_id(0)
+    ki = pl.program_id(1)
+    k_half = n_k * bk_half                       # exact tiling precondition
+
+    @pl.when((ni == 0) & (ki == 0))
+    def _():
+        xf = x_ref[:].astype(_F32)               # [rows, K]
+        amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+        sx = jnp.maximum(amax / _F32(127.0), _F32(1e-12))
+        xq = jnp.clip(jnp.round(xf / sx), -127, 127).astype(jnp.int8)
+        sx_ref[:] = sx
+        for j in range(n_k):                     # static lane slices
+            xq_ref[j] = xq[:, j * bk_half:(j + 1) * bk_half]
+            xq_ref[n_k + j] = xq[:, k_half + j * bk_half:
+                                 k_half + (j + 1) * bk_half]
+
+    @pl.when(ki == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    acc_ref[:] += _w4a8_tile_dots(w_ref[0], xq_ref[ki], xq_ref[n_k + ki])
+
+    @pl.when(ki == n_k - 1)
+    def _():
+        o_ref[:] = (acc_ref[:] * scale_ref[0].astype(_F32)
+                    * sx_ref[:]).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("bn", "bk_half", "interpret"))
+def _gemv_w4a8_stacked_fusedq_pallas(w_stack, idx, x, scale_stack, *,
+                                     bn: int, bk_half: int, interpret: bool):
+    n_layers, n, k_half = w_stack.shape
+    rows = x.shape[0]
+    n_k = _cdiv(k_half, bk_half)
+    kernel = functools.partial(_gemv_w4a8_stacked_fusedq_kernel, n_k=n_k,
+                               bk_half=bk_half)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(_cdiv(n, bn), n_k),
+            in_specs=[
+                pl.BlockSpec((1, bn, bk_half),
+                             lambda ni, ki, idx: (idx[0], ni, ki)),
+                pl.BlockSpec((rows, 2 * k_half),
+                             lambda ni, ki, idx: (0, 0)),
+                pl.BlockSpec((1, 1, bn), lambda ni, ki, idx: (idx[0], 0, ni)),
+            ],
+            out_specs=pl.BlockSpec((rows, bn), lambda ni, ki, idx: (0, ni)),
+            scratch_shapes=[pltpu.VMEM((2 * n_k, rows, bk_half), jnp.int8),
+                            pltpu.VMEM((rows, 1), _F32),
+                            pltpu.VMEM((rows, bn), _F32)],
+        ),
+        out_shape=jax.ShapeDtypeStruct((rows, n), jnp.bfloat16),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=_VMEM_LIMIT),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n * k_half * 2,
+            bytes_accessed=n * k_half + k_half * 2 * 2 + n * 2,
+            transcendentals=0),
+        interpret=interpret,
+    )(jnp.asarray(idx, jnp.int32).reshape(1), w_stack, x, scale_stack)
+
+
 def gemv_int4_w4a8_stacked(w_stack, idx, x, scale_stack,
                            bn: int | None = None,
                            bk_half: int | None = None):
     """w4a8 form of gemv_int4_packed_stacked: layer ``idx`` of a stacked
     packed-int4 weight [L, N, K/2], activations quantized per row to int8
-    feeding native int8 MXU dots. Same exact-tiling precondition."""
+    feeding native int8 MXU dots. Same exact-tiling precondition.
+
+    Activation quant runs IN-KERNEL by default (fused-quant form above);
+    PYGPUKIT_W4A8_QUANT=xla opts back to the XLA-side quant + the
+    3-operand kernel (bitwise-identical outputs either way)."""
+    import os
     n_layers, n, k_half = w_stack.shape
     abn, abk = _tiles_for(n, k_half)
     bn = abn if bn is None else min(bn, n)
@@ -557,8 +638,19 @@ def gemv_int4_w4a8_stacked(w_stack, idx, x, scale_stack,
         raise ValueError(
             f"stacked int4 GEMV needs exact tiling: N={n} bn={bn}, "
             f"K/2={k_half} bk_half={bk_half}")
-    xi_lo, xi_hi, sx, rows = _quantize_acts_w4a8(x, k_half)
     sc = scale_stack.reshape(n_layers, 1, n).astype(_F32)
+    if os.environ.get("PYGPUKIT_W4A8_QUANT", "kernel") != "xla":
+        rows = x.shape[0] if x.ndim == 2 else 1
+        xr = x.reshape(rows, -1)       # keep the caller dtype: the kernel
+        # quantizes from f32(x) exactly like _quantize_acts_w4a8, so an
+        # f32 caller must not lose bits to a bf16 staging cast
+        if rows < 8:
+            xr = jnp.pad(xr, ((0, 8 - rows), (0, 0)))
+        out = _gemv_w4a8_stacked_fusedq_pallas(w_stack, idx, xr, sc,
+                                               bn=bn, bk_half=bk_half,
+                                               interpret=interpret_mode())
+        return out[:max(rows, 1), :n][:rows]
+    xi_lo, xi_hi, sx, rows = _quantize_acts_w4a8(x, k_half)
     out = _gemv_w4a8_stacked_pallas(w_stack, idx, xi_lo, xi_hi, sx, sc,
                                     bn=bn, bk_half=bk_half,
                                     interpret=interpret_mode())

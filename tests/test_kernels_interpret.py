@@ -197,3 +197,31 @@ def test_gemv_int4_block_rejects_misaligned_blocks(rng):
     x = jnp.zeros((k,), jnp.float32)
     with pytest.raises(ValueError, match="B \\| K/2"):
         gemv_int4_block(packed, x, s)
+
+
+def test_gemv_int4_w4a8_stacked_fusedq_interpret(rng, monkeypatch):
+    """The in-kernel-quant stacked w4a8 form == the XLA-quant form BITWISE
+    (same divide/round/clip ops, just relocated into the kernel)."""
+    import jax.numpy as jnp
+
+    from pygpukit_tpu.kernels.gemv_quant import gemv_int4_w4a8_stacked
+    L, n, k = 2, 256, 256
+    w = rng.standard_normal((L, n, k)).astype(np.float32)
+    scale = (np.abs(w).max(axis=2) / 7.0).astype(np.float32)   # [L, N]
+    q = np.clip(np.round(w / scale[:, :, None]), -7, 7).astype(np.int8)
+    packed = jnp.asarray(((q[:, :, :k // 2] & 0xF)
+                          | ((q[:, :, k // 2:] & 0xF) << 4)).astype(np.uint8))
+    sc = jnp.asarray(scale[:, None, :])
+    for xdt in (np.float32, None):          # f32 caller and bf16 caller
+        x = rng.standard_normal(k).astype(np.float32)
+        xj = jnp.asarray(x) if xdt else jnp.asarray(x, jnp.bfloat16)
+        ys = {}
+        for mode in ("kernel", "xla"):
+            monkeypatch.setenv("PYGPUKIT_W4A8_QUANT", mode)
+            ys[mode] = np.asarray(gemv_int4_w4a8_stacked(
+                packed, jnp.int32(1), xj, sc, bn=128, bk_half=128),
+                np.float32)
+        np.testing.assert_array_equal(ys["kernel"], ys["xla"])
+        ref = (q[1].astype(np.float32) * scale[1][:, None]) @ x
+        err = np.abs(ys["kernel"][0] - ref) / (np.abs(ref).max() + 1e-9)
+        assert err.max() < 3e-2, err.max()
