@@ -6,7 +6,7 @@ weight set once per step for all slots, so the packed-int4 saving
 (~614 -> ~372 MB with the int8 head) should carry to batch 8 if the
 vmapped stacked GEMV holds its rate.
 
-Usage: PYTHONPATH=/root/repo:/root/.axon_site python scripts/micro_serving_int4.py [n_requests] [steps]
+Usage: PYTHONPATH=/root/repo:/root/.axon_site python scripts/micro_serving_int4.py
 
 RESULT (2026-08-18, healthy chip): it does NOT carry — vmap of the Pallas
 GEMV adds a batch grid dim whose weight index_map ignores the batch index,
