@@ -411,7 +411,14 @@ def _w4a8_tile_dots(p, xl8, xh8):
     dhi = jax.lax.dot_general(xh8, v16, (((1,), (1,)), ((), ())),
                               preferred_element_type=jnp.int32)
     rs = jnp.sum(xl8.astype(jnp.int32), axis=1, keepdims=True)
-    return (dlo - 8 * rs).astype(_F32) + dhi.astype(_F32) * _F32(1.0 / 16.0)
+    # combine in the EXACT integer domain (one f32 rounding at the final
+    # convert): s = 16*(dlo - 8*rs) + dhi fits int32 for every legal tile
+    # (|dlo-8rs| <= 127*8*bk_half, |dhi| <= 127*128*bk_half -> |s| < 2^31
+    # up to bk_half 8192). s can exceed f32's 2^24 exact range for
+    # bk_half >~ 1024 — the convert then rounds at 2^-24 RELATIVE, far
+    # inside the int8-activation error envelope (~0.4% RMS).
+    s = jnp.left_shift(dlo - 8 * rs, 4) + dhi
+    return s.astype(_F32) * _F32(1.0 / 16.0)
 
 
 def _gemv_w4a8_kernel(w_ref, xlo_ref, xhi_ref, sx_ref, scale_ref, o_ref,
@@ -609,7 +616,12 @@ def _gemv_w4a8_stacked_fusedq_pallas(w_stack, idx, x, scale_stack, *,
         ),
         out_shape=jax.ShapeDtypeStruct((rows, n), jnp.bfloat16),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary"),
+            # NOT ("parallel", ...): the xq/sx scratch is written only at
+            # grid step (0, 0) and read by every ni — correct only under
+            # sequential row-major execution, which "arbitrary" guarantees
+            # (a megacore TPU could otherwise split ni across cores and
+            # read uninitialized scratch).
+            dimension_semantics=("arbitrary", "arbitrary"),
             vmem_limit_bytes=_VMEM_LIMIT),
         cost_estimate=pl.CostEstimate(
             flops=2 * n * k_half * 2,

@@ -21,6 +21,7 @@ zero-alloc decode, fixed-cache decode, KV snapshot/restore) TPU-first:
 from __future__ import annotations
 
 import contextlib
+import contextvars
 import functools
 from dataclasses import dataclass
 from typing import Any, Iterator
@@ -40,8 +41,11 @@ from .config import ModelSpec, TransformerConfig
 
 _F32 = jnp.float32
 
-#: see batched_trace() — consulted by _mm at trace time
-_batched_trace_depth = 0
+#: see batched_trace() — consulted by _mm at trace time. A ContextVar (not
+#: a module global) so a capture() tracing on one thread cannot leak batched
+#: kernel routing into a single-stream trace running on another.
+_batched_trace_depth: contextvars.ContextVar[int] = contextvars.ContextVar(
+    "pygpukit_batched_trace_depth", default=0)
 
 
 @contextlib.contextmanager
@@ -53,12 +57,11 @@ def batched_trace():
     chunk-executable captures in this context instead. Single-stream-only
     kernels (the Pallas packed-int4 GEMVs, which would re-stream the whole
     weight stack once per slot under vmap) defer to XLA inside it."""
-    global _batched_trace_depth
-    _batched_trace_depth += 1
+    tok = _batched_trace_depth.set(_batched_trace_depth.get() + 1)
     try:
         yield
     finally:
-        _batched_trace_depth -= 1
+        _batched_trace_depth.reset(tok)
 
 
 def _pf32(*arrs):
@@ -135,7 +138,7 @@ def _mm(x, w, out_dtype=None, int8_mode=None):
             # scan/vmap batching rules trace the body with PER-EXAMPLE
             # tracers, so vmap is invisible from inside _mm — the serving
             # engine wraps its chunk captures in ``batched_trace()``.)
-            batched = (_batched_trace_depth > 0
+            batched = (_batched_trace_depth.get() > 0
                        and os.environ.get("PYGPUKIT_INT4_BATCHED", "xla")
                        != "pallas")
             env_pallas = (not batched
