@@ -669,6 +669,108 @@ def gemv_int4_w4a8_stacked(w_stack, idx, x, scale_stack,
     return out[:max(rows, 1), :n][:rows]
 
 
+def _gemm_w4a8_kernel(w_ref, xlo_ref, xhi_ref, sx_ref, scale_ref, o_ref,
+                      acc_ref, *, n_k: int):
+    """w4a8 int4 GEMM tile (M>1): same _w4a8_tile_dots body as the GEMV —
+    in-register nibble unpack feeding NATIVE int8 MXU dots with int32
+    accumulation — extended with an M grid dimension. At GEMM M the kernel
+    is MXU-bound, so the win over the XLA dequant-dot is the int8 MXU rate
+    (~309 TOPS measured vs ~178 TFLOPS bf16): the 4-bit GEMM rung the
+    reference ships as int4-via-int8 121 TFLOPS / NVF4 261-446
+    (reference native/ops/matmul/gemm/{int4_int4,w4a16_bf16}/)."""
+    ki = pl.program_id(2)
+
+    @pl.when(ki == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    acc_ref[:] += _w4a8_tile_dots(w_ref[:], xlo_ref[:], xhi_ref[:])
+
+    @pl.when(ki == n_k - 1)
+    def _():
+        o_ref[:] = (acc_ref[:] * scale_ref[:].astype(_F32)
+                    * sx_ref[:].astype(_F32)).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("bm", "bn", "bk_half",
+                                             "interpret"))
+def _gemm_w4a8_pallas(w_packed, x_lo, x_hi, sx, scale, *, bm: int, bn: int,
+                      bk_half: int, interpret: bool):
+    n, k_half = w_packed.shape
+    m = x_lo.shape[0]
+    n_k = _cdiv(k_half, bk_half)
+    kernel = functools.partial(_gemm_w4a8_kernel, n_k=n_k)
+    return pl.pallas_call(
+        kernel,
+        grid=(_cdiv(m, bm), _cdiv(n, bn), n_k),
+        in_specs=[
+            pl.BlockSpec((bn, bk_half), lambda mi, ni, ki: (ni, ki)),
+            pl.BlockSpec((bm, bk_half), lambda mi, ni, ki: (mi, ki)),
+            pl.BlockSpec((bm, bk_half), lambda mi, ni, ki: (mi, ki)),
+            pl.BlockSpec((bm, 1), lambda mi, ni, ki: (mi, 0)),
+            pl.BlockSpec((1, bn), lambda mi, ni, ki: (0, ni)),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda mi, ni, ki: (mi, ni)),
+        out_shape=jax.ShapeDtypeStruct((m, n), jnp.bfloat16),
+        scratch_shapes=[pltpu.VMEM((bm, bn), _F32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=_VMEM_LIMIT),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m * n * k_half * 2,
+            bytes_accessed=n * k_half + m * k_half * 2 + m * n * 2,
+            transcendentals=0),
+        interpret=interpret,
+    )(w_packed, x_lo, x_hi, sx, scale)
+
+
+def _gemm_tiles_for(m: int, n: int, k_half: int):
+    """GEMM tile choice: MXU-bound regime — [bm, bn] big enough to amortize
+    the two per-tile dots' fixed cost, small enough that w + 2 x-slices +
+    acc stay well inside VMEM (~bm*bk_half*2 + bn*bk_half + bm*bn*6)."""
+    bm = min(256, _cdiv(m, 8) * 8)
+    bn = min(1024, _cdiv(n, 128) * 128)
+    bk_half = min(1024, _cdiv(k_half, 128) * 128)
+    return max(bm, 8), max(bn, 128), max(bk_half, 128)
+
+
+@functools.partial(jax.jit, static_argnames=("bm", "bn", "bk_half"))
+def gemm_int4_w4a8(w_packed, x, scale=None, bm: int | None = None,
+                   bn: int | None = None, bk_half: int | None = None):
+    """w4a8 int4 GEMM: y[M, N] ~= x[M, K] @ unpack(W_packed[N, K/2]).T *
+    scale, per-row int8 activation quantization feeding native int8 MXU
+    dots. The M>1 member of the w4a8 family (VERDICT r3 #3) — prefill and
+    batched traces on packed-int4 leaves route here instead of the XLA
+    dequant-dot when it measures faster. Split-half packing identical to
+    gemv_int4_packed."""
+    n, k_half = w_packed.shape
+    m = x.shape[0]
+    abm, abn, abk = _gemm_tiles_for(m, n, k_half)
+    bm = abm if bm is None else max(8, bm)
+    bn = abn if bn is None else min(bn, n)
+    bk_half = abk if bk_half is None else min(bk_half, k_half)
+    npad = _cdiv(n, bn) * bn - n
+    kpad_half = _cdiv(k_half, bk_half) * bk_half - k_half
+    if npad or kpad_half:
+        w_packed = jnp.pad(w_packed, ((0, npad), (0, kpad_half)))
+    if x.shape[-1] < 2 * k_half:    # weight pack-padded an odd in-dim
+        x = jnp.pad(x, ((0, 0), (0, 2 * k_half - x.shape[-1])))
+    xf = x.astype(_F32)
+    amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+    sx = jnp.maximum(amax / 127.0, 1e-12)
+    xi = jnp.clip(jnp.round(xf / sx), -127, 127).astype(jnp.int8)
+    mpad = _cdiv(m, bm) * bm - m
+    xi_lo = jnp.pad(xi[:, :k_half], ((0, mpad), (0, kpad_half)))
+    xi_hi = jnp.pad(xi[:, k_half:k_half * 2], ((0, mpad), (0, kpad_half)))
+    sxp = jnp.pad(sx, ((0, mpad), (0, 0)))
+    if scale is None:
+        scale = jnp.ones((n,), _F32)
+    sc = jnp.pad(scale.reshape(1, -1).astype(_F32), ((0, 0), (0, npad)))
+    out = _gemm_w4a8_pallas(w_packed, xi_lo, xi_hi, sxp, sc, bm=bm, bn=bn,
+                            bk_half=bk_half, interpret=interpret_mode())
+    return out[:m, :n]
+
+
 def _block_scale_expand(s, blk: int):
     """[nb, bn] f32 scale tile (a value, not a ref) -> [nb*blk, bn] bf16, rows repeated
     ``blk`` times along sublanes. Pure VPU: a sublane broadcast + major-dim

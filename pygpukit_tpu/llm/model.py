@@ -955,6 +955,103 @@ def generate_scan_fn(cfg: TransformerConfig, n_steps: int, temperature: float,
     return k_cache, v_cache, toks
 
 
+def batch_decode_step_fn(cfg: TransformerConfig, params, k_pool, v_pool,
+                         tokens, poss):
+    """One decode step for ALL serving slots with the hidden rows BATCHED
+    through the weight matmuls.
+
+    ``vmap(decode_step_fn)`` re-traces the body with per-example tracers, so
+    every ``_mm`` sees a rows=1 operand: XLA still streams shared weights
+    once, but the Pallas quantized GEMVs become ineligible (vmap turns their
+    batch into a leading grid dim whose weight index_map ignores the batch —
+    the kernel would re-stream the whole stack once PER SLOT, measured 1065
+    vs 1574 tok/s on int4 batch-8 serving). This formulation keeps the
+    weight matmuls on real [B, E] rows — ONE kernel invocation per weight
+    stream, batch rows riding the same tiles (the TPU analog of the
+    reference's batched decode, CHANGELOG.md:76 "6.83x at batch=8") — and
+    vmaps only the per-slot work (rope at each slot's position, the KV row
+    write, attention over the slot's cache).
+
+    k_pool/v_pool: [B, L, MAX, Hk, D] (donated); tokens/poss: [B] int32.
+    Returns (k_pool, v_pool, logits [B, V]).
+    """
+    b = tokens.shape[0]
+    h = _embed_tokens(cfg, params, tokens)                       # [B, E]
+    if cfg.use_position_embed:
+        h = h + jnp.take(params["pos_embed"], poss, axis=0)
+    rope_cos_l = params.get("rope_cos_local")
+    rope_sin_l = params.get("rope_sin_local")
+
+    def body(i, st):
+        h, kp, vp = st
+        lp = _slice_layer_params(params["layers"], i)
+        x = _attn_in(cfg, lp, h)
+        q, k, v = _project_qkv(cfg, lp, x)                       # [B, H, D]
+
+        def slot(q_b, k_b, v_b, kc_b, vc_b, pos_b):
+            # per-slot tail of the attention sublayer; everything here is
+            # tiny (no weight reads), so vmap costs nothing while the
+            # matmuls above stay batch-rows
+            q_b, k_b = q_b[None], k_b[None]                      # t = 1
+            if cfg.use_rope:
+                c, sn = _rope_rows_for(params, pos_b, 1, pos_b + 1)
+                c, sn = _layer_rope(
+                    lp, c, sn,
+                    None if rope_cos_l is None else
+                    lax.dynamic_slice_in_dim(rope_cos_l, pos_b, 1, axis=0),
+                    None if rope_sin_l is None else
+                    lax.dynamic_slice_in_dim(rope_sin_l, pos_b, 1, axis=0))
+                q_b = _rope(cfg, q_b, c, sn)
+                k_b = _rope(cfg, k_b, c, sn)
+            kc_b = kv_write(kc_b, k_b[None], (i, pos_b, 0, 0))
+            vc_b = kv_write(vc_b, v_b[None, None], (i, pos_b, 0, 0))
+            attn = sdpa_fixed_cache_fn(
+                q_b, lax.dynamic_index_in_dim(kc_b, i, 0, keepdims=False),
+                lax.dynamic_index_in_dim(vc_b, i, 0, keepdims=False),
+                pos_b + 1, scale=cfg.attn_scale,
+                softcap=cfg.attn_logit_softcap,
+                window=lp.get("attn_window"))
+            return attn[0], kc_b, vc_b
+
+        attn, kp, vp = jax.vmap(slot)(q, k, v, kp, vp, poss)
+        h = _residual_tail(cfg, lp, h, attn.reshape(b, -1), b, x)
+        return (h, kp, vp)
+
+    h, k_pool, v_pool = lax.fori_loop(
+        0, k_pool.shape[1], body, (h, k_pool, v_pool),
+        unroll=_scan_unroll())
+    h = _norm(cfg, h, params["final_norm_w"], params.get("final_norm_b"))
+    return k_pool, v_pool, _logits(cfg, params, h)
+
+
+def batch_generate_scan_fn(cfg: TransformerConfig, n_steps: int,
+                           temperature: float, top_k: int, params, k_pool,
+                           v_pool, tokens, poss, keys):
+    """Device-side generation loop over batch_decode_step_fn: the batch-rows
+    form of ``vmap(generate_scan_fn)``. Per-slot PRNG split sequences match
+    the vmapped form exactly (split/categorical vmapped per row), so token
+    streams are identical — only kernel routing differs. Returns
+    (k_pool, v_pool, toks [B, n_steps])."""
+    def step(carry, _):
+        kp, vp, toks, ps, ks = carry
+        kp, vp, logits = batch_decode_step_fn(cfg, params, kp, vp, toks, ps)
+        if temperature <= 0.0:
+            nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        else:
+            split = jax.vmap(jax.random.split)(ks)           # [B, 2, key]
+            ks, subs = split[:, 0], split[:, 1]
+            lf = logits.astype(_F32) / temperature
+            if top_k > 0:
+                topv = lax.top_k(lf, top_k)[0][:, -1:]
+                lf = jnp.where(lf < topv, -1e30, lf)
+            nxt = jax.vmap(jax.random.categorical)(subs, lf).astype(jnp.int32)
+        return (kp, vp, nxt, ps + 1, ks), nxt
+
+    (k_pool, v_pool, tokens, poss, keys), toks = lax.scan(
+        step, (k_pool, v_pool, tokens, poss, keys), None, length=n_steps)
+    return k_pool, v_pool, toks.T
+
+
 def speculative_scan_fn(cfg: TransformerConfig, n_rounds: int, gamma: int,
                         n_draft: int, params, k_cache, v_cache, token, pos):
     """Device-side self-speculative generation: ``n_rounds`` rounds of

@@ -25,9 +25,30 @@ from jax import lax
 
 from ..core.executable import capture
 from .model import (
-    CausalTransformerModel, _bucket, batched_trace, decode_step_fn,
+    CausalTransformerModel, _bucket, batch_decode_step_fn,
+    batch_generate_scan_fn, batched_trace, decode_step_fn,
     generate_scan_fn, prefill_fn,
 )
+
+
+def _params_have_packed_int4(params) -> bool:
+    """True when any weight leaf is a packed-int4 dict — the format whose
+    Pallas GEMV loses its eligibility under the vmapped chunk (batch-rows
+    selection, see ContinuousBatchingEngine.__init__)."""
+    found = False
+
+    def visit(v):
+        nonlocal found
+        if isinstance(v, dict):
+            if "q_packed" in v:
+                found = True
+            else:
+                for x in v.values():
+                    visit(x)
+
+    for v in params.values():
+        visit(v)
+    return found
 
 
 def _prefill_into_slot_fn(cfg, params, k_pool, v_pool, tokens, true_len, slot):
@@ -105,6 +126,26 @@ def _serve_chunk_fn(cfg, n_steps, temperature, top_k, seed, max_seq_len,
         functools.partial(generate_scan_fn, cfg, n_steps, temperature, top_k),
         in_axes=(None, 0, 0, 0, 0, 0))
     k_pool, v_pool, toks = fn(params, k_pool, v_pool, last, poss, keys)
+    last = toks[:, -1].astype(jnp.int32)
+    poss = jnp.minimum(poss + n_steps, max_seq_len - 1)
+    return k_pool, v_pool, last, poss, toks
+
+
+def _serve_chunk_batch_fn(cfg, n_steps, temperature, top_k, seed,
+                          max_seq_len, params, k_pool, v_pool, last, poss,
+                          step_idx):
+    """_serve_chunk_fn with the BATCH-ROWS step (batch_generate_scan_fn):
+    all slots' hidden rows ride one weight stream per matmul instead of a
+    vmapped per-slot re-trace. Token streams are identical (same per-slot
+    PRNG sequence); kernel routing differs — the Pallas quantized GEMVs
+    stay eligible, with the batch rows carried as extra sublane rows in the
+    SAME kernel invocation (rows<=8), where vmap forced the XLA fallback."""
+    b = last.shape[0]
+    keys = jax.random.split(
+        jax.random.fold_in(jax.random.PRNGKey(seed), step_idx), b)
+    k_pool, v_pool, toks = batch_generate_scan_fn(
+        cfg, n_steps, temperature, top_k, params, k_pool, v_pool, last,
+        poss, keys)
     last = toks[:, -1].astype(jnp.int32)
     poss = jnp.minimum(poss + n_steps, max_seq_len - 1)
     return k_pool, v_pool, last, poss, toks
@@ -206,6 +247,20 @@ class ContinuousBatchingEngine:
         self.stats = EngineStats()
         self._decode_exe = None
         self._prefill_exes: dict[int, object] = {}
+        # batch-rows vs vmapped chunk step (PYGPUKIT_SERVING_STEP=
+        # batch|vmap|auto). auto: batch-rows when the model carries
+        # packed-int4 leaves on TPU — the one case where vmap demonstrably
+        # costs (the Pallas GEMV falls back to the XLA dequant dot, 1574 vs
+        # int8's 1841 tok/s batch-8). Paged mode keeps the vmapped step.
+        import os
+        _mode = os.environ.get("PYGPUKIT_SERVING_STEP", "auto")
+        if _mode == "auto":
+            from ..core.backend import get_backend
+            self._batch_rows = (not paged
+                                and get_backend().platform == "tpu"
+                                and _params_have_packed_int4(model.params))
+        else:
+            self._batch_rows = _mode == "batch" and not paged
         if pipelined:
             self._last_dev = jnp.zeros(max_batch, jnp.int32)
             self._poss_dev = jnp.zeros(max_batch, jnp.int32)
@@ -645,6 +700,19 @@ class ContinuousBatchingEngine:
                         self._tables_dev, self._last_dev, self._poss_dev,
                         jnp.int32(0), donate_argnums=(1, 2, 4, 5),
                         name=f"serve_chunk_paged_pl_{n}")
+            elif self._batch_rows:
+                # batch-rows chunk: NOT under batched_trace — _mm sees the
+                # real [B, E] rows in one call, so the stacked Pallas GEMVs
+                # stay eligible (rows<=8 ride one weight stream)
+                fn = functools.partial(
+                    _serve_chunk_batch_fn, self.model.config, n,
+                    float(self.temperature), int(self.top_k), int(self.seed),
+                    int(self.max_seq_len))
+                self._decode_exe = capture(
+                    fn, self.model.params, self.k_cache, self.v_cache,
+                    self._last_dev, self._poss_dev, jnp.int32(0),
+                    donate_argnums=(1, 2, 3, 4),
+                    name=f"serve_chunk_br_{n}")
             else:
                 fn = functools.partial(
                     _serve_chunk_fn, self.model.config, n,
@@ -662,6 +730,15 @@ class ContinuousBatchingEngine:
         if self._decode_exe is None:
             n = self.steps_per_dispatch
             if n <= 1:
+                if self._batch_rows:
+                    fn = functools.partial(batch_decode_step_fn,
+                                           self.model.config)
+                    self._decode_exe = capture(
+                        fn, self.model.params, self.k_cache, self.v_cache,
+                        jnp.zeros((self.max_batch,), jnp.int32),
+                        jnp.zeros((self.max_batch,), jnp.int32),
+                        donate_argnums=(1, 2), name="serve_decode_br")
+                    return self._decode_exe
                 fn = jax.vmap(
                     functools.partial(decode_step_fn, self.model.config),
                     in_axes=(None, 0, 0, 0, 0))
@@ -671,6 +748,16 @@ class ContinuousBatchingEngine:
                         jnp.zeros((self.max_batch,), jnp.int32),
                         jnp.zeros((self.max_batch,), jnp.int32),
                         donate_argnums=(1, 2), name="serve_decode")
+            elif self._batch_rows:
+                fn = functools.partial(
+                    batch_generate_scan_fn, self.model.config, n,
+                    float(self.temperature), int(self.top_k))
+                keys = jax.random.split(jax.random.PRNGKey(0), self.max_batch)
+                self._decode_exe = capture(
+                    fn, self.model.params, self.k_cache, self.v_cache,
+                    jnp.zeros((self.max_batch,), jnp.int32),
+                    jnp.zeros((self.max_batch,), jnp.int32), keys,
+                    donate_argnums=(1, 2), name=f"serve_decode_br_{n}")
             else:
                 scan_fn = functools.partial(
                     generate_scan_fn, self.model.config, n,

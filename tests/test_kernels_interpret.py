@@ -225,3 +225,31 @@ def test_gemv_int4_w4a8_stacked_fusedq_interpret(rng, monkeypatch):
         ref = (q[1].astype(np.float32) * scale[1][:, None]) @ x
         err = np.abs(ys["kernel"][0] - ref) / (np.abs(ref).max() + 1e-9)
         assert err.max() < 3e-2, err.max()
+
+
+def test_gemm_int4_w4a8_interpret(rng):
+    """M>1 w4a8 GEMM matches the integer-exact reference AND the w4a8 GEMV
+    row-for-row (same tile math — _w4a8_tile_dots — so rows must agree
+    bitwise when tile shapes coincide)."""
+    from pygpukit_tpu.kernels.gemv_quant import gemm_int4_w4a8, gemv_int4_w4a8
+    n, k, m = 384, 256, 24
+    w = rng.standard_normal((n, k)).astype(np.float32)
+    scale = (np.abs(w).max(axis=1, keepdims=True) / 7.0).astype(np.float32)
+    q = np.clip(np.round(w / scale), -7, 7).astype(np.int8)
+    packed = jnp.asarray(((q[:, :k // 2] & 0xF)
+                          | ((q[:, k // 2:] & 0xF) << 4)).astype(np.uint8))
+    x = rng.standard_normal((m, k)).astype(np.float32)
+    y = np.asarray(gemm_int4_w4a8(packed, jnp.asarray(x),
+                                  jnp.asarray(scale[:, 0]),
+                                  bm=8, bn=128, bk_half=128), np.float32)
+    # integer-exact reference including the activation quantization
+    sx = np.maximum(np.abs(x).max(axis=1, keepdims=True) / 127.0, 1e-12)
+    xi = np.clip(np.round(x / sx), -127, 127).astype(np.int32)
+    ref = (xi @ q.astype(np.int32).T) * sx * scale[:, 0]
+    rel = np.abs(y - ref).max() / np.abs(ref).max()
+    assert rel < 2e-2, rel
+    # row-for-row vs the GEMV kernel at matching tiles (shared tile math)
+    yg = np.asarray(gemv_int4_w4a8(packed, jnp.asarray(x[:8]),
+                                   jnp.asarray(scale[:, 0]),
+                                   bn=128, bk_half=128), np.float32)
+    np.testing.assert_array_equal(y[:8], yg)

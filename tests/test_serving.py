@@ -214,6 +214,83 @@ class TestPipelinedServing:
         assert r.generated == _single_ref(model, [3, 4], 1)
 
 
+class TestBatchRowsServing:
+    """PYGPUKIT_SERVING_STEP=batch routes the chunk through
+    batch_decode_step_fn: slot hidden rows are BATCHED through the weight
+    matmuls (one [B, E] operand per weight stream) with only the per-slot
+    attention tail vmapped. Token streams must match the vmapped chunk and
+    the single-sequence reference exactly."""
+
+    def test_greedy_matches_single_sequence(self, model, monkeypatch):
+        monkeypatch.setenv("PYGPUKIT_SERVING_STEP", "batch")
+        refs = {p: _single_ref(model, list(p), 9)
+                for p in ((5, 11, 42), (7, 3), (2, 4, 6, 8))}
+        eng = ContinuousBatchingEngine(model, max_batch=3, max_seq_len=128,
+                                       steps_per_dispatch=4, pipelined=True)
+        assert eng._batch_rows
+        reqs = [eng.submit(list(p), max_new_tokens=9) for p in refs]
+        eng.run_until_complete()
+        for r, p in zip(reqs, refs):
+            assert r.generated == refs[p], (p, r.generated, refs[p])
+
+    def test_greedy_nonpipelined_single_step(self, model, monkeypatch):
+        monkeypatch.setenv("PYGPUKIT_SERVING_STEP", "batch")
+        refs = {p: _single_ref(model, list(p), 6)
+                for p in ((5, 11, 42), (7, 3))}
+        eng = ContinuousBatchingEngine(model, max_batch=2, max_seq_len=128)
+        reqs = [eng.submit(list(p), max_new_tokens=6) for p in refs]
+        eng.run_until_complete()
+        for r, p in zip(reqs, refs):
+            assert r.generated == refs[p]
+
+    def test_greedy_nonpipelined_chunked(self, model, monkeypatch):
+        monkeypatch.setenv("PYGPUKIT_SERVING_STEP", "batch")
+        refs = {p: _single_ref(model, list(p), 9)
+                for p in ((5, 11, 42), (7, 3))}
+        eng = ContinuousBatchingEngine(model, max_batch=2, max_seq_len=128,
+                                       steps_per_dispatch=4)
+        reqs = [eng.submit(list(p), max_new_tokens=9) for p in refs]
+        eng.run_until_complete()
+        for r, p in zip(reqs, refs):
+            assert r.generated == refs[p]
+
+    def test_sampled_matches_vmapped_chunk(self, model, monkeypatch):
+        """Same seed => identical sampled streams across step formulations
+        (the per-slot PRNG split sequences are constructed identically)."""
+        monkeypatch.setenv("PYGPUKIT_SERVING_STEP", "vmap")
+        a = ContinuousBatchingEngine(model, max_batch=2, max_seq_len=128,
+                                     steps_per_dispatch=4, temperature=0.8,
+                                     top_k=10, seed=42, pipelined=True)
+        ra = [a.submit([5, 11], max_new_tokens=8),
+              a.submit([9, 1, 3], max_new_tokens=8)]
+        a.run_until_complete()
+        monkeypatch.setenv("PYGPUKIT_SERVING_STEP", "batch")
+        b = ContinuousBatchingEngine(model, max_batch=2, max_seq_len=128,
+                                     steps_per_dispatch=4, temperature=0.8,
+                                     top_k=10, seed=42, pipelined=True)
+        rb = [b.submit([5, 11], max_new_tokens=8),
+              b.submit([9, 1, 3], max_new_tokens=8)]
+        b.run_until_complete()
+        for x, y in zip(ra, rb):
+            assert x.generated == y.generated
+
+    def test_slot_reuse_overflow(self, model, monkeypatch):
+        monkeypatch.setenv("PYGPUKIT_SERVING_STEP", "batch")
+        refs = {i: _single_ref(model, [i + 1, 2], 5) for i in range(6)}
+        eng = ContinuousBatchingEngine(model, max_batch=2, max_seq_len=128,
+                                       steps_per_dispatch=3, pipelined=True)
+        reqs = [eng.submit([i + 1, 2], max_new_tokens=5) for i in range(6)]
+        eng.run_until_complete()
+        for i, r in enumerate(reqs):
+            assert r.generated == refs[i], f"req {i}"
+
+    def test_quantized_int4_auto_routes_on_cpu_stays_vmap(self, model):
+        """auto mode only picks batch-rows on TPU; the engine must still
+        serve correctly either way (routing assertion only here)."""
+        from pygpukit_tpu.llm.serving import _params_have_packed_int4
+        assert not _params_have_packed_int4(model.params)
+
+
 class TestStreamingCallback:
     @pytest.mark.parametrize("pipelined", [False, True])
     def test_on_token_streams_in_order(self, model, pipelined):
