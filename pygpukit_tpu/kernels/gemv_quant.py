@@ -749,6 +749,9 @@ def gemm_int4_w4a8(w_packed, x, scale=None, bm: int | None = None,
     bm = abm if bm is None else max(8, bm)
     bn = abn if bn is None else min(bn, n)
     bk_half = abk if bk_half is None else min(bk_half, k_half)
+    if x.shape[-1] > 2 * k_half:
+        raise ValueError(
+            f"x K dim {x.shape[-1]} exceeds packed weight K {2 * k_half}")
     npad = _cdiv(n, bn) * bn - n
     kpad_half = _cdiv(k_half, bk_half) * bk_half - k_half
     if npad or kpad_half:

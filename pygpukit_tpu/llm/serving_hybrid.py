@@ -99,7 +99,12 @@ class HybridServingEngine:
 
     def __init__(self, model, max_batch: int = 4, max_seq_len: int = 256,
                  steps_per_dispatch: int = 8, temperature: float = 0.0,
-                 top_k: int = 0, seed: int = 0):
+                 top_k: int = 0, seed: int = 0, mesh=None):
+        """``mesh``: a jax.sharding.Mesh with a "tp" axis — serve the hybrid
+        family TENSOR-PARALLEL (parallel.shard_hybrid_model places attention
+        + MLP projections column/row over tp; recurrent mixer leaves stay
+        replicated). Chunk/admit executables compile as GSPMD programs;
+        token streams match the unsharded engine."""
         cls = type(model)
         for hook in ("_prefill_fn", "_decode_step_fn", "_init_caches"):
             if getattr(cls, hook, None) is None:
@@ -108,6 +113,10 @@ class HybridServingEngine:
                     "engine serves single-pytree StandaloneCachedModel "
                     "families (Mamba/LFM2/Qwen3Next)")
         self.model = model
+        self.mesh = mesh
+        if mesh is not None:
+            from ..parallel import shard_hybrid_model
+            shard_hybrid_model(model, mesh)
         self.max_batch = max_batch
         self.max_seq_len = max_seq_len
         self.steps_per_dispatch = max(int(steps_per_dispatch), 1)

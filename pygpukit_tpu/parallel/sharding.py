@@ -59,12 +59,22 @@ def _leaf_spec(name: str, leaf) -> P | dict:
     return out
 
 
-def param_specs(params: dict) -> dict:
-    """PartitionSpec pytree matching ``params`` (model.py layout)."""
+def param_specs(params: dict, ep: bool = False) -> dict:
+    """PartitionSpec pytree matching ``params`` (model.py layout).
+
+    ``ep``: EXPERT parallelism — shard the expert axis of the stacked MoE
+    leaves ``w_experts_*`` [L, E, in, out] over "tp" instead of Megatron
+    column/row-cutting their matmul dims (each device holds E/tp whole
+    experts; the decode-sized gather path reads only the owning shards and
+    GSPMD inserts the combine)."""
     specs: dict = {}
     for k, v in params.items():
         if k == "layers":
-            specs[k] = {name: _leaf_spec(name, leaf)
+            specs[k] = {name: (P(None, "tp", None, None)
+                               if ep and name.startswith("w_experts")
+                               and not isinstance(leaf, dict)
+                               and leaf.ndim == 4
+                               else _leaf_spec(name, leaf))
                         for name, leaf in v.items()}
         elif k == "lm_head" and v is not None:
             if isinstance(v, dict):
@@ -82,9 +92,9 @@ def param_specs(params: dict) -> dict:
     return specs
 
 
-def shard_params(params: dict, mesh: Mesh) -> dict:
-    """Place ``params`` onto the mesh with TP shardings."""
-    specs = param_specs(params)
+def shard_params(params: dict, mesh: Mesh, ep: bool = False) -> dict:
+    """Place ``params`` onto the mesh with TP (and optionally EP) shardings."""
+    specs = param_specs(params, ep=ep)
 
     def place(leaf, spec):
         if leaf is None:
@@ -107,16 +117,63 @@ def cache_specs(ndim: int = 4) -> P:
     return P(None, None, "tp", None)
 
 
-def shard_model(model, mesh: Mesh):
-    """Place a CausalTransformerModel's params on a mesh with TP shardings.
+def shard_model(model, mesh: Mesh, ep: bool = False):
+    """Place a CausalTransformerModel's params on a mesh with TP shardings
+    (``ep=True``: MoE expert stacks sharded along the expert axis instead —
+    expert parallelism over the same "tp" mesh axis).
 
     Forward/decode executables then compile as GSPMD-partitioned programs —
     XLA inserts the all-reduces after row-parallel matmuls. Re-capture of the
     model's executables happens lazily (they key on input shardings).
     """
-    model.params = shard_params(model.params, mesh)
+    model.params = shard_params(model.params, mesh, ep=ep)
     model._decode_exe = None
     model._prefill_exes = {}
     model._window_exes = {}
+    model._gen_exes = {}
+    return model
+
+
+#: hybrid/standalone family projection names with a Megatron column/row TP
+#: layout (trailing out-axis / penultimate in-axis). Mixer/recurrent leaves
+#: (conv kernels, SSM decay/state params, DeltaNet projections) and norms
+#: stay replicated — their per-head state layouts are family-specific and
+#: tiny next to the MLP/attention matmuls these specs cut.
+#: ``w_in`` (Mamba/LFM2 mixer in-proj [E, n*d_inner]) cuts column-wise —
+#: the conv/SSM channel states it feeds are elementwise per channel, so
+#: GSPMD keeps them sharded alongside; ``w_out`` (mixer/attention out-proj
+#: [d_inner, E]) is the matching row cut.
+_HYBRID_COL = {"w_gate", "w_up", "w_q", "w_k", "w_v", "w_in",
+               "shared_w_gate", "shared_w_up"}
+_HYBRID_ROW = {"w_o", "w_down", "w_out", "shared_w_down"}
+
+
+def shard_hybrid_model(model, mesh: Mesh):
+    """Name-based TP placement for a StandaloneCachedModel (Mamba / LFM2 /
+    Qwen3-Next): attention q/k/v and MLP gate/up column-parallel, o/down
+    row-parallel, everything else (recurrent mixers, norms, embeddings)
+    replicated. The serving/chunk executables then compile as GSPMD
+    programs over the mesh (llm/serving_hybrid.HybridServingEngine mesh=)."""
+    def place(name, leaf):
+        if leaf is None or not hasattr(leaf, "ndim"):
+            return leaf
+        nd = leaf.ndim
+        if name in _HYBRID_COL and nd >= 2:
+            spec = P(*([None] * (nd - 1) + ["tp"]))
+        elif name in _HYBRID_ROW and nd >= 2:
+            spec = P(*([None] * (nd - 2) + ["tp", None]))
+        else:
+            spec = P(*([None] * nd))
+        return jax.device_put(leaf, NamedSharding(mesh, spec))
+
+    def walk(tree, name=""):
+        if isinstance(tree, dict):
+            return {k: walk(v, k) for k, v in tree.items()}
+        if isinstance(tree, (list, tuple)):
+            return type(tree)(walk(v, name) for v in tree)
+        return place(name, tree)
+
+    model.params = walk(model.params)
+    model._prefill_exes = {}
     model._gen_exes = {}
     return model

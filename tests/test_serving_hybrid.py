@@ -176,3 +176,28 @@ def test_slot_reuse_isolation(tmp_path):
     eng.run_until_complete()
     assert a1.generated == a2.generated
     assert b.done and len(b.generated) == 10
+
+
+@pytest.mark.parametrize("family", ["mamba", "qwen3next"])
+def test_tp_hybrid_matches_unsharded(family, tmp_path):
+    """TP-sharded hybrid serving (VERDICT r3 #7): mesh= on the hybrid engine
+    places attention/MLP projections column/row over tp
+    (parallel.shard_hybrid_model) — token streams match the unsharded
+    engine on the virtual mesh."""
+    import jax
+    if len(jax.devices()) < 2:
+        pytest.skip("needs >=2 virtual devices")
+    from pygpukit_tpu.parallel import make_mesh
+    model_a = BUILDERS[family](tmp_path / "a")
+    model_b = BUILDERS[family](tmp_path / "b")
+    mesh = make_mesh(2, tp=2)
+    kw = dict(max_batch=2, max_seq_len=64, steps_per_dispatch=4)
+    eng_a = HybridServingEngine(model_a, **kw)
+    eng_b = HybridServingEngine(model_b, mesh=mesh, **kw)
+    ra = [eng_a.submit(p, max_new_tokens=8) for p in PROMPTS]
+    rb = [eng_b.submit(p, max_new_tokens=8) for p in PROMPTS]
+    eng_a.run_until_complete()
+    eng_b.run_until_complete()
+    for a, b in zip(ra, rb):
+        assert b.done and b.generated == a.generated, (family, a.generated,
+                                                       b.generated)
