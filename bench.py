@@ -314,10 +314,16 @@ def main() -> None:
         # divided absolute GB/s across chips — untrackable by design.
         extra["decode_bf16_frac_peak_vs_ref"] = round(
             extra["decode_1b_bf16_frac_hbm_peak"] / BASELINE_GEMV_FRAC, 4)
-    try:
-        extra["serving_1b_int8_toks_per_s"] = round(bench_serving("int8"), 1)
-    except Exception as e:
-        extra["serving_1b_int8_error"] = type(e).__name__
+    for smode in ("int8", "int4"):
+        # batch-8 pipelined serving; the engine auto-selects the batch-rows
+        # chunk on TPU (int4 rides the stacked Pallas w4a8 GEMV with all 8
+        # slot rows in one call — the round-4 fix that made int4 the top
+        # serving rung: 1827 vs int8's 1711 same-process batch-rows)
+        try:
+            extra[f"serving_1b_{smode}_toks_per_s"] = round(
+                bench_serving(smode), 1)
+        except Exception as e:
+            extra[f"serving_1b_{smode}_error"] = type(e).__name__
     print(json.dumps({
         "metric": "bf16_gemm_8192_tflops",
         "value": round(tflops, 2),

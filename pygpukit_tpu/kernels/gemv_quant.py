@@ -669,6 +669,123 @@ def gemv_int4_w4a8_stacked(w_stack, idx, x, scale_stack,
     return out[:max(rows, 1), :n][:rows]
 
 
+def _gemv_conv_stacked_kernel(idx_ref, w_ref, x_ref, scale_ref, o_ref,
+                              acc_ref, *, n_k: int):
+    """Stacked dtype-converting GEMV (fp8 / int8-w8a16 / bf16 weights in
+    K-major [L, K, N] model layout): the tile converts to bf16 IN-REGISTER
+    after the DMA, so the fp8 bytes are all that streams from HBM — the
+    XLA formulation materializes the bf16 convert of every projection
+    (VERDICT r3: fp8 decode 449.8 tok/s vs int8's 527.4 at identical
+    weight bytes). Layer selected via scalar-prefetch index_maps like the
+    w4a8 stacked kernel."""
+    ki = pl.program_id(1)
+
+    @pl.when(ki == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    w = w_ref[0].astype(jnp.bfloat16)            # [bk, bn] convert in-register
+    acc_ref[:] += jax.lax.dot_general(
+        x_ref[:].astype(jnp.bfloat16), w, (((1,), (0,)), ((), ())),
+        preferred_element_type=_F32)
+
+    @pl.when(ki == n_k - 1)
+    def _():
+        o_ref[:] = (acc_ref[:] * scale_ref[0].astype(_F32)).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("bn", "bk", "interpret"))
+def _gemv_conv_stacked_pallas(w_stack, idx, x, scale_stack, *, bn: int,
+                              bk: int, interpret: bool):
+    n_layers, k, n = w_stack.shape
+    rows = x.shape[0]
+    n_k = _cdiv(k, bk)
+    kernel = functools.partial(_gemv_conv_stacked_kernel, n_k=n_k)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(_cdiv(n, bn), n_k),
+            in_specs=[
+                pl.BlockSpec((1, bk, bn),
+                             lambda ni, ki, idx: (idx[0], ki, ni)),
+                pl.BlockSpec((rows, bk), lambda ni, ki, idx: (0, ki)),
+                pl.BlockSpec((1, 1, bn), lambda ni, ki, idx: (idx[0], 0, ni)),
+            ],
+            out_specs=pl.BlockSpec((rows, bn), lambda ni, ki, idx: (0, ni)),
+            scratch_shapes=[pltpu.VMEM((rows, bn), _F32)],
+        ),
+        out_shape=jax.ShapeDtypeStruct((rows, n), jnp.bfloat16),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=_VMEM_LIMIT),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n * k,
+            bytes_accessed=n * k * w_stack.dtype.itemsize + k * 2 + n * 2,
+            transcendentals=0),
+        interpret=interpret,
+    )(jnp.asarray(idx, jnp.int32).reshape(1), w_stack, x, scale_stack)
+
+
+def _adaptive_tiles_conv(k: int, n: int):
+    """Tile choice for the K-major converting GEMV: N on lanes, K on
+    sublanes, both the LARGEST multiple-of-(128 / 256) DIVISOR up to ~2816
+    (exact tiling is the stacked kernel's precondition, so divisor-aware
+    selection is what keeps real shapes — down 5632, head 32000 — eligible
+    instead of falling back over a remainder tile)."""
+    bn = 0
+    for m in range(min(n // 128, 22), 0, -1):    # 22*128 = 2816 lane cap
+        if n % (m * 128) == 0:
+            bn = m * 128
+            break
+    if not bn:
+        bn = min(n, 2816)
+    bk = 0
+    for m in range(min(k // 256, 11), 0, -1):    # 11*256 = 2816 sublane cap
+        if k % (m * 256) == 0:
+            bk = m * 256
+            break
+    if not bk:
+        bk = min(k, 2048)
+    return bn, bk
+
+
+def conv_stacked_tiles_exact(k: int, n: int) -> bool:
+    """True when the adaptive tiles divide [K, N] exactly (the stacked
+    converting GEMV's no-padding precondition — padding a stacked weight
+    per call would copy the stack the kernel exists to avoid)."""
+    bn, bk = _adaptive_tiles_conv(k, n)
+    return n % bn == 0 and k % bk == 0
+
+
+def gemv_conv_stacked(w_stack, idx, x, scale_stack, bn: int | None = None,
+                      bk: int | None = None):
+    """y[rows, N] = x[rows, K] @ convert(W_stack[idx]) * scale for a
+    stacked [L, K, N] fp8/int8/bf16 weight with stacked per-column scales
+    [L, 1, N] — zero weight copies, convert in-register (fp8 streams fp8
+    bytes). Exact-tiling precondition; callers gate on
+    ``conv_stacked_tiles_exact`` and fall back to the XLA dot."""
+    n_layers, k, n = w_stack.shape
+    abn, abk = _adaptive_tiles_conv(k, n)
+    bn = abn if bn is None else min(bn, n)
+    bk = abk if bk is None else min(bk, k)
+    if n % bn or k % bk:
+        raise ValueError(
+            f"stacked conv GEMV needs exact tiling: N={n} bn={bn}, "
+            f"K={k} bk={bk}")
+    rows = x.shape[0] if x.ndim == 2 else 1
+    xr = x.reshape(rows, -1).astype(jnp.bfloat16)
+    if xr.shape[-1] != k:
+        raise ValueError(f"x K dim {xr.shape[-1]} != weight K {k}")
+    rpad = max(8 - rows, 0)
+    if rpad:
+        xr = jnp.pad(xr, ((0, rpad), (0, 0)))
+    sc = scale_stack.reshape(n_layers, 1, n).astype(_F32)
+    out = _gemv_conv_stacked_pallas(w_stack, idx, xr, sc, bn=bn, bk=bk,
+                                    interpret=interpret_mode())
+    return out[:max(rows, 1), :n][:rows]
+
+
 def _gemm_w4a8_kernel(w_ref, xlo_ref, xhi_ref, sx_ref, scale_ref, o_ref,
                       acc_ref, *, n_k: int):
     """w4a8 int4 GEMM tile (M>1): same _w4a8_tile_dots body as the GEMV —

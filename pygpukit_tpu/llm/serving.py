@@ -248,17 +248,19 @@ class ContinuousBatchingEngine:
         self._decode_exe = None
         self._prefill_exes: dict[int, object] = {}
         # batch-rows vs vmapped chunk step (PYGPUKIT_SERVING_STEP=
-        # batch|vmap|auto). auto: batch-rows when the model carries
-        # packed-int4 leaves on TPU — the one case where vmap demonstrably
-        # costs (the Pallas GEMV falls back to the XLA dequant dot, 1574 vs
-        # int8's 1841 tok/s batch-8). Paged mode keeps the vmapped step.
+        # batch|vmap|auto). auto: batch-rows on TPU — measured faster for
+        # every format (same-process batch-8 A/B, scripts/
+        # micro_serving_batchrows.py: int4 1827 vs 1403-1516 vmapped — the
+        # stacked Pallas w4a8 GEMV carries all 8 slot rows in ONE call where
+        # vmap forced the XLA dequant fallback — and int8 1711 vs 1655).
+        # Paged mode keeps the vmapped step (block-table gathers are
+        # per-slot by construction).
         import os
         _mode = os.environ.get("PYGPUKIT_SERVING_STEP", "auto")
         if _mode == "auto":
             from ..core.backend import get_backend
             self._batch_rows = (not paged
-                                and get_backend().platform == "tpu"
-                                and _params_have_packed_int4(model.params))
+                                and get_backend().platform == "tpu")
         else:
             self._batch_rows = _mode == "batch" and not paged
         if pipelined:

@@ -253,3 +253,23 @@ def test_gemm_int4_w4a8_interpret(rng):
                                    jnp.asarray(scale[:, 0]),
                                    bn=128, bk_half=128), np.float32)
     np.testing.assert_array_equal(y[:8], yg)
+
+
+def test_gemv_conv_stacked_interpret(rng):
+    """Stacked converting GEMV (fp8 K-major [L, K, N] layout): matches the
+    XLA dequant dot within fp8 round-trip error, per layer."""
+    from pygpukit_tpu.kernels.gemv_quant import gemv_conv_stacked
+    L, k, n = 3, 256, 384
+    w = rng.standard_normal((L, k, n)).astype(np.float32)
+    fmax = float(jnp.finfo(jnp.float8_e4m3fn).max)
+    scale = np.maximum(np.abs(w).max(axis=1, keepdims=True) / fmax, 1e-12)
+    q = jnp.asarray(w / scale, jnp.float8_e4m3fn)        # [L, K, N]
+    sc = jnp.asarray(scale)                              # [L, 1, N]
+    x = rng.standard_normal((2, k)).astype(np.float32)
+    for i in range(L):
+        y = np.asarray(gemv_conv_stacked(q, jnp.int32(i), jnp.asarray(x),
+                                         sc, bn=128, bk=128), np.float32)
+        wd = np.asarray(q[i], np.float32) * scale[i]
+        ref = x.astype(np.float32) @ wd
+        rel = np.abs(y - ref).max() / np.abs(ref).max()
+        assert rel < 2e-2, (i, rel)
