@@ -139,6 +139,36 @@ def bench_gemm_int8(m: int = 8192, k: int = 4096, n: int = 14336,
     return 2.0 * m * k * n / dt / 1e12
 
 
+def bench_gemm_int4(m: int = 8192, k: int = 4096, n: int = 14336,
+                    iters: int = 30) -> float:
+    """Packed-int4 w4a8 GEMM (in-register nibble unpack + native int8 MXU
+    dots, kernels/gemv_quant.gemm_int4_w4a8) at the reference's quant-table
+    shape. Reference flagships: int4-via-int8 121 TFLOPS, NVF4 261-446
+    (README 'Quantized GEMM'/'NVF4 GEMM'). Measured round 4: 215.5 TOPS vs
+    the XLA dequant-dot's 152.8 same-process."""
+    import numpy as np
+
+    import jax.numpy as jnp
+    from pygpukit_tpu.kernels.gemv_quant import gemm_int4_w4a8
+
+    rng = np.random.default_rng(3)
+    w = rng.standard_normal((n, k)).astype(np.float32)
+    scale = (np.abs(w).max(axis=1, keepdims=True) / 7.0).astype(np.float32)
+    q = np.clip(np.round(w / scale), -7, 7).astype(np.int8)
+    packed = jnp.asarray(((q[:, :k // 2] & 0xF)
+                          | ((q[:, k // 2:] & 0xF) << 4)).astype(np.uint8))
+    sc = jnp.asarray(scale[:, 0])
+    x = jnp.asarray(rng.standard_normal((m, k)), jnp.bfloat16)
+    y = gemm_int4_w4a8(packed, x, sc)
+    _sync(y)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        y = gemm_int4_w4a8(packed, x, sc)
+    _sync(y)
+    dt = (time.perf_counter() - t0) / iters
+    return 2.0 * m * k * n / dt / 1e12
+
+
 def bench_decode(mode: str, n_tokens: int = 256) -> dict:
     """1B-scale REAL-MODEL decode: tokens/s and weight-streaming GB/s.
 
@@ -223,13 +253,16 @@ def bench_decode(mode: str, n_tokens: int = 256) -> dict:
     return res
 
 
-def bench_serving(mode: str = "int8", n_req: int = 32, steps: int = 32,
+def bench_serving(mode: str = "int8", n_req: int = 32, steps: int = 128,
                   gen: int = 128) -> float:
     """Aggregate batch-8 serving throughput on the 1B bench model: the
     pipelined continuous-batching engine, n_req x gen-token requests,
-    steps_per_dispatch chunks (int8 w8a8 is the measured-best batch rung —
-    docs/performance.md "Batch serving"). Warmup requests compile the
-    chunk/prefill/wave executables outside the timed window."""
+    steps_per_dispatch = request length (the measured rule of thumb —
+    chunk alignment dominates; round-4 sweep: int4 batch-rows 32 -> 1822,
+    64 -> 1975-2085, 128 -> 2272 tok/s). The engine auto-selects the
+    batch-rows chunk on TPU (docs/performance.md "Batch serving"). Warmup
+    requests compile the chunk/prefill/wave executables outside the timed
+    window."""
     import jax.numpy as jnp
     from pygpukit_tpu.llm.config import TransformerConfig
     from pygpukit_tpu.llm.model import (
@@ -288,6 +321,14 @@ def main() -> None:
             extra["int8_gemm_tops"] / BASELINE_FP8_TFLOPS, 4)
     except Exception as e:
         extra["int8_gemm_error"] = type(e).__name__
+    try:
+        # 4-bit GEMM rung (VERDICT r3 #3): reference int4-via-int8 is 121
+        # TFLOPS (its NVF4 table runs 261-446 on fp4-native hardware)
+        extra["int4_gemm_tops"] = round(bench_gemm_int4(), 1)
+        extra["int4_gemm_vs_ref_int4"] = round(
+            extra["int4_gemm_tops"] / 121.0, 4)
+    except Exception as e:
+        extra["int4_gemm_error"] = type(e).__name__
     for name in ("bf16", "fp8", "int8", "int4", "int4_block"):
         try:
             r = bench_decode(name)

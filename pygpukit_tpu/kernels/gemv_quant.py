@@ -846,8 +846,18 @@ def _gemm_tiles_for(m: int, n: int, k_half: int):
     the two per-tile dots' fixed cost, small enough that w + 2 x-slices +
     acc stay well inside VMEM (~bm*bk_half*2 + bn*bk_half + bm*bn*6)."""
     bm = min(256, _cdiv(m, 8) * 8)
-    bn = min(1024, _cdiv(n, 128) * 128)
-    bk_half = min(1024, _cdiv(k_half, 128) * 128)
+
+    def divisor_tile(dim, unit, cap_units):
+        # exact DIVISORS preferred: a non-dividing bk pads the packed
+        # weight — a full copy EVERY call, measured 0.42x of the XLA dot
+        # on the K=5632 down projection
+        for mm in range(min(dim // unit, cap_units), 0, -1):
+            if dim % (mm * unit) == 0:
+                return mm * unit
+        return min(dim, cap_units * unit)
+
+    bn = divisor_tile(n, 128, 8)                 # <= 1024 lanes
+    bk_half = divisor_tile(k_half, 128, 11)      # <= 1408 sublanes
     return max(bm, 8), max(bn, 128), max(bk_half, 128)
 
 
@@ -918,6 +928,141 @@ def _block_tile_dots(p, xlo, xhi, slo, shi, blk):
             + jax.lax.dot_general(
                 xhi.astype(jnp.bfloat16) * jnp.bfloat16(1.0 / 16.0), whi,
                 (((1,), (0,)), ((), ())), preferred_element_type=_F32))
+
+
+def _block_w4a8_tile_dots(p, xlo8, xhi8, slo, shi, blk):
+    """w4a8 block-scaled tile math (int4_block v2): native int8 MXU dots
+    with the per-block scales applied POST-dot via the Z-decomposition.
+
+    The v1 bf16 formulation was VPU-bound (device-traced 2.5-2.9x stream
+    time on every projection: the in-register unpack CONVERTS every nibble
+    to bf16 and multiplies the whole [bk, bn] tile by the expanded scales).
+    Here the nibbles stay int8 (bitcast only), and the block structure is
+    recovered on the OUTPUT side: build the block-expanded activation
+    Xb[b*rows + r, j] = xq[r, j] * (j//blk == b), one int8 dot gives
+    Z[b*rows + r, n] = sum_{j in block b} xq[r, j] * w[j, n] for ALL blocks
+    in one MXU pass (M = nb*rows <= 256 costs the same as M = rows — the
+    measured Mosaic dot law), then y[r, n] = sum_b s[b, n] * Z_corr — a
+    [nb, rows, bn] multiply-reduce, ~30x less VPU work than v1.
+    """
+    nb = slo.shape[0]
+    rows = xlo8.shape[0]
+    bk = xlo8.shape[1]
+    u = jax.lax.bitcast_convert_type((p & 0x0F) ^ 0x08, jnp.int8)
+    v16 = jax.lax.bitcast_convert_type(p & 0xF0, jnp.int8)
+    # block-expansion mask [nb, 1, bk]: row b keeps columns of block b
+    bidx = jax.lax.broadcasted_iota(jnp.int32, (nb, 1, bk), 2) // blk
+    mask = bidx == jax.lax.broadcasted_iota(jnp.int32, (nb, 1, bk), 0)
+
+    def z_corr(x8, w8, bias):
+        xb = jnp.where(mask, x8[None], jnp.int8(0)).reshape(nb * rows, bk)
+        z = jax.lax.dot_general(xb, w8, (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.int32)
+        if bias:
+            # u carries +8: subtract 8 * per-(block,row) activation sum
+            z = z - 8 * jnp.sum(xb.astype(jnp.int32), axis=1, keepdims=True)
+        return z.reshape(nb, rows, -1).astype(_F32)
+
+    ylo = jnp.sum(z_corr(xlo8, u, True) * slo.astype(_F32)[:, None, :],
+                  axis=0)
+    yhi = jnp.sum(z_corr(xhi8, v16, False) * shi.astype(_F32)[:, None, :],
+                  axis=0)
+    return ylo + yhi * _F32(1.0 / 16.0)
+
+
+def _gemv_block_w4a8_stacked_kernel(idx_ref, w_ref, xlo_ref, xhi_ref,
+                                    sx_ref, slo_ref, shi_ref, o_ref,
+                                    acc_ref, *, n_k: int, blk: int):
+    """Stacked K-major block-scaled w4a8 GEMV (int4_block v2): same
+    operands as the v1 stacked kernel plus the per-row activation scale,
+    int8 activations feeding native int8 MXU dots."""
+    ki = pl.program_id(1)
+
+    @pl.when(ki == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    acc_ref[:] += _block_w4a8_tile_dots(w_ref[0], xlo_ref[:], xhi_ref[:],
+                                        slo_ref[0], shi_ref[0], blk)
+
+    @pl.when(ki == n_k - 1)
+    def _():
+        o_ref[:] = (acc_ref[:] * sx_ref[:].astype(_F32)).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("bn", "bk_half", "blk",
+                                             "interpret"))
+def _gemv_block_w4a8_stacked_pallas(w_stack, idx, x_lo, x_hi, sx, s_stack,
+                                    *, bn: int, bk_half: int, blk: int,
+                                    interpret: bool):
+    n_layers, k_half, n = w_stack.shape
+    rows = x_lo.shape[0]
+    n_k = _cdiv(k_half, bk_half)
+    nb = bk_half // blk
+    kernel = functools.partial(_gemv_block_w4a8_stacked_kernel, n_k=n_k,
+                               blk=blk)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(_cdiv(n, bn), n_k),
+            in_specs=[
+                pl.BlockSpec((1, bk_half, bn),
+                             lambda ni, ki, idx: (idx[0], ki, ni)),
+                pl.BlockSpec((rows, bk_half), lambda ni, ki, idx: (0, ki)),
+                pl.BlockSpec((rows, bk_half), lambda ni, ki, idx: (0, ki)),
+                pl.BlockSpec((rows, 1), lambda ni, ki, idx: (0, 0)),
+                pl.BlockSpec((1, nb, bn),
+                             lambda ni, ki, idx: (idx[0], ki, ni)),
+                pl.BlockSpec((1, nb, bn),
+                             lambda ni, ki, idx: (idx[0], n_k + ki, ni)),
+            ],
+            out_specs=pl.BlockSpec((rows, bn), lambda ni, ki, idx: (0, ni)),
+            scratch_shapes=[pltpu.VMEM((rows, bn), _F32)],
+        ),
+        out_shape=jax.ShapeDtypeStruct((rows, n), jnp.bfloat16),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=_VMEM_LIMIT),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n * k_half * 2,
+            bytes_accessed=n * k_half + n * k_half // blk * 4 * 2
+            + k_half * 2 * 2 + n * 2,
+            transcendentals=0),
+        interpret=interpret,
+    )(jnp.asarray(idx, jnp.int32).reshape(1), w_stack, x_lo, x_hi, sx,
+      s_stack, s_stack)
+
+
+def gemv_int4_block_w4a8_stacked(w_stack, idx, x, scale_block_stack,
+                                 bn: int | None = None,
+                                 bk_half: int | None = None):
+    """w4a8 form of gemv_int4_block_stacked: layer ``idx`` of a stacked
+    K-major block-scaled packed-int4 weight [L, K/2, N] with native scales
+    [L, K/B, N], activations quantized per row to int8 feeding native int8
+    MXU dots (scales applied post-dot per block — see
+    _block_w4a8_tile_dots). Adds the same ~0.4% RMS activation error as
+    the plain-int4 w4a8 rung. Same exact-aligned-tiling precondition as
+    the v1 kernel."""
+    n_layers, k_half, n = w_stack.shape
+    k = 2 * k_half
+    blk = k // scale_block_stack.shape[-2]
+    abn, abk = _adaptive_tiles_km(k_half, n, blk)
+    bn = abn if bn is None else min(bn, n)
+    bk_half = abk if bk_half is None else min(bk_half, k_half)
+    interp = interpret_mode()
+    if (n % bn or k_half % bk_half or bk_half % blk
+            or (not interp and (bk_half // blk) % 8)):
+        raise ValueError(
+            f"stacked int4_block w4a8 GEMV needs exact aligned tiling"
+            f"{'' if interp else ' with 8 | bk_half/blk'}: N={n} "
+            f"bn={bn}, K/2={k_half} bk_half={bk_half}, blk={blk}")
+    xi_lo, xi_hi, sx, rows = _quantize_acts_w4a8(x, k_half)
+    out = _gemv_block_w4a8_stacked_pallas(
+        w_stack, idx, xi_lo, xi_hi, sx,
+        scale_block_stack.astype(_F32), bn=bn, bk_half=bk_half, blk=blk,
+        interpret=interp)
+    return out[:max(rows, 1), :n][:rows]
 
 
 def _gemv_block_stacked_kernel(idx_ref, w_ref, xlo_ref, xhi_ref, slo_ref,

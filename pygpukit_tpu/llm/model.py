@@ -148,11 +148,15 @@ def _mm(x, w, out_dtype=None, int8_mode=None):
             # int8 MXU dots — the bf16-unpack GEMV was VPU-bound (traced
             # ~53 us/layer vs ~36 stream-ideal; w4a8 streamed 725 vs 574
             # GB/s packed). PYGPUKIT_INT4_MODE=w4a16 opts out (bf16 acts,
-            # no activation quant error). Blocked leaves stay w4a16 —
-            # per-block scales must multiply the weight BEFORE an int8 dot.
-            w4a8 = (not blocked
-                    and os.environ.get("PYGPUKIT_INT4_MODE", "w4a8")
-                    == "w4a8")
+            # no activation quant error). Blocked leaves: the w4a8
+            # Z-decomposition kernel (_block_w4a8_tile_dots) measured
+            # SLOWER than v1 as first written (324 vs 403 tok/s,
+            # scripts/micro_block_v2.py) — opt-in via
+            # PYGPUKIT_INT4_BLOCK=w4a8 while it's being iterated.
+            w4a8 = os.environ.get("PYGPUKIT_INT4_MODE", "w4a8") == "w4a8"
+            if blocked:
+                w4a8 = os.environ.get("PYGPUKIT_INT4_BLOCK", "w4a16") \
+                    == "w4a8"
             on_tpu = get_backend().platform == "tpu"
             kh_ax, n_ax = (-2, -1) if blocked else (-1, -2)
             if idx is not None and packed.ndim == 3:
@@ -169,7 +173,13 @@ def _mm(x, w, out_dtype=None, int8_mode=None):
                         and x.shape[-1] == 2 * kh3
                         and n3 * kh3 >= (1 << 19)
                         and tiles_ok):
-                    if blocked:
+                    if blocked and w4a8:
+                        from ..kernels.gemv_quant import (
+                            gemv_int4_block_w4a8_stacked,
+                        )
+                        y = gemv_int4_block_w4a8_stacked(packed, idx, x,
+                                                         w["scale_block"])
+                    elif blocked:
                         from ..kernels.gemv_quant import (
                             gemv_int4_block_stacked,
                         )
@@ -249,11 +259,14 @@ def _mm(x, w, out_dtype=None, int8_mode=None):
         q = w["q"]
         idx = w.get("_idx")
         if idx is not None and q.ndim == 3:
-            # stacked fp8 leaf (kept stacked by _slice_layer_params when the
-            # converting Pallas GEMV is enabled): the kernel converts
-            # fp8->bf16 IN-REGISTER after the tile DMA, so only fp8 bytes
-            # stream — the XLA dot materializes the bf16 convert (VERDICT
-            # r3 weak #2: fp8 decode 449.8 vs int8 527.4 at equal bytes).
+            # stacked fp8 leaf: the converting Pallas GEMV
+            # (gemv_conv_stacked) converts fp8->bf16 in-register after the
+            # tile DMA. MEASURED NEGATIVE on v5e (scripts/micro_fp8_gemv.py,
+            # 2026-08-19): 72.2 tok/s vs the XLA dot's 456.4 on 1B decode —
+            # Mosaic's fp8->bf16 convert lowers pathologically (no native
+            # fp8 on v5e), while XLA fuses its convert into the bf16 dot.
+            # Default stays "xla"; the kernel remains for future gens with
+            # native fp8 VPU converts (PYGPUKIT_FP8_GEMV=pallas).
             import os
             from ..core.backend import get_backend
             from ..kernels.gemv_quant import (
@@ -261,7 +274,7 @@ def _mm(x, w, out_dtype=None, int8_mode=None):
             )
             k3, n3 = q.shape[-2], q.shape[-1]
             if (get_backend().platform == "tpu"
-                    and os.environ.get("PYGPUKIT_FP8_GEMV", "pallas")
+                    and os.environ.get("PYGPUKIT_FP8_GEMV", "xla")
                     == "pallas"
                     and _batched_trace_depth.get() == 0
                     and x.shape[0] <= 8
@@ -828,10 +841,13 @@ def _slice_layer_params(layers, i):
         return lax.dynamic_index_in_dim(a, i, 0, keepdims=False)
 
     def keep_stacked_fp8(v):
-        # fp8 dicts stay stacked for the converting Pallas GEMV (in-register
-        # fp8->bf16, no materialized convert) — same rationale as q_packed.
-        # int8/bf16 dense dicts slice here as before: their XLA paths absorb
-        # the dynamic slice into the dot (w8a8 int8 streams natively).
+        # fp8 dicts stay stacked for the converting Pallas GEMV — only when
+        # that kernel is opted IN (it measured 6x SLOWER than the XLA dot
+        # on v5e, see _mm; the default path slices here as always and XLA
+        # absorbs the dynamic slice into the dot).
+        import os
+        if os.environ.get("PYGPUKIT_FP8_GEMV", "xla") != "pallas":
+            return False
         if not (isinstance(v, dict) and "q" in v and "scale" in v):
             return False
         if v["q"].dtype not in (jnp.float8_e4m3fn, jnp.float8_e5m2):

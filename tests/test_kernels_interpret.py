@@ -273,3 +273,37 @@ def test_gemv_conv_stacked_interpret(rng):
         ref = x.astype(np.float32) @ wd
         rel = np.abs(y - ref).max() / np.abs(ref).max()
         assert rel < 2e-2, (i, rel)
+
+
+def test_gemv_int4_block_w4a8_stacked_interpret(rng):
+    """int4_block v2 (w4a8 Z-decomposition: int8 MXU dots, per-block scales
+    post-dot) matches the integer-exact reference including the activation
+    quantization — and hence the v1 bf16 kernel within the act-quant
+    envelope."""
+    import jax.numpy as jnp
+
+    from pygpukit_tpu.kernels.gemv_quant import (
+        gemv_int4_block_stacked, gemv_int4_block_w4a8_stacked,
+    )
+    from pygpukit_tpu.llm.quant import dequantize_weight, quantize_weight
+    L, k, n, blk = 3, 256, 384, 32
+    w = rng.standard_normal((L, k, n)).astype(np.float32)
+    wq = quantize_weight(jnp.asarray(w), "int4_block", block_size=blk)
+    x = rng.standard_normal((2, k)).astype(np.float32)
+    sx = np.maximum(np.abs(x).max(axis=1, keepdims=True) / 127.0, 1e-12)
+    xi = np.clip(np.round(x / sx), -127, 127).astype(np.float64)
+    for i in range(L):
+        y = np.asarray(gemv_int4_block_w4a8_stacked(
+            wq["q_packed"], jnp.int32(i), jnp.asarray(x),
+            wq["scale_block"], bn=128, bk_half=128), np.float32)
+        wd = np.asarray(dequantize_weight(
+            {kk: vv[i] for kk, vv in wq.items()}, jnp.float32), np.float64)
+        ref = (xi @ wd) * sx
+        rel = np.abs(y - ref).max() / np.abs(ref).max()
+        assert rel < 2e-2, (i, rel)
+        # v1 (bf16 acts) agreement within the act-quant envelope
+        v1 = np.asarray(gemv_int4_block_stacked(
+            wq["q_packed"], jnp.int32(i), jnp.asarray(x),
+            wq["scale_block"], bn=128, bk_half=128), np.float32)
+        relv = np.abs(y - v1).max() / np.abs(v1).max()
+        assert relv < 2e-2, (i, relv)
