@@ -930,7 +930,7 @@ def _block_tile_dots(p, xlo, xhi, slo, shi, blk):
                 (((1,), (0,)), ((), ())), preferred_element_type=_F32))
 
 
-def _block_w4a8_tile_dots(p, xlo8, xhi8, slo, shi, blk):
+def _block_w4a8_tile_dots(p, xlo8, xhi8, slo, shi, blk, real_rows=None):
     """w4a8 block-scaled tile math (int4_block v2): native int8 MXU dots
     with the per-block scales applied POST-dot via the Z-decomposition.
 
@@ -947,6 +947,12 @@ def _block_w4a8_tile_dots(p, xlo8, xhi8, slo, shi, blk):
     """
     nb = slo.shape[0]
     rows = xlo8.shape[0]
+    # Only the REAL rows enter the block expansion: the wrappers pad x to
+    # 8 sublane rows, and M = nb*rows is where the MXU cost lives — the
+    # down projection at bk_half 2816 / blk 32 has nb = 88, so padded rows
+    # cost M = 704 (device-traced 1195 us/tok, WORSE than v1) while the
+    # decode's real M is 88.
+    r = rows if real_rows is None else min(real_rows, rows)
     bk = xlo8.shape[1]
     u = jax.lax.bitcast_convert_type((p & 0x0F) ^ 0x08, jnp.int8)
     v16 = jax.lax.bitcast_convert_type(p & 0xF0, jnp.int8)
@@ -955,24 +961,28 @@ def _block_w4a8_tile_dots(p, xlo8, xhi8, slo, shi, blk):
     mask = bidx == jax.lax.broadcasted_iota(jnp.int32, (nb, 1, bk), 0)
 
     def z_corr(x8, w8, bias):
-        xb = jnp.where(mask, x8[None], jnp.int8(0)).reshape(nb * rows, bk)
+        xb = jnp.where(mask, x8[None, :r], jnp.int8(0)).reshape(nb * r, bk)
         z = jax.lax.dot_general(xb, w8, (((1,), (0,)), ((), ())),
                                 preferred_element_type=jnp.int32)
         if bias:
             # u carries +8: subtract 8 * per-(block,row) activation sum
             z = z - 8 * jnp.sum(xb.astype(jnp.int32), axis=1, keepdims=True)
-        return z.reshape(nb, rows, -1).astype(_F32)
+        return z.reshape(nb, r, -1).astype(_F32)
 
     ylo = jnp.sum(z_corr(xlo8, u, True) * slo.astype(_F32)[:, None, :],
                   axis=0)
     yhi = jnp.sum(z_corr(xhi8, v16, False) * shi.astype(_F32)[:, None, :],
                   axis=0)
-    return ylo + yhi * _F32(1.0 / 16.0)
+    y = ylo + yhi * _F32(1.0 / 16.0)
+    if r < rows:
+        y = jnp.pad(y, ((0, rows - r), (0, 0)))
+    return y
 
 
 def _gemv_block_w4a8_stacked_kernel(idx_ref, w_ref, xlo_ref, xhi_ref,
                                     sx_ref, slo_ref, shi_ref, o_ref,
-                                    acc_ref, *, n_k: int, blk: int):
+                                    acc_ref, *, n_k: int, blk: int,
+                                    real_rows: int):
     """Stacked K-major block-scaled w4a8 GEMV (int4_block v2): same
     operands as the v1 stacked kernel plus the per-row activation scale,
     int8 activations feeding native int8 MXU dots."""
@@ -983,7 +993,8 @@ def _gemv_block_w4a8_stacked_kernel(idx_ref, w_ref, xlo_ref, xhi_ref,
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
     acc_ref[:] += _block_w4a8_tile_dots(w_ref[0], xlo_ref[:], xhi_ref[:],
-                                        slo_ref[0], shi_ref[0], blk)
+                                        slo_ref[0], shi_ref[0], blk,
+                                        real_rows)
 
     @pl.when(ki == n_k - 1)
     def _():
@@ -991,16 +1002,16 @@ def _gemv_block_w4a8_stacked_kernel(idx_ref, w_ref, xlo_ref, xhi_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("bn", "bk_half", "blk",
-                                             "interpret"))
+                                             "real_rows", "interpret"))
 def _gemv_block_w4a8_stacked_pallas(w_stack, idx, x_lo, x_hi, sx, s_stack,
                                     *, bn: int, bk_half: int, blk: int,
-                                    interpret: bool):
+                                    real_rows: int, interpret: bool):
     n_layers, k_half, n = w_stack.shape
     rows = x_lo.shape[0]
     n_k = _cdiv(k_half, bk_half)
     nb = bk_half // blk
     kernel = functools.partial(_gemv_block_w4a8_stacked_kernel, n_k=n_k,
-                               blk=blk)
+                               blk=blk, real_rows=real_rows)
     return pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -1061,7 +1072,7 @@ def gemv_int4_block_w4a8_stacked(w_stack, idx, x, scale_block_stack,
     out = _gemv_block_w4a8_stacked_pallas(
         w_stack, idx, xi_lo, xi_hi, sx,
         scale_block_stack.astype(_F32), bn=bn, bk_half=bk_half, blk=blk,
-        interpret=interp)
+        real_rows=rows, interpret=interp)
     return out[:max(rows, 1), :n][:rows]
 
 

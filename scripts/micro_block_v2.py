@@ -50,7 +50,7 @@ def main():
     results = {}
     for label, mode in (("v1_w4a16", "w4a16"), ("v2_w4a8", "w4a8"),
                         ("v1_again", "w4a16")):
-        os.environ["PYGPUKIT_INT4_MODE"] = mode
+        os.environ["PYGPUKIT_INT4_BLOCK"] = mode
         m = build()
         results[label] = decode(m)
         print(f"{label:10s} {results[label]:8.1f} tok/s", flush=True)
