@@ -961,7 +961,10 @@ def _block_w4a8_tile_dots(p, xlo8, xhi8, slo, shi, blk, real_rows=None):
     mask = bidx == jax.lax.broadcasted_iota(jnp.int32, (nb, 1, bk), 0)
 
     def z_corr(x8, w8, bias):
-        xb = jnp.where(mask, x8[None, :r], jnp.int8(0)).reshape(nb * r, bk)
+        # lax.slice_in_dim, NOT x8[None, :r]: jnp rewrites that indexing
+        # into lax.gather, which Mosaic's gather rule rejects here
+        xr = jax.lax.expand_dims(jax.lax.slice_in_dim(x8, 0, r, axis=0), (0,))
+        xb = jnp.where(mask, xr, jnp.int8(0)).reshape(nb * r, bk)
         z = jax.lax.dot_general(xb, w8, (((1,), (0,)), ((), ())),
                                 preferred_element_type=jnp.int32)
         if bias:
@@ -973,10 +976,11 @@ def _block_w4a8_tile_dots(p, xlo8, xhi8, slo, shi, blk, real_rows=None):
                   axis=0)
     yhi = jnp.sum(z_corr(xhi8, v16, False) * shi.astype(_F32)[:, None, :],
                   axis=0)
-    y = ylo + yhi * _F32(1.0 / 16.0)
-    if r < rows:
-        y = jnp.pad(y, ((0, rows - r), (0, 0)))
-    return y
+    # [r, bn] — REAL rows only; the caller accumulates into acc_ref[:r]
+    # (a static sublane slice). jnp.pad back to ``rows`` here lowers
+    # through a gather Mosaic rejects ("Shape mismatch in input, indices
+    # and output") — do not reintroduce it.
+    return ylo + yhi * _F32(1.0 / 16.0)
 
 
 def _gemv_block_w4a8_stacked_kernel(idx_ref, w_ref, xlo_ref, xhi_ref,
@@ -987,14 +991,15 @@ def _gemv_block_w4a8_stacked_kernel(idx_ref, w_ref, xlo_ref, xhi_ref,
     operands as the v1 stacked kernel plus the per-row activation scale,
     int8 activations feeding native int8 MXU dots."""
     ki = pl.program_id(1)
+    r = min(real_rows, acc_ref.shape[0])
 
     @pl.when(ki == 0)
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    acc_ref[:] += _block_w4a8_tile_dots(w_ref[0], xlo_ref[:], xhi_ref[:],
-                                        slo_ref[0], shi_ref[0], blk,
-                                        real_rows)
+    acc_ref[:r] += _block_w4a8_tile_dots(w_ref[0], xlo_ref[:], xhi_ref[:],
+                                         slo_ref[0], shi_ref[0], blk,
+                                         real_rows)
 
     @pl.when(ki == n_k - 1)
     def _():
