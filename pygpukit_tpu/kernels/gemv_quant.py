@@ -11,6 +11,7 @@ roofline, so the win over bf16 is the storage dtype.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -1050,6 +1051,95 @@ def _gemv_block_w4a8_stacked_pallas(w_stack, idx, x_lo, x_hi, sx, s_stack,
       s_stack, s_stack)
 
 
+def _gemv_block_w4a8_stacked_fusedq_kernel(idx_ref, w_ref, x_ref, slo_ref,
+                                           shi_ref, o_ref, xq_ref, sx_ref,
+                                           acc_ref, *, n_k: int,
+                                           bk_half: int, blk: int,
+                                           real_rows: int):
+    """int4_block w4a8 stacked GEMV with IN-KERNEL activation quant: the
+    bf16 activation row arrives once, quantizes to int8 scratch at grid
+    step (0, 0), and every tile dot reads its K-slice from scratch —
+    op-for-op _quantize_acts_w4a8, so outputs are bitwise equal to the
+    XLA-quant form (same win as the plain-int4 fusedq kernel: it deletes
+    the 4-per-layer act-quant fusions, ~72 us/tok traced on this rung)."""
+    ni = pl.program_id(0)
+    ki = pl.program_id(1)
+    k_half = n_k * bk_half
+    r = min(real_rows, acc_ref.shape[0])
+
+    @pl.when((ni == 0) & (ki == 0))
+    def _():
+        xf = x_ref[:].astype(_F32)               # [rows, K]
+        amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+        sx = jnp.maximum(amax / _F32(127.0), _F32(1e-12))
+        xq = jnp.clip(jnp.round(xf / sx), -127, 127).astype(jnp.int8)
+        sx_ref[:] = sx
+        for j in range(n_k):                     # static lane slices
+            xq_ref[j] = xq[:, j * bk_half:(j + 1) * bk_half]
+            xq_ref[n_k + j] = xq[:, k_half + j * bk_half:
+                                 k_half + (j + 1) * bk_half]
+
+    @pl.when(ki == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    acc_ref[:r] += _block_w4a8_tile_dots(w_ref[0], xq_ref[ki],
+                                         xq_ref[n_k + ki], slo_ref[0],
+                                         shi_ref[0], blk, real_rows)
+
+    @pl.when(ki == n_k - 1)
+    def _():
+        o_ref[:] = (acc_ref[:] * sx_ref[:]).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("bn", "bk_half", "blk",
+                                             "real_rows", "interpret"))
+def _gemv_block_w4a8_stacked_fusedq_pallas(w_stack, idx, x, s_stack, *,
+                                           bn: int, bk_half: int, blk: int,
+                                           real_rows: int, interpret: bool):
+    n_layers, k_half, n = w_stack.shape
+    rows = x.shape[0]
+    n_k = _cdiv(k_half, bk_half)
+    nb = bk_half // blk
+    kernel = functools.partial(_gemv_block_w4a8_stacked_fusedq_kernel,
+                               n_k=n_k, bk_half=bk_half, blk=blk,
+                               real_rows=real_rows)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(_cdiv(n, bn), n_k),
+            in_specs=[
+                pl.BlockSpec((1, bk_half, bn),
+                             lambda ni, ki, idx: (idx[0], ki, ni)),
+                pl.BlockSpec((rows, 2 * k_half),
+                             lambda ni, ki, idx: (0, 0)),
+                pl.BlockSpec((1, nb, bn),
+                             lambda ni, ki, idx: (idx[0], ki, ni)),
+                pl.BlockSpec((1, nb, bn),
+                             lambda ni, ki, idx: (idx[0], n_k + ki, ni)),
+            ],
+            out_specs=pl.BlockSpec((rows, bn), lambda ni, ki, idx: (0, ni)),
+            scratch_shapes=[pltpu.VMEM((2 * n_k, rows, bk_half), jnp.int8),
+                            pltpu.VMEM((rows, 1), _F32),
+                            pltpu.VMEM((rows, bn), _F32)],
+        ),
+        out_shape=jax.ShapeDtypeStruct((rows, n), jnp.bfloat16),
+        compiler_params=pltpu.CompilerParams(
+            # NOT ("parallel", ...): xq/sx scratch is written only at grid
+            # step (0, 0) and read by every ni — sequential row-major
+            # execution only (same rule as the plain-int4 fusedq kernel)
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=_VMEM_LIMIT),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n * k_half * 2,
+            bytes_accessed=n * k_half + n * k_half // blk * 2 * 2
+            + k_half * 2 * 2 + n * 2,
+            transcendentals=0),
+        interpret=interpret,
+    )(jnp.asarray(idx, jnp.int32).reshape(1), w_stack, x, s_stack, s_stack)
+
+
 def gemv_int4_block_w4a8_stacked(w_stack, idx, x, scale_block_stack,
                                  bn: int | None = None,
                                  bk_half: int | None = None):
@@ -1073,10 +1163,22 @@ def gemv_int4_block_w4a8_stacked(w_stack, idx, x, scale_block_stack,
             f"stacked int4_block w4a8 GEMV needs exact aligned tiling"
             f"{'' if interp else ' with 8 | bk_half/blk'}: N={n} "
             f"bn={bn}, K/2={k_half} bk_half={bk_half}, blk={blk}")
+    # pass the scale stack in its STORED dtype (bf16 since round 4): an
+    # astype here would stream an f32 copy from HBM; the kernel upcasts
+    # per tile in-register
+    if os.environ.get("PYGPUKIT_W4A8_QUANT", "kernel") != "xla":
+        rows = x.shape[0] if x.ndim == 2 else 1
+        xr = x.reshape(rows, -1)
+        if rows < 8:
+            xr = jnp.pad(xr, ((0, 8 - rows), (0, 0)))
+        out = _gemv_block_w4a8_stacked_fusedq_pallas(
+            w_stack, idx, xr, scale_block_stack, bn=bn, bk_half=bk_half,
+            blk=blk, real_rows=rows, interpret=interp)
+        return out[:max(rows, 1), :n][:rows]
     xi_lo, xi_hi, sx, rows = _quantize_acts_w4a8(x, k_half)
     out = _gemv_block_w4a8_stacked_pallas(
         w_stack, idx, xi_lo, xi_hi, sx,
-        scale_block_stack.astype(_F32), bn=bn, bk_half=bk_half, blk=blk,
+        scale_block_stack, bn=bn, bk_half=bk_half, blk=blk,
         real_rows=rows, interpret=interp)
     return out[:max(rows, 1), :n][:rows]
 
@@ -1182,7 +1284,7 @@ def gemv_int4_block_stacked(w_stack, idx, x, scale_block_stack,
     x_hi = jnp.pad(xr[:, k_half:k_half * 2], ((0, rpad), (0, 0)))
     out = _gemv_block_stacked_pallas(
         w_stack, idx, x_lo, x_hi,
-        scale_block_stack.astype(_F32), bn=bn, bk_half=bk_half, blk=blk,
+        scale_block_stack, bn=bn, bk_half=bk_half, blk=blk,
         interpret=interp)
     return out[:max(rows, 1), :n][:rows]
 
@@ -1279,7 +1381,7 @@ def gemv_int4_block(w_packed, x, scale_block, bn: int | None = None,
     half_b = k_half // blk
     n_k = _cdiv(k_half + kpad_half, bk_half)
     nb = bk_half // blk
-    s = scale_block.astype(_F32)                           # [K/B, N]
+    s = scale_block                                        # [K/B, N]
     bpad = n_k * nb - half_b
     if npad or bpad:
         s_lo = jnp.pad(s[:half_b], ((0, bpad), (0, npad)))

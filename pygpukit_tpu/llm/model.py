@@ -148,14 +148,14 @@ def _mm(x, w, out_dtype=None, int8_mode=None):
             # int8 MXU dots — the bf16-unpack GEMV was VPU-bound (traced
             # ~53 us/layer vs ~36 stream-ideal; w4a8 streamed 725 vs 574
             # GB/s packed). PYGPUKIT_INT4_MODE=w4a16 opts out (bf16 acts,
-            # no activation quant error). Blocked leaves: the w4a8
-            # Z-decomposition kernel (_block_w4a8_tile_dots) measured
-            # SLOWER than v1 as first written (324 vs 403 tok/s,
-            # scripts/micro_block_v2.py) — opt-in via
-            # PYGPUKIT_INT4_BLOCK=w4a8 while it's being iterated.
+            # no activation quant error). Blocked leaves default to the
+            # w4a8 Z-decomposition kernel too (_block_w4a8_tile_dots):
+            # after the Mosaic gather fixes it measures 528 vs v1's 406
+            # tok/s on the 1B decode (scripts/micro_block_v2.py, round 4);
+            # PYGPUKIT_INT4_BLOCK=w4a16 opts back to the bf16-unpack form.
             w4a8 = os.environ.get("PYGPUKIT_INT4_MODE", "w4a8") == "w4a8"
             if blocked:
-                w4a8 = os.environ.get("PYGPUKIT_INT4_BLOCK", "w4a16") \
+                w4a8 = os.environ.get("PYGPUKIT_INT4_BLOCK", "w4a8") \
                     == "w4a8"
             on_tpu = get_backend().platform == "tpu"
             kh_ax, n_ax = (-2, -1) if blocked else (-1, -2)

@@ -145,8 +145,12 @@ def quantize_weight(w: jnp.ndarray, mode: str = "fp8",
         half = K // 2
         packed = ((q[..., :half, :] & 0xF)
                   | ((q[..., half:, :] & 0xF) << 4)).astype(jnp.uint8)
+        # scales store BF16: at blk=32 an f32 [K/B, N] stack adds 25% to
+        # the packed byte stream the decode GEMV reads every token (bf16:
+        # 12.5%); the ~0.4% relative scale rounding is noise under the
+        # rung's 10% RMS envelope. Kernels upcast in-register.
         return {"q_packed": packed,                           # [..., K/2, N]
-                "scale_block": scale_b[..., 0, :]}            # [..., K/B, N]
+                "scale_block": scale_b[..., 0, :].astype(jnp.bfloat16)}
     amax = jnp.max(jnp.abs(wf), axis=-2, keepdims=True)       # [..., 1, out]
     if mode == "fp8":
         fmax = float(jnp.finfo(jnp.float8_e4m3fn).max)

@@ -275,6 +275,27 @@ def test_gemv_conv_stacked_interpret(rng):
         assert rel < 2e-2, (i, rel)
 
 
+def test_gemv_int4_block_w4a8_fusedq_interpret(rng, monkeypatch):
+    """The in-kernel-quant block w4a8 form == the XLA-quant form BITWISE
+    (op-for-op relocated quant math, as for the plain-int4 fusedq)."""
+    import jax.numpy as jnp
+
+    from pygpukit_tpu.kernels.gemv_quant import gemv_int4_block_w4a8_stacked
+    from pygpukit_tpu.llm.quant import quantize_weight
+    L, k, n, blk = 2, 256, 384, 32
+    w = rng.standard_normal((L, k, n)).astype(np.float32)
+    wq = quantize_weight(jnp.asarray(w), "int4_block", block_size=blk)
+    for rows in (1, 2):
+        x = rng.standard_normal((rows, k)).astype(np.float32)
+        ys = {}
+        for mode in ("kernel", "xla"):
+            monkeypatch.setenv("PYGPUKIT_W4A8_QUANT", mode)
+            ys[mode] = np.asarray(gemv_int4_block_w4a8_stacked(
+                wq["q_packed"], jnp.int32(1), jnp.asarray(x),
+                wq["scale_block"], bn=128, bk_half=128), np.float32)
+        np.testing.assert_array_equal(ys["kernel"], ys["xla"])
+
+
 def test_gemv_int4_block_w4a8_stacked_interpret(rng):
     """int4_block v2 (w4a8 Z-decomposition: int8 MXU dots, per-block scales
     post-dot) matches the integer-exact reference including the activation
