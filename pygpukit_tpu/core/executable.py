@@ -14,6 +14,7 @@ the donated input's HBM for the output, giving zero-allocation replay.
 
 from __future__ import annotations
 
+import os
 import threading
 from dataclasses import dataclass, field
 from typing import Any, Callable
@@ -28,6 +29,24 @@ class ExecutableStats:
     hlo_instruction_count: int = 0
 
 
+def _xla_options() -> dict | None:
+    """Per-executable XLA compiler options from PYGPUKIT_XLA_OPTS
+    ("key=value,key=value"). Passed to lowered.compile(compiler_options=)
+    so they reach the (possibly remote) TPU compiler without touching the
+    process-wide XLA_FLAGS — the axon client rejects unknown XLA_FLAGS
+    fatally, while unknown compiler_options fail only the one compile.
+    Example: PYGPUKIT_XLA_OPTS=xla_tpu_scoped_vmem_limit_kib=65536."""
+    spec = os.environ.get("PYGPUKIT_XLA_OPTS", "").strip()
+    if not spec:
+        return None
+    out = {}
+    for kv in spec.split(","):
+        if "=" in kv:
+            k, _, v = kv.partition("=")
+            out[k.strip()] = v.strip()
+    return out or None
+
+
 class Executable:
     """A compiled, fixed-shape XLA executable (CUDA Graph analog)."""
 
@@ -40,7 +59,7 @@ class Executable:
             fn, donate_argnums=donate_argnums, static_argnums=static_argnums
         )
         lowered = self._jitted.lower(*example_args)
-        self._compiled = lowered.compile()
+        self._compiled = lowered.compile(compiler_options=_xla_options())
         self.stats = ExecutableStats(captures=1)
         try:
             hlo = lowered.as_text()

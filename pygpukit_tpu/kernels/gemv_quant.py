@@ -306,15 +306,25 @@ def _adaptive_tiles_km(k_half: int, n: int, blk: int):
     of max(blk, 8*blk) so scale tiles stay aligned), N on lanes (multiples
     of 128), targeting ~2-6 MB packed tiles. The 1B fused shapes all get
     whole-K tiles (K/2 = 1024 or 2816), which also makes most projections
-    single-K-step — fewer accumulator round-trips than the N-major form."""
+    single-K-step — fewer accumulator round-trips than the N-major form.
+
+    w4a8 MXU caveat (the round-4 lever): the Z-decomposition's total MXU
+    work is proportional to bk_half (each tile's dot runs M = nb*rows =
+    (bk_half/blk)*rows), so the MINIMUM legal tile bk_half = 8*blk
+    minimizes int8 MXU time for every projection — the down proj at
+    whole-K nb=88 paid ~10 us/layer of MXU vs ~1 at nb=8, and switching
+    it alone measured 496 -> 573 tok/s on the 1B decode
+    (scripts/micro_block_v4.py). K-split granularity itself is a wash on
+    the real decode (micro_int4_tile_ab), so the min tile is the default
+    whenever it divides K/2; TILE_OVERRIDES_KM, keyed (k_half, n), is the
+    per-shape hook."""
+    ov = TILE_OVERRIDES_KM.get((k_half, n))
+    if ov:
+        return ov
     step = 8 * blk                               # 8 | nb => aligned scales
     bk_half = 0
-    if step <= k_half and k_half % blk == 0:
-        # largest multiple-of-step divisor of K/2 up to ~2816 sublanes
-        for m in range(min(k_half // step, 2816 // step), 0, -1):
-            if k_half % (m * step) == 0:
-                bk_half = m * step
-                break
+    if step <= k_half and k_half % blk == 0 and k_half % step == 0:
+        bk_half = step
     if not bk_half:                              # sliced path pads instead
         bk_half = min(k_half, max(blk, (1024 // blk) * blk))
     n_tiles = _cdiv(n, 2816)
@@ -343,6 +353,11 @@ def _adaptive_tiles(n: int, k_half: int):
 #: micro alone (the micro's qkv/o/down stacks fit in VMEM and can go
 #: resident, which hides the DMA ramp the real loop pays).
 TILE_OVERRIDES: dict[tuple[int, int], tuple[int, int]] = {}
+
+#: Per-shape (bn, bk_half) overrides for the K-major block GEMVs, keyed
+#: (K/2, N) — see _adaptive_tiles_km's K-split caveat. Entries must keep
+#: blk | bk_half, 8 | bk_half/blk, and exact division of the shape.
+TILE_OVERRIDES_KM: dict[tuple[int, int], tuple[int, int]] = {}
 
 
 def _tiles_for(n: int, k_half: int):
@@ -984,6 +999,26 @@ def _block_w4a8_tile_dots(p, xlo8, xhi8, slo, shi, blk, real_rows=None):
     return ylo + yhi * _F32(1.0 / 16.0)
 
 
+def _split_scale_stack(s_stack, half_b: int):
+    """Split the stacked [L, K/B, N] block-scale array into separate lo/hi
+    operands ([L, K/(2B), N] each) OUTSIDE the pallas_call.
+
+    Passing the same array twice (lo rows at block ki, hi at n_k + ki)
+    counted its bytes twice against XLA's scoped-VMEM operand budget: in
+    the real decode loop the down-proj stack (bf16[22,176,2048], 15.9 MB)
+    was re-copied HBM->VMEM EVERY layer step (device-traced 171 us/tok of
+    copy-done wait + ~350 MB/tok of copy traffic) while standalone
+    compiles of the identical kernel showed no copy at all.
+
+    NOTE for jitted callers: XLA does NOT hoist these slices out of a
+    decode loop — traced per-step slice fusions cost 2.3 ms/tok when the
+    split ran inside the chunk executable. Hot paths must pass PRE-SPLIT
+    device arrays (model.prepare_block_scales adds ``scale_lo``/
+    ``scale_hi`` leaves at model build); this in-wrapper split is the
+    correctness fallback for standalone/eager callers only."""
+    return s_stack[:, :half_b], s_stack[:, half_b:]
+
+
 def _gemv_block_w4a8_stacked_kernel(idx_ref, w_ref, xlo_ref, xhi_ref,
                                     sx_ref, slo_ref, shi_ref, o_ref,
                                     acc_ref, *, n_k: int, blk: int,
@@ -1009,7 +1044,8 @@ def _gemv_block_w4a8_stacked_kernel(idx_ref, w_ref, xlo_ref, xhi_ref,
 
 @functools.partial(jax.jit, static_argnames=("bn", "bk_half", "blk",
                                              "real_rows", "interpret"))
-def _gemv_block_w4a8_stacked_pallas(w_stack, idx, x_lo, x_hi, sx, s_stack,
+def _gemv_block_w4a8_stacked_pallas(w_stack, idx, x_lo, x_hi, sx,
+                                    slo_stack, shi_stack,
                                     *, bn: int, bk_half: int, blk: int,
                                     real_rows: int, interpret: bool):
     n_layers, k_half, n = w_stack.shape
@@ -1032,7 +1068,7 @@ def _gemv_block_w4a8_stacked_pallas(w_stack, idx, x_lo, x_hi, sx, s_stack,
                 pl.BlockSpec((1, nb, bn),
                              lambda ni, ki, idx: (idx[0], ki, ni)),
                 pl.BlockSpec((1, nb, bn),
-                             lambda ni, ki, idx: (idx[0], n_k + ki, ni)),
+                             lambda ni, ki, idx: (idx[0], ki, ni)),
             ],
             out_specs=pl.BlockSpec((rows, bn), lambda ni, ki, idx: (0, ni)),
             scratch_shapes=[pltpu.VMEM((rows, bn), _F32)],
@@ -1048,7 +1084,7 @@ def _gemv_block_w4a8_stacked_pallas(w_stack, idx, x_lo, x_hi, sx, s_stack,
             transcendentals=0),
         interpret=interpret,
     )(jnp.asarray(idx, jnp.int32).reshape(1), w_stack, x_lo, x_hi, sx,
-      s_stack, s_stack)
+      slo_stack, shi_stack)
 
 
 def _gemv_block_w4a8_stacked_fusedq_kernel(idx_ref, w_ref, x_ref, slo_ref,
@@ -1094,7 +1130,8 @@ def _gemv_block_w4a8_stacked_fusedq_kernel(idx_ref, w_ref, x_ref, slo_ref,
 
 @functools.partial(jax.jit, static_argnames=("bn", "bk_half", "blk",
                                              "real_rows", "interpret"))
-def _gemv_block_w4a8_stacked_fusedq_pallas(w_stack, idx, x, s_stack, *,
+def _gemv_block_w4a8_stacked_fusedq_pallas(w_stack, idx, x, slo_stack,
+                                           shi_stack, *,
                                            bn: int, bk_half: int, blk: int,
                                            real_rows: int, interpret: bool):
     n_layers, k_half, n = w_stack.shape
@@ -1117,7 +1154,7 @@ def _gemv_block_w4a8_stacked_fusedq_pallas(w_stack, idx, x, s_stack, *,
                 pl.BlockSpec((1, nb, bn),
                              lambda ni, ki, idx: (idx[0], ki, ni)),
                 pl.BlockSpec((1, nb, bn),
-                             lambda ni, ki, idx: (idx[0], n_k + ki, ni)),
+                             lambda ni, ki, idx: (idx[0], ki, ni)),
             ],
             out_specs=pl.BlockSpec((rows, bn), lambda ni, ki, idx: (0, ni)),
             scratch_shapes=[pltpu.VMEM((2 * n_k, rows, bk_half), jnp.int8),
@@ -1137,19 +1174,22 @@ def _gemv_block_w4a8_stacked_fusedq_pallas(w_stack, idx, x, s_stack, *,
             + k_half * 2 * 2 + n * 2,
             transcendentals=0),
         interpret=interpret,
-    )(jnp.asarray(idx, jnp.int32).reshape(1), w_stack, x, s_stack, s_stack)
+    )(jnp.asarray(idx, jnp.int32).reshape(1), w_stack, x, slo_stack,
+      shi_stack)
 
 
 def gemv_int4_block_w4a8_stacked(w_stack, idx, x, scale_block_stack,
                                  bn: int | None = None,
-                                 bk_half: int | None = None):
+                                 bk_half: int | None = None,
+                                 slo_stack=None, shi_stack=None):
     """w4a8 form of gemv_int4_block_stacked: layer ``idx`` of a stacked
     K-major block-scaled packed-int4 weight [L, K/2, N] with native scales
     [L, K/B, N], activations quantized per row to int8 feeding native int8
     MXU dots (scales applied post-dot per block — see
     _block_w4a8_tile_dots). Adds the same ~0.4% RMS activation error as
     the plain-int4 w4a8 rung. Same exact-aligned-tiling precondition as
-    the v1 kernel."""
+    the v1 kernel. Jitted hot loops must pass pre-split ``slo_stack``/
+    ``shi_stack`` device arrays (see _split_scale_stack)."""
     n_layers, k_half, n = w_stack.shape
     k = 2 * k_half
     blk = k // scale_block_stack.shape[-2]
@@ -1163,22 +1203,25 @@ def gemv_int4_block_w4a8_stacked(w_stack, idx, x, scale_block_stack,
             f"stacked int4_block w4a8 GEMV needs exact aligned tiling"
             f"{'' if interp else ' with 8 | bk_half/blk'}: N={n} "
             f"bn={bn}, K/2={k_half} bk_half={bk_half}, blk={blk}")
-    # pass the scale stack in its STORED dtype (bf16 since round 4): an
+    # pass the scale stacks in their STORED dtype (bf16 since round 4): an
     # astype here would stream an f32 copy from HBM; the kernel upcasts
     # per tile in-register
+    if slo_stack is None:
+        slo_stack, shi_stack = _split_scale_stack(scale_block_stack,
+                                                  k_half // blk)
     if os.environ.get("PYGPUKIT_W4A8_QUANT", "kernel") != "xla":
         rows = x.shape[0] if x.ndim == 2 else 1
         xr = x.reshape(rows, -1)
         if rows < 8:
             xr = jnp.pad(xr, ((0, 8 - rows), (0, 0)))
         out = _gemv_block_w4a8_stacked_fusedq_pallas(
-            w_stack, idx, xr, scale_block_stack, bn=bn, bk_half=bk_half,
+            w_stack, idx, xr, slo_stack, shi_stack, bn=bn, bk_half=bk_half,
             blk=blk, real_rows=rows, interpret=interp)
         return out[:max(rows, 1), :n][:rows]
     xi_lo, xi_hi, sx, rows = _quantize_acts_w4a8(x, k_half)
     out = _gemv_block_w4a8_stacked_pallas(
         w_stack, idx, xi_lo, xi_hi, sx,
-        scale_block_stack, bn=bn, bk_half=bk_half, blk=blk,
+        slo_stack, shi_stack, bn=bn, bk_half=bk_half, blk=blk,
         real_rows=rows, interpret=interp)
     return out[:max(rows, 1), :n][:rows]
 
@@ -1191,10 +1234,9 @@ def _gemv_block_stacked_kernel(idx_ref, w_ref, xlo_ref, xhi_ref, slo_ref,
     nibble and W[K/2 + k] in the high one), so the per-block scales expand
     with a sublane broadcast (see _block_scale_expand) and the dot is a
     plain x @ W contraction — the same 2-dots-per-tile MXU cost as the
-    per-column int4 kernel. The two scale operands are the SAME [K/B, N]
-    array delivered through two index_maps (lo rows ki*nb, hi rows
-    half_b + ki*nb); hi16 carries the high nibble *16, the exact 1/16
-    folding into x_hi as an exponent shift."""
+    per-column int4 kernel. The lo/hi scale operands are pre-split halves
+    of the [K/B, N] stack (see _split_scale_stack); hi16 carries the high
+    nibble *16, the exact 1/16 folding into x_hi as an exponent shift."""
     ki = pl.program_id(1)
 
     @pl.when(ki == 0)
@@ -1211,7 +1253,8 @@ def _gemv_block_stacked_kernel(idx_ref, w_ref, xlo_ref, xhi_ref, slo_ref,
 
 @functools.partial(jax.jit, static_argnames=("bn", "bk_half", "blk",
                                              "interpret"))
-def _gemv_block_stacked_pallas(w_stack, idx, x_lo, x_hi, s_stack, *,
+def _gemv_block_stacked_pallas(w_stack, idx, x_lo, x_hi, slo_stack,
+                               shi_stack, *,
                                bn: int, bk_half: int, blk: int,
                                interpret: bool):
     n_layers, k_half, n = w_stack.shape
@@ -1229,12 +1272,11 @@ def _gemv_block_stacked_pallas(w_stack, idx, x_lo, x_hi, s_stack, *,
                              lambda ni, ki, idx: (idx[0], ki, ni)),
                 pl.BlockSpec((rows, bk_half), lambda ni, ki, idx: (0, ki)),
                 pl.BlockSpec((rows, bk_half), lambda ni, ki, idx: (0, ki)),
-                # the SAME [L, K/B, N] scale stack twice: lo rows at block
-                # ki, hi rows at block n_k + ki (half_b = n_k * nb)
+                # pre-split lo/hi scale stacks (see _split_scale_stack)
                 pl.BlockSpec((1, nb, bn),
                              lambda ni, ki, idx: (idx[0], ki, ni)),
                 pl.BlockSpec((1, nb, bn),
-                             lambda ni, ki, idx: (idx[0], n_k + ki, ni)),
+                             lambda ni, ki, idx: (idx[0], ki, ni)),
             ],
             out_specs=pl.BlockSpec((rows, bn), lambda ni, ki, idx: (0, ni)),
             scratch_shapes=[pltpu.VMEM((rows, bn), _F32)],
@@ -1249,18 +1291,20 @@ def _gemv_block_stacked_pallas(w_stack, idx, x_lo, x_hi, s_stack, *,
             + k_half * 2 * 2 + n * 2,
             transcendentals=0),
         interpret=interpret,
-    )(jnp.asarray(idx, jnp.int32).reshape(1), w_stack, x_lo, x_hi, s_stack,
-      s_stack)
+    )(jnp.asarray(idx, jnp.int32).reshape(1), w_stack, x_lo, x_hi,
+      slo_stack, shi_stack)
 
 
 def gemv_int4_block_stacked(w_stack, idx, x, scale_block_stack,
                             bn: int | None = None,
-                            bk_half: int | None = None):
+                            bk_half: int | None = None,
+                            slo_stack=None, shi_stack=None):
     """y[rows, N] for layer ``idx`` of a stacked K-MAJOR block-scaled
     packed-int4 weight [L, K/2, N] with native scales [L, K/B, N] — zero
     weight copies and zero scale transposes. Requires exact tiling, blk |
     bk_half, and 8 | nb (scale sublane offsets); callers gate and fall
-    back to the sliced form."""
+    back to the sliced form. Jitted hot loops must pass pre-split
+    ``slo_stack``/``shi_stack`` device arrays (see _split_scale_stack)."""
     n_layers, k_half, n = w_stack.shape
     k = 2 * k_half
     blk = k // scale_block_stack.shape[-2]
@@ -1282,9 +1326,12 @@ def gemv_int4_block_stacked(w_stack, idx, x, scale_block_stack,
     rpad = max(8 - rows, 0)
     x_lo = jnp.pad(xr[:, :k_half], ((0, rpad), (0, 0)))
     x_hi = jnp.pad(xr[:, k_half:k_half * 2], ((0, rpad), (0, 0)))
+    if slo_stack is None:
+        slo_stack, shi_stack = _split_scale_stack(scale_block_stack,
+                                                  k_half // blk)
     out = _gemv_block_stacked_pallas(
         w_stack, idx, x_lo, x_hi,
-        scale_block_stack, bn=bn, bk_half=bk_half, blk=blk,
+        slo_stack, shi_stack, bn=bn, bk_half=bk_half, blk=blk,
         interpret=interp)
     return out[:max(rows, 1), :n][:rows]
 

@@ -177,14 +177,18 @@ def _mm(x, w, out_dtype=None, int8_mode=None):
                         from ..kernels.gemv_quant import (
                             gemv_int4_block_w4a8_stacked,
                         )
-                        y = gemv_int4_block_w4a8_stacked(packed, idx, x,
-                                                         w["scale_block"])
+                        y = gemv_int4_block_w4a8_stacked(
+                            packed, idx, x, w["scale_block"],
+                            slo_stack=w.get("scale_lo"),
+                            shi_stack=w.get("scale_hi"))
                     elif blocked:
                         from ..kernels.gemv_quant import (
                             gemv_int4_block_stacked,
                         )
-                        y = gemv_int4_block_stacked(packed, idx, x,
-                                                    w["scale_block"])
+                        y = gemv_int4_block_stacked(
+                            packed, idx, x, w["scale_block"],
+                            slo_stack=w.get("scale_lo"),
+                            shi_stack=w.get("scale_hi"))
                     elif w4a8:
                         from ..kernels.gemv_quant import (
                             gemv_int4_w4a8_stacked,
@@ -1260,6 +1264,42 @@ def fuse_params(params: dict) -> dict:
     return out
 
 
+def prepare_block_scales(params: dict) -> dict:
+    """Add pre-split ``scale_lo``/``scale_hi`` leaves to every stacked
+    int4_block dict ({"q_packed", "scale_block"} with 3-D leaves).
+
+    The stacked block GEMVs need the lo/hi scale halves as SEPARATE
+    operands: passing the same [L, K/B, N] array twice made XLA's
+    scoped-VMEM pass re-copy the down-proj stack (15.9 MB) HBM->VMEM every
+    decode layer step (traced 171 us/tok), and slicing inside the chunk
+    executable is worse (XLA does not hoist the slices out of the loop —
+    2.3 ms/tok of per-step slice fusions). Splitting ONCE at model build
+    into real device arrays makes them plain executable inputs. The
+    original ``scale_block`` leaf stays for the XLA dequant fallbacks
+    (prefill / batched traces), costing ~1.5x scale bytes in HBM
+    (~60 MB on the 1B int4_block model). Idempotent; no-op for models
+    without stacked block leaves."""
+    layers = params.get("layers")
+    if not isinstance(layers, dict):
+        return params
+    changed = False
+    new_layers = dict(layers)
+    for name, v in layers.items():
+        if (isinstance(v, dict) and "q_packed" in v and "scale_block" in v
+                and "scale_lo" not in v
+                and getattr(v["scale_block"], "ndim", 0) == 3):
+            s = v["scale_block"]
+            half = s.shape[1] // 2
+            new_layers[name] = dict(v, scale_lo=jnp.asarray(s[:, :half]),
+                                    scale_hi=jnp.asarray(s[:, half:]))
+            changed = True
+    if not changed:
+        return params
+    out = dict(params)
+    out["layers"] = new_layers
+    return out
+
+
 def slice_layers(params: dict, n_layers: int) -> dict:
     """First ``n_layers`` of a stacked param pytree — the self-speculative
     draft model (reference: draft via early layers, causal.py:1096)."""
@@ -1414,6 +1454,7 @@ class CausalTransformerModel:
         # (ops/embedding.to_kv_dtype / ops.nn.attention._kv_load).
         # PYGPUKIT_KV_DTYPE=fp8|fp8_e4m3|fp8_e5m2 sets it process-wide.
         self.kv_dtype = resolve_kv_dtype(kv_dtype, dtype)
+        params = prepare_block_scales(params)
         self.params = params
         self.max_seq_len: int | None = None
         self.k_cache = None
