@@ -263,6 +263,15 @@ class ContinuousBatchingEngine:
                                 and get_backend().platform == "tpu")
         else:
             self._batch_rows = _mode == "batch" and not paged
+        # chunked-512 decode attention for dense-pool captures at
+        # MAX >= 1024: the kv-chunk LSE path reads (and fp8-converts) only
+        # live chunks where the full softmax streams the whole preallocated
+        # pool every step (batch-8 MAX=4096 same-process A/B: bf16
+        # 1010 -> 1234 tok/s, fp8-KV 665 -> 820; scripts/
+        # micro_serving_kv8.py). PYGPUKIT_FLASH_DECODING[_CHUNK] env
+        # overrides still take precedence inside ops.nn.attention.
+        self._attn_pref = (("chunked", 512)
+                           if not paged and max_seq_len >= 1024 else None)
         if pipelined:
             self._last_dev = jnp.zeros(max_batch, jnp.int32)
             self._poss_dev = jnp.zeros(max_batch, jnp.int32)
@@ -682,6 +691,15 @@ class ContinuousBatchingEngine:
                     break
         return len(active)
 
+    def _attn_pref_ctx(self):
+        """Trace-scope context applying this engine's decode-attention
+        preference (see __init__) to a dense chunk/decode capture."""
+        import contextlib
+        if self._attn_pref is None:
+            return contextlib.nullcontext()
+        from ..ops.nn.attention import decode_pref
+        return decode_pref(*self._attn_pref)
+
     def _ensure_chunk_exe(self):
         if self._decode_exe is None:
             n = max(self.steps_per_dispatch, 1)
@@ -710,17 +728,18 @@ class ContinuousBatchingEngine:
                     _serve_chunk_batch_fn, self.model.config, n,
                     float(self.temperature), int(self.top_k), int(self.seed),
                     int(self.max_seq_len))
-                self._decode_exe = capture(
-                    fn, self.model.params, self.k_cache, self.v_cache,
-                    self._last_dev, self._poss_dev, jnp.int32(0),
-                    donate_argnums=(1, 2, 3, 4),
-                    name=f"serve_chunk_br_{n}")
+                with self._attn_pref_ctx():
+                    self._decode_exe = capture(
+                        fn, self.model.params, self.k_cache, self.v_cache,
+                        self._last_dev, self._poss_dev, jnp.int32(0),
+                        donate_argnums=(1, 2, 3, 4),
+                        name=f"serve_chunk_br_{n}")
             else:
                 fn = functools.partial(
                     _serve_chunk_fn, self.model.config, n,
                     float(self.temperature), int(self.top_k), int(self.seed),
                     int(self.max_seq_len))
-                with batched_trace():
+                with batched_trace(), self._attn_pref_ctx():
                     self._decode_exe = capture(
                         fn, self.model.params, self.k_cache, self.v_cache,
                         self._last_dev, self._poss_dev, jnp.int32(0),
@@ -735,16 +754,17 @@ class ContinuousBatchingEngine:
                 if self._batch_rows:
                     fn = functools.partial(batch_decode_step_fn,
                                            self.model.config)
-                    self._decode_exe = capture(
-                        fn, self.model.params, self.k_cache, self.v_cache,
-                        jnp.zeros((self.max_batch,), jnp.int32),
-                        jnp.zeros((self.max_batch,), jnp.int32),
-                        donate_argnums=(1, 2), name="serve_decode_br")
+                    with self._attn_pref_ctx():
+                        self._decode_exe = capture(
+                            fn, self.model.params, self.k_cache, self.v_cache,
+                            jnp.zeros((self.max_batch,), jnp.int32),
+                            jnp.zeros((self.max_batch,), jnp.int32),
+                            donate_argnums=(1, 2), name="serve_decode_br")
                     return self._decode_exe
                 fn = jax.vmap(
                     functools.partial(decode_step_fn, self.model.config),
                     in_axes=(None, 0, 0, 0, 0))
-                with batched_trace():
+                with batched_trace(), self._attn_pref_ctx():
                     self._decode_exe = capture(
                         fn, self.model.params, self.k_cache, self.v_cache,
                         jnp.zeros((self.max_batch,), jnp.int32),
@@ -755,18 +775,19 @@ class ContinuousBatchingEngine:
                     batch_generate_scan_fn, self.model.config, n,
                     float(self.temperature), int(self.top_k))
                 keys = jax.random.split(jax.random.PRNGKey(0), self.max_batch)
-                self._decode_exe = capture(
-                    fn, self.model.params, self.k_cache, self.v_cache,
-                    jnp.zeros((self.max_batch,), jnp.int32),
-                    jnp.zeros((self.max_batch,), jnp.int32), keys,
-                    donate_argnums=(1, 2), name=f"serve_decode_br_{n}")
+                with self._attn_pref_ctx():
+                    self._decode_exe = capture(
+                        fn, self.model.params, self.k_cache, self.v_cache,
+                        jnp.zeros((self.max_batch,), jnp.int32),
+                        jnp.zeros((self.max_batch,), jnp.int32), keys,
+                        donate_argnums=(1, 2), name=f"serve_decode_br_{n}")
             else:
                 scan_fn = functools.partial(
                     generate_scan_fn, self.model.config, n,
                     float(self.temperature), int(self.top_k))
                 fn = jax.vmap(scan_fn, in_axes=(None, 0, 0, 0, 0, 0))
                 keys = jax.random.split(jax.random.PRNGKey(0), self.max_batch)
-                with batched_trace():
+                with batched_trace(), self._attn_pref_ctx():
                     self._decode_exe = capture(
                         fn, self.model.params, self.k_cache, self.v_cache,
                         jnp.zeros((self.max_batch,), jnp.int32),

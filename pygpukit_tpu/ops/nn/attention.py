@@ -236,12 +236,65 @@ FLASH_DECODING_MIN_CACHE = 8192
 FLASH_DECODING_CHUNK = 2048
 
 
+#: trace-scoped decode-attention preference (mode, chunk) — set by the
+#: batched serving engines' executable captures (see decode_pref): batch-8
+#: serving at MAX=4096 measured full 1010 / chunked-512 1234 tok/s bf16
+#: (fp8 665 / 820) because the chunked path reads+converts only live
+#: chunks while the full softmax streams the whole preallocated pool.
+_decode_pref: "contextvars.ContextVar[tuple[str, int] | None]" = None
+
+
+def _get_pref():
+    global _decode_pref
+    if _decode_pref is None:
+        import contextvars
+        _decode_pref = contextvars.ContextVar("pygpukit_decode_pref",
+                                              default=None)
+    return _decode_pref
+
+
+def decode_pref(mode: str, chunk: int | None = None):
+    """Context manager: prefer a fixed-cache decode-attention backend
+    ("full"/"chunked") and kv-chunk size for traces captured inside.
+    Kernel/backend selection happens at Python trace time (same mechanism
+    as model.batched_trace), so engines scope their chunk captures.
+    PYGPUKIT_FLASH_DECODING[_CHUNK] env overrides still win."""
+    import contextlib
+
+    @contextlib.contextmanager
+    def _cm():
+        tok = _get_pref().set((mode, chunk))
+        try:
+            yield
+        finally:
+            _get_pref().reset(tok)
+    return _cm()
+
+
 def _decode_backend(max_len: int) -> str:
     import os
     mode = os.environ.get("PYGPUKIT_FLASH_DECODING", "")
     if mode in ("full", "chunked"):
         return mode
+    pref = _get_pref().get()
+    if pref is not None:
+        return pref[0]
     return "chunked" if max_len >= FLASH_DECODING_MIN_CACHE else "full"
+
+
+def _flash_chunk() -> int:
+    """kv-chunk size for the LSE-combine decode path
+    (PYGPUKIT_FLASH_DECODING_CHUNK overrides; the live-read granularity —
+    smaller chunks track short live contexts in big caches more tightly
+    at the cost of more loop iterations once contexts grow)."""
+    import os
+    env = os.environ.get("PYGPUKIT_FLASH_DECODING_CHUNK")
+    if env:
+        return int(env)
+    pref = _get_pref().get()
+    if pref is not None and pref[1]:
+        return pref[1]
+    return FLASH_DECODING_CHUNK
 
 
 def sdpa_fixed_cache_fn(q, k_cache, v_cache, ctx_len,
@@ -304,7 +357,7 @@ def _sdpa_fixed_cache_full(q, k_cache, v_cache, ctx_len,
 
 def sdpa_fixed_cache_chunked_fn(q, k_cache, v_cache, ctx_len,
                                 scale: float | None = None,
-                                chunk: int = FLASH_DECODING_CHUNK,
+                                chunk: int | None = None,
                                 softcap: float | None = None, window=None):
     """kv-chunk LSE-combine decode (reference: flash_decoding.cuh — chunked
     partial softmax + log-sum-exp reduction, auto at kv_len>=1024).
@@ -320,7 +373,7 @@ def sdpa_fixed_cache_chunked_fn(q, k_cache, v_cache, ctx_len,
     max_len, hk, _ = k_cache.shape
     g = h // hk
     scale = scale if scale is not None else 1.0 / math.sqrt(d)
-    chunk = min(chunk, max_len)
+    chunk = min(chunk if chunk is not None else _flash_chunk(), max_len)
     prec_k = _pf32(q, k_cache)
     prec_v = _pf32(q, v_cache)
     n_chunks = -(-max_len // chunk)

@@ -58,7 +58,9 @@ def run(kv, paged=False):
     return tput
 
 
-for paged in (False, True):
+modes = (False, True) if os.environ.get("PYGPUKIT_KV8_PAGED", "1") == "1" \
+    else (False,)
+for paged in modes:
     a = run(None, paged)
     b = run("fp8", paged)
     print(f"  -> fp8 speedup {b/a:.3f}x", flush=True)
