@@ -1,0 +1,197 @@
+"""Pallas batched decode attention over the dense serving pools.
+
+The batch-rows serving step (llm/model.batch_decode_step_fn) needs decode
+attention for all B slots against layer ``layer`` of the FULL
+[B, L, MAX, Hk, D] KV pools. Every XLA formulation loses:
+
+- ``vmap`` of the per-slot chunk loop batches the chunk cursor, turning
+  each cache slice into a gather (device-traced at batch-8 MAX=4096 on a
+  1B model: 63 GB/s bf16, ~14 GB/s with an fp8-stored pool because the
+  fp8->bf16 convert materialises — the top serving fusion either way).
+- a natively-batched ``lax.while_loop`` with one shared scalar cursor
+  reads contiguous slices, but XLA layout assignment gives the loop's
+  pool carry a different layout from the surrounding dynamic-update
+  writes and inserts full-pool conversion copies (2x738 MB per LAYER per
+  step, device-traced at 74 ms/step — 11x the rest of the step).
+
+A ``pallas_call`` sidesteps both: operands keep the pools' natural layout,
+the grid replaces the loop (no copy-insertion), each chunk arrives as ONE
+contiguous DMA, and fp8 pools convert in-kernel — only live chunk bytes
+ever stream or convert (the capacity rung finally pays off at batch,
+reference sdpa fp8 variant: src/pygpukit/ops/nn/attention.py:16-90;
+chunked decode: native/ops/attention/flash_decoding.cuh).
+
+Mechanics (see kernels/paged_attention.py for the scalar-prefetch pattern):
+
+- pools are viewed as [B, L, MAX, Hk*D] (a free minor-dims merge), so a
+  chunk block (1, 1, C, Hk*D) is one contiguous C*Hk*D*itemsize DMA AND a
+  full-lane-width VMEM tile (Hk*D >= 256 on real configs; blocking
+  [C, Hk, D] would land D=64 on the 128-lane axis, half-wasting every
+  load, convert, and DMA row).
+- grid = (B, MAX//C); the layer index, per-slot context lengths, and the
+  per-layer sliding window ride as scalar prefetch. Dead chunks (beyond a
+  slot's live context) clamp their index_map to the slot's last live
+  block: consecutive grid steps that map to the same block skip the DMA,
+  so dead capacity costs neither bandwidth nor conversion.
+- queries ride as zero-padded rows over the SAME merged axis: row r
+  (query head h = r // G... grouped h-major) carries q[h] in lanes
+  [kv(h)*D, kv(h)*D+D) and zeros elsewhere, so the chunk dot
+  q_pad [R, Hk*D] @ k_blk.T [Hk*D, C] computes every head's scores
+  against exactly its own kv head — no cross-head terms to mask, one
+  MXU-friendly dot per chunk. The weighted-value dot accumulates
+  [R, Hk*D] and the caller extracts each row's D-slice (block-diagonal)
+  outside the kernel.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..core.backend import interpret_mode
+
+_F32 = jnp.float32
+_NEG_INF = -1e30
+_FP8 = (jnp.float8_e4m3fn, jnp.float8_e5m2)
+
+
+def _bda_kernel(layer_ref, lens_ref, win_ref, q_ref, k_ref, v_ref, o_ref,
+                m_ref, l_ref, acc_ref, *, chunk: int, n_chunks: int,
+                scale: float, softcap: float | None):
+    b = pl.program_id(0)
+    ci = pl.program_id(1)
+
+    @pl.when(ci == 0)
+    def _():
+        m_ref[:] = jnp.full_like(m_ref, _NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    ctx = lens_ref[b]
+
+    @pl.when(ci * chunk < ctx)
+    def _():
+        q = q_ref[0]                                   # [R, Hk*D] zero-padded
+        k2 = k_ref[0, 0]                               # [C, Hk*D]
+        v2 = v_ref[0, 0]
+        if k2.dtype in _FP8:
+            k2 = k2.astype(jnp.bfloat16)
+            v2 = v2.astype(jnp.bfloat16)
+        prec = jax.lax.Precision.HIGHEST if q.dtype == _F32 else None
+        # zero lanes outside each row's kv-head block make this exactly
+        # the per-head score — no cross-head masking needed
+        s = jax.lax.dot_general(
+            q, k2.astype(q.dtype), (((1,), (1,)), ((), ())),
+            preferred_element_type=_F32, precision=prec) * scale  # [R, C]
+        if softcap is not None:
+            s = softcap * jnp.tanh(s / softcap)
+        pos = ci * chunk + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        win = win_ref[0]
+        lo = jnp.where(win > 0, ctx - win, jnp.int32(-(2 ** 30)))
+        dead = (pos >= ctx) | (pos < lo)
+        s = jnp.where(dead, _NEG_INF, s)
+        m_prev = m_ref[:]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+        # explicit zero for dead slots: rows whose running max is still at
+        # init would otherwise contribute exp(-1e30 - (-1e30)) = 1 each
+        p = jnp.where(dead, 0.0, jnp.exp(s - m_new))
+        alpha = jnp.exp(m_prev - m_new)
+        l_ref[:] = l_ref[:] * alpha + jnp.sum(p, axis=1, keepdims=True)
+        acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
+            p.astype(v2.dtype), v2, (((1,), (0,)), ((), ())),
+            preferred_element_type=_F32, precision=prec)   # [R, Hk*D]
+        m_ref[:] = m_new
+
+    @pl.when(ci == n_chunks - 1)
+    def _():
+        o_ref[0] = (acc_ref[:] / jnp.maximum(l_ref[:], 1e-30)
+                    ).astype(o_ref.dtype)
+
+
+def batch_decode_attention(q, k_pool, v_pool, layer, ctx_lens,
+                           scale: float | None = None, chunk: int = 512,
+                           softcap: float | None = None, window=None):
+    """Batched decode attention over dense pools, Pallas version.
+
+    q [B, 1, Hq, D]; pools [B, L, MAX, Hk, D] (bf16/f32 or fp8 storage —
+    fp8 converts in-kernel, chunk-at-a-time); layer: traced int32 scalar;
+    ctx_lens [B] int32 (lengths INCLUDING the just-written row); window:
+    optional traced int32 scalar (<=0 or None = no sliding window).
+    Returns [B, 1, Hq, D] matching ops.nn.attention.sdpa_batch_pools_fn.
+
+    Requires chunk | MAX (callers fall back to the XLA path otherwise).
+    Sliding-window models still DMA chunks below the window's lower edge
+    (the index clamp only tracks the context tail); acceptable because
+    window models cap live context at the window anyway.
+    """
+    bsz, t, hq, d = q.shape
+    _, n_layers, max_len, hk, _ = k_pool.shape
+    chunk = min(chunk, max_len)
+    if t != 1 or max_len % chunk or hq % hk:
+        raise ValueError("batch_decode_attention: unsupported shape")
+    g = hq // hk
+    scale = scale if scale is not None else 1.0 / math.sqrt(d)
+    n_chunks = max_len // chunk
+    rows = max(8, hq)
+    lanes = hk * d
+    # zero-padded query rows: row h*G+gi carries q[:, h*G+gi] in lanes
+    # [h*D, h*D+D) — einsum against a 0/1 head-selection matrix (a gather
+    # would materialise; this is a tiny one-time dot)
+    qr = q.reshape(bsz, hq, d)
+    sel = (jnp.arange(hq)[:, None] // g == jnp.arange(hk)[None, :]
+           ).astype(q.dtype)                                   # [Hq, Hk]
+    qp = jnp.einsum("bhd,hk->bhkd", qr, sel).reshape(bsz, hq, lanes)
+    if rows > hq:
+        qp = jnp.pad(qp, ((0, 0), (0, rows - hq), (0, 0)))
+    # free minor-dims merge: (Hk, D) are contiguous
+    kpm = k_pool.reshape(bsz, n_layers, max_len, lanes)
+    vpm = v_pool.reshape(bsz, n_layers, max_len, lanes)
+    win = (jnp.asarray(0, jnp.int32) if window is None
+           else jnp.asarray(window, jnp.int32))
+    kernel = functools.partial(
+        _bda_kernel, chunk=chunk, n_chunks=n_chunks, scale=scale,
+        softcap=softcap)
+
+    def _pool_map(b, ci, lyr, lens, w):
+        live_last = jnp.maximum((lens[b] + chunk - 1) // chunk - 1, 0)
+        return (b, lyr[0], jnp.minimum(ci, live_last), 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,            # layer, ctx_lens, window
+        grid=(bsz, n_chunks),
+        in_specs=[
+            pl.BlockSpec((1, rows, lanes),
+                         lambda b, ci, lyr, lens, w: (b, 0, 0)),
+            pl.BlockSpec((1, 1, chunk, lanes), _pool_map),
+            pl.BlockSpec((1, 1, chunk, lanes), _pool_map),
+        ],
+        out_specs=pl.BlockSpec((1, rows, lanes),
+                               lambda b, ci, lyr, lens, w: (b, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((rows, 1), _F32),
+            pltpu.VMEM((rows, 1), _F32),
+            pltpu.VMEM((rows, lanes), _F32),
+        ],
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((bsz, rows, lanes), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary")),
+        interpret=interpret_mode(),
+    )(jnp.asarray(layer, jnp.int32).reshape(1),
+      jnp.asarray(ctx_lens, jnp.int32),
+      win.reshape(1),
+      qp, kpm, vpm)
+    # block-diagonal extract: row h*G+gi's result lives in its kv head's
+    # D-lane block
+    o4 = out[:, :hq].reshape(bsz, hk, g, hk, d)
+    idx = jnp.arange(hk)
+    return o4[:, idx, :, idx].transpose(1, 0, 2, 3).reshape(
+        bsz, 1, hq, d)

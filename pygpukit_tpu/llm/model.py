@@ -34,7 +34,8 @@ from jax import lax
 from ..core.executable import Executable, capture
 from ..ops.embedding import kv_write
 from ..ops.nn.activation import gelu_fn, swiglu_fn
-from ..ops.nn.attention import flash_attention_fn, sdpa_fixed_cache_fn
+from ..ops.nn.attention import (flash_attention_fn, sdpa_batch_pools_fn,
+                                sdpa_fixed_cache_fn)
 from ..ops.nn.norm import layernorm_fn, l2norm_fn, rmsnorm_fn
 from ..ops.nn.rope import apply_rope_fn
 from .config import ModelSpec, TransformerConfig
@@ -1020,6 +1021,44 @@ def generate_scan_fn(cfg: TransformerConfig, n_steps: int, temperature: float,
     return k_cache, v_cache, toks
 
 
+def _batch_pools_attn(cfg: TransformerConfig, lp, q2, kp, vp, layer, lens):
+    """Attention for the batch-rows decode step: all B slot rows against
+    layer ``layer`` of the full [B, L, MAX, Hk, D] pools.
+
+    Routes to the Pallas kernel (kernels/batch_decode_attention.py) on TPU
+    for chunked-preference traces (the serving engines' large-pool regime):
+    every XLA formulation either gathers chunk reads at 63 GB/s bf16 /
+    ~14 GB/s fp8 (vmapped cursor) or pays full-pool layout-conversion
+    copies (batched while loop, 74 ms/step) — the kernel reads live chunks
+    as contiguous DMAs in the pools' natural layout and converts fp8
+    in-kernel. PYGPUKIT_BATCH_ATTN=pallas forces the kernel (any backend,
+    interpret on CPU), =xla forces the XLA path."""
+    import os
+
+    from ..ops.nn.attention import _decode_backend, _flash_chunk
+    mode = os.environ.get("PYGPUKIT_BATCH_ATTN", "")
+    window = lp.get("attn_window")
+    use_pallas = False
+    if mode != "xla":
+        from ..core.backend import get_backend
+        max_len = kp.shape[2]
+        chunk = min(_flash_chunk(), max_len)
+        eligible = (q2.shape[1] == 1 and max_len % chunk == 0
+                    and q2.shape[2] % kp.shape[3] == 0)
+        auto = (get_backend().platform == "tpu"
+                and _decode_backend(max_len) == "chunked")
+        use_pallas = eligible and (mode == "pallas" or auto)
+    if use_pallas:
+        from ..kernels.batch_decode_attention import batch_decode_attention
+        attn = batch_decode_attention(
+            q2, kp, vp, layer, lens, scale=cfg.attn_scale, chunk=chunk,
+            softcap=cfg.attn_logit_softcap, window=window)
+        return attn, kp, vp
+    return sdpa_batch_pools_fn(
+        q2, kp, vp, layer, lens, scale=cfg.attn_scale,
+        softcap=cfg.attn_logit_softcap, window=window)
+
+
 def batch_decode_step_fn(cfg: TransformerConfig, params, k_pool, v_pool,
                          tokens, poss):
     """One decode step for ALL serving slots with the hidden rows BATCHED
@@ -1054,9 +1093,10 @@ def batch_decode_step_fn(cfg: TransformerConfig, params, k_pool, v_pool,
         q, k, v = _project_qkv(cfg, lp, x)                       # [B, H, D]
 
         def slot(q_b, k_b, v_b, kc_b, vc_b, pos_b):
-            # per-slot tail of the attention sublayer; everything here is
-            # tiny (no weight reads), so vmap costs nothing while the
-            # matmuls above stay batch-rows
+            # per-slot head of the attention sublayer (rope at the slot's
+            # position + the KV row write); everything here is tiny (no
+            # weight reads), so vmap costs nothing while the matmuls above
+            # stay batch-rows
             q_b, k_b = q_b[None], k_b[None]                      # t = 1
             if cfg.use_rope:
                 c, sn = _rope_rows_for(params, pos_b, 1, pos_b + 1)
@@ -1070,16 +1110,22 @@ def batch_decode_step_fn(cfg: TransformerConfig, params, k_pool, v_pool,
                 k_b = _rope(cfg, k_b, c, sn)
             kc_b = kv_write(kc_b, k_b[None], (i, pos_b, 0, 0))
             vc_b = kv_write(vc_b, v_b[None, None], (i, pos_b, 0, 0))
-            attn = sdpa_fixed_cache_fn(
-                q_b, lax.dynamic_index_in_dim(kc_b, i, 0, keepdims=False),
-                lax.dynamic_index_in_dim(vc_b, i, 0, keepdims=False),
-                pos_b + 1, scale=cfg.attn_scale,
-                softcap=cfg.attn_logit_softcap,
-                window=lp.get("attn_window"))
-            return attn[0], kc_b, vc_b
+            return q_b, kc_b, vc_b
 
-        attn, kp, vp = jax.vmap(slot)(q, k, v, kp, vp, poss)
-        h = _residual_tail(cfg, lp, h, attn.reshape(b, -1), b, x)
+        # attention runs BATCHED over the pools: under vmap the chunked
+        # LSE loop's per-slot chunk cursor turns every cache slice into a
+        # gather (traced at 63 GB/s bf16 / ~14 GB/s fp8 at batch-8
+        # MAX=4096 — the top serving fusion); the batched form shares one
+        # scalar cursor so chunk reads stay contiguous slices. The layer
+        # index rides INTO the attention loop (slicing the pool carry
+        # outside it materialises a [B,MAX,Hk,D] copy per layer), and the
+        # layer carry takes the pools RETURNED by the attention loop —
+        # carrying the pre-attention values keeps them live across the
+        # while loop and XLA copy-inserts 2x full-pool copies per layer
+        # (74 ms/step at batch-8 MAX=4096 on 1B, device-traced).
+        q2, kp, vp = jax.vmap(slot)(q, k, v, kp, vp, poss)
+        attn, kp, vp = _batch_pools_attn(cfg, lp, q2, kp, vp, i, poss + 1)
+        h = _residual_tail(cfg, lp, h, attn[:, 0].reshape(b, -1), b, x)
         return (h, kp, vp)
 
     h, k_pool, v_pool = lax.fori_loop(

@@ -439,11 +439,149 @@ def sdpa_fixed_cache_chunked_fn(q, k_cache, v_cache, ctx_len,
 def sdpa_batch_fixed_cache_fn(q, k_cache, v_cache, ctx_lens,
                               scale: float | None = None,
                               softcap: float | None = None, window=None):
-    """Batched decode: q [B,1,Hq,D], caches [B,MAX,Hk,D], ctx_lens [B]."""
+    """Batched decode: q [B,1,Hq,D], caches [B,MAX,Hk,D], ctx_lens [B].
+
+    Routes to the natively-batched chunk loop when the chunked backend is
+    selected: ``vmap`` of the per-slot while loop batches the chunk index,
+    so every slot's cache slice lowers to a GATHER (device-traced at
+    MAX=4096 batch-8: 63 GB/s bf16 / ~14 GB/s fp8 — the dominant serving
+    fusion). The batched form advances ONE shared scalar chunk index, so
+    the reads stay contiguous dynamic slices at stream rate.
+    """
+    if _decode_backend(k_cache.shape[1]) == "chunked":
+        return sdpa_batch_fixed_cache_chunked_fn(
+            q, k_cache, v_cache, ctx_lens, scale, softcap=softcap,
+            window=window)
     def one(qq, kk, vv, cl):
         return sdpa_fixed_cache_fn(qq, kk, vv, cl, scale, softcap=softcap,
                                    window=window)
     return jax.vmap(one, in_axes=(0, 0, 0, 0))(q, k_cache, v_cache, ctx_lens)
+
+
+def sdpa_batch_pools_fn(q, k_pool, v_pool, layer, ctx_lens,
+                        scale: float | None = None,
+                        softcap: float | None = None, window=None):
+    """Batched decode attention reading layer ``layer`` of the FULL
+    [B, L, MAX, Hk, D] pools (the batch-rows serving step's form).
+
+    Returns ``(attn, k_pool, v_pool)`` — the pools threaded THROUGH the
+    chunk while-loop as explicit carry. The caller's layer loop must carry
+    the RETURNED pools: returning the pre-attention values keeps them live
+    across the while loop, and XLA copy-insertion then duplicates both
+    full pools at every layer's loop entry (device-traced: 2x738 MB
+    copies/layer = 74 ms/step at batch-8 MAX=4096 on a 1B model — 11x the
+    whole rest of the step). The layer slice likewise rides INTO the loop
+    body — slicing the pool carry outside it materialises a [B,MAX,Hk,D]
+    copy per layer.
+    """
+    if _decode_backend(k_pool.shape[2]) == "chunked":
+        return sdpa_batch_fixed_cache_chunked_fn(
+            q, k_pool, v_pool, ctx_lens, scale, softcap=softcap,
+            window=window, layer=layer, return_caches=True)
+
+    def one(qq, kp_b, vp_b, cl):
+        return sdpa_fixed_cache_fn(
+            qq, lax.dynamic_index_in_dim(kp_b, layer, 0, keepdims=False),
+            lax.dynamic_index_in_dim(vp_b, layer, 0, keepdims=False),
+            cl, scale, softcap=softcap, window=window)
+    attn = jax.vmap(one, in_axes=(0, 0, 0, 0))(q, k_pool, v_pool, ctx_lens)
+    return attn, k_pool, v_pool
+
+
+def sdpa_batch_fixed_cache_chunked_fn(q, k_cache, v_cache, ctx_lens,
+                                      scale: float | None = None,
+                                      chunk: int | None = None,
+                                      softcap: float | None = None,
+                                      window=None, layer=None,
+                                      return_caches: bool = False):
+    """kv-chunk LSE decode over a BATCH of caches with one shared chunk
+    cursor (reference flash_decoding.cuh semantics, batched).
+
+    q: [B,T,Hq,D], caches: [B,MAX,Hk,D], ctx_lens: [B]. The while loop
+    runs to ``max(ctx_lens)`` — every slot reads the same [*, start:start+C]
+    window (a contiguous dynamic slice; per-slot starts would gather), and
+    per-slot masking zeroes positions beyond each slot's context. Dead
+    bytes read for short slots are bounded by the batch's ctx spread, not
+    the pool capacity.
+
+    ``layer``: optional traced layer index — caches are then the FULL
+    [B, L, MAX, Hk, D] pools and the (layer, chunk) slice happens INSIDE
+    the loop body. Slicing the layer outside would feed the while loop a
+    materialised copy of a just-updated pool carry (measured: 8x8x22
+    slices of a 738 MB pool = ~91 ms/step at batch-8 MAX=4096).
+
+    ``return_caches``: return ``(out, k_cache, v_cache)`` with the caches
+    threaded through the while loop as explicit carry. A caller whose own
+    loop carries the caches MUST take these outputs: keeping the pre-call
+    values live across the while loop makes XLA copy-insertion duplicate
+    both full caches at loop entry (2x738 MB/layer = 74 ms/step measured).
+    """
+    bsz, t, h, d = q.shape
+    max_len, hk = k_cache.shape[-3], k_cache.shape[-2]
+    g = h // hk
+    scale = scale if scale is not None else 1.0 / math.sqrt(d)
+    chunk = min(chunk if chunk is not None else _flash_chunk(), max_len)
+    prec_k = _pf32(q, k_cache)
+    prec_v = _pf32(q, v_cache)
+    n_chunks = -(-max_len // chunk)
+    qh = q.reshape(bsz, t, hk, g, d).transpose(0, 2, 3, 1, 4)  # [B,Hk,G,T,D]
+    q_off = jnp.arange(t)[None, None, None, :, None]
+    limit = (ctx_lens[:, None, None, None, None] - (t - 1) + q_off)
+    ctx_max = jnp.max(ctx_lens)
+    w_eff = _window_or_inf(window)
+    lo = jnp.int32(0) if w_eff is None else jnp.maximum(
+        jnp.int32(0), (jnp.min(ctx_lens) - t - w_eff + 1) // chunk)
+
+    def _blk(cache, start):
+        if layer is None:
+            return lax.dynamic_slice(cache, (0, start, 0, 0),
+                                     (bsz, chunk, hk, d))
+        blk = lax.dynamic_slice(cache, (0, layer, start, 0, 0),
+                                (bsz, 1, chunk, hk, d))
+        return blk.reshape(bsz, chunk, hk, d)
+
+    def cond(carry):
+        i = carry[0]
+        return (i * chunk < ctx_max) & (i < n_chunks)
+
+    def body(carry):
+        i, m, l, acc, kc, vc = carry
+        start_log = i * chunk
+        start = jnp.minimum(start_log, max_len - chunk)
+        # contract straight on the block's stored [B,C,Hk,D] order — an
+        # explicit transpose here makes XLA layout assignment re-lay the
+        # WHOLE pool for the loop (6 pool-sized layout-conversion copies,
+        # 2 per layer per step, device-traced at 74 ms/step)
+        kk = _kv_load(_blk(kc, start))                        # [B,C,Hk,D]
+        vv = _kv_load(_blk(vc, start))
+        s = jnp.einsum("bhgtd,bkhd->bhgtk", qh, kk,
+                       preferred_element_type=_F32, precision=prec_k) * scale
+        s = _apply_softcap(s, softcap)
+        kv_idx = start + jnp.arange(chunk)[None, None, None, None, :]
+        dead = (kv_idx >= limit) | (kv_idx < start_log)
+        if w_eff is not None:
+            dead = dead | (kv_idx < limit - w_eff)
+        s = jnp.where(dead, _NEG_INF, s)
+        m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+        p = jnp.where(dead, 0.0, jnp.exp(s - m_new))
+        alpha = jnp.exp(m - m_new)
+        l_new = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        acc_new = acc * alpha + jnp.einsum(
+            "bhgtk,bkhd->bhgtd", p.astype(vv.dtype), vv,
+            preferred_element_type=_F32, precision=prec_v)
+        return i + 1, m_new, l_new, acc_new, kc, vc
+
+    init = (lo,
+            jnp.full((bsz, hk, g, t, 1), _NEG_INF, _F32),
+            jnp.zeros((bsz, hk, g, t, 1), _F32),
+            jnp.zeros((bsz, hk, g, t, d), _F32),
+            k_cache, v_cache)
+    _, m, l, acc, k_cache, v_cache = lax.while_loop(cond, body, init)
+    out = acc / jnp.maximum(l, 1e-30)
+    out = out.transpose(0, 3, 1, 2, 4).reshape(bsz, t, h, d).astype(q.dtype)
+    if return_caches:
+        return out, k_cache, v_cache
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -227,6 +227,91 @@ class TestAttention:
         np.testing.assert_allclose(np.asarray(chk), np.asarray(full),
                                    rtol=1e-4, atol=1e-5)
 
+    def test_chunked_decode_batch_native(self, rng):
+        """Natively-batched chunk loop (shared scalar cursor — the serving
+        formulation that avoids vmap's per-slot gather) vs the vmapped
+        full-softmax path: ragged ctx_lens, lookahead t>1, softcap,
+        sliding window, and the layer-pools form."""
+        import jax
+        import jax.numpy as jnp
+        from pygpukit_tpu.ops.nn.attention import (
+            _sdpa_fixed_cache_full, sdpa_batch_fixed_cache_chunked_fn,
+            sdpa_batch_pools_fn, decode_pref,
+        )
+        b, max_len, hq, hk, d = 4, 40, 4, 2, 8
+        kc = jnp.asarray(
+            rng.standard_normal((b, max_len, hk, d)).astype(np.float32))
+        vc = jnp.asarray(
+            rng.standard_normal((b, max_len, hk, d)).astype(np.float32))
+        lens = jnp.asarray([3, 16, 17, 40], jnp.int32)
+        for t in (1, 2):
+            q = jnp.asarray(
+                rng.standard_normal((b, t, hq, d)).astype(np.float32))
+            for kw in ({}, {"softcap": 30.0}, {"window": 9}):
+                full = jax.vmap(
+                    lambda a, k2, v2, n: _sdpa_fixed_cache_full(
+                        a, k2, v2, n, **kw))(q, kc, vc, lens)
+                chk = sdpa_batch_fixed_cache_chunked_fn(
+                    q, kc, vc, lens, chunk=16, **kw)
+                np.testing.assert_allclose(
+                    np.asarray(chk), np.asarray(full), rtol=1e-4, atol=1e-5,
+                    err_msg=f"t={t} kw={kw}")
+
+        # layer-pools form: [B, L, MAX, Hk, D] with an in-loop layer slice
+        L = 3
+        kp = jnp.asarray(
+            rng.standard_normal((b, L, max_len, hk, d)).astype(np.float32))
+        vp = jnp.asarray(
+            rng.standard_normal((b, L, max_len, hk, d)).astype(np.float32))
+        q = jnp.asarray(rng.standard_normal((b, 1, hq, d)).astype(np.float32))
+        for layer in (0, 2):
+            full = jax.vmap(
+                lambda a, k2, v2, n: _sdpa_fixed_cache_full(
+                    a, k2[layer], v2[layer], n))(q, kp, vp, lens)
+            chk = sdpa_batch_fixed_cache_chunked_fn(
+                q, kp, vp, lens, chunk=16, layer=jnp.int32(layer))
+            np.testing.assert_allclose(
+                np.asarray(chk), np.asarray(full), rtol=1e-4, atol=1e-5)
+            with decode_pref("chunked", 16):
+                routed, kp2, vp2 = sdpa_batch_pools_fn(
+                    q, kp, vp, jnp.int32(layer), lens)
+            np.testing.assert_allclose(
+                np.asarray(routed), np.asarray(full), rtol=1e-4, atol=1e-5)
+            # pools pass through the loop untouched
+            np.testing.assert_array_equal(np.asarray(kp2), np.asarray(kp))
+            np.testing.assert_array_equal(np.asarray(vp2), np.asarray(vp))
+            with decode_pref("full"):
+                routed, _, _ = sdpa_batch_pools_fn(
+                    q, kp, vp, jnp.int32(layer), lens)
+            np.testing.assert_allclose(
+                np.asarray(routed), np.asarray(full), rtol=1e-4, atol=1e-5)
+
+    def test_chunked_decode_batch_native_fp8(self, rng):
+        """fp8 cache storage: the natively-batched chunk loop converts the
+        SAME chunk bytes the per-slot path converts — results must match
+        the vmapped chunked path bitwise-closely."""
+        import jax
+        import jax.numpy as jnp
+        from pygpukit_tpu.ops.nn.attention import (
+            sdpa_fixed_cache_chunked_fn, sdpa_batch_fixed_cache_chunked_fn,
+        )
+        b, max_len, hk, hq, d = 3, 32, 2, 4, 8
+        kc = jnp.asarray(rng.standard_normal(
+            (b, max_len, hk, d)).astype(np.float32)).astype(jnp.float8_e4m3fn)
+        vc = jnp.asarray(rng.standard_normal(
+            (b, max_len, hk, d)).astype(np.float32)).astype(jnp.float8_e4m3fn)
+        q = jnp.asarray(
+            rng.standard_normal((b, 1, hq, d)).astype(np.float32)
+        ).astype(jnp.bfloat16)
+        lens = jnp.asarray([7, 16, 31], jnp.int32)
+        ref = jax.vmap(
+            lambda a, k2, v2, n: sdpa_fixed_cache_chunked_fn(
+                a, k2, v2, n, chunk=16))(q, kc, vc, lens)
+        out = sdpa_batch_fixed_cache_chunked_fn(q, kc, vc, lens, chunk=16)
+        np.testing.assert_allclose(
+            np.asarray(out, np.float32), np.asarray(ref, np.float32),
+            rtol=2e-2, atol=2e-3)
+
 
 class TestKVCache:
     def test_update_and_prefill(self, rng):

@@ -307,6 +307,21 @@ class TestBatchRowsServing:
         for r, p in zip(reqs, refs):
             assert r.generated == refs[p], (p, r.generated, refs[p])
 
+    def test_pallas_batch_attention_matches(self, model, monkeypatch):
+        """PYGPUKIT_BATCH_ATTN=pallas routes the batch-rows step's decode
+        attention through the Pallas dense-pool kernel (interpret mode on
+        CPU) — greedy streams must match the single-sequence reference."""
+        monkeypatch.setenv("PYGPUKIT_SERVING_STEP", "batch")
+        monkeypatch.setenv("PYGPUKIT_BATCH_ATTN", "pallas")
+        refs = {p: _single_ref(model, list(p), 6)
+                for p in ((5, 11, 42), (7, 3))}
+        eng = ContinuousBatchingEngine(model, max_batch=2, max_seq_len=1024,
+                                       steps_per_dispatch=3, pipelined=True)
+        reqs = [eng.submit(list(p), max_new_tokens=6) for p in refs]
+        eng.run_until_complete()
+        for r, p in zip(reqs, refs):
+            assert r.generated == refs[p], (p, r.generated, refs[p])
+
     def test_auto_chunked_pref_large_pool(self, model, monkeypatch):
         """Engines with MAX >= 1024 auto-scope decode_pref("chunked", 512)
         over their dense captures (measured +22% batch-8 at MAX=4096) —
