@@ -254,7 +254,7 @@ def bench_decode(mode: str, n_tokens: int = 256) -> dict:
 
 
 def bench_serving(mode: str = "int8", n_req: int = 32, steps: int = 128,
-                  gen: int = 128) -> float:
+                  gen: int = 128, paged: bool = False) -> float:
     """Aggregate batch-8 serving throughput on the 1B bench model: the
     pipelined continuous-batching engine, n_req x gen-token requests,
     steps_per_dispatch = request length (the measured rule of thumb —
@@ -278,8 +278,10 @@ def bench_serving(mode: str = "int8", n_req: int = 32, steps: int = 128,
     params = quantize_model_params(
         fuse_params(init_params_device(cfg, 0, jnp.bfloat16)), mode)
     model = CausalTransformerModel(cfg, params, dtype=jnp.bfloat16)
+    kw = dict(paged=True, block_size=16) if paged else {}
     eng = ContinuousBatchingEngine(model, max_batch=8, max_seq_len=512,
-                                   steps_per_dispatch=steps, pipelined=True)
+                                   steps_per_dispatch=steps, pipelined=True,
+                                   **kw)
     prompt = list(range(1, 17))
     for _ in range(8):
         eng.submit(prompt, max_new_tokens=steps)
@@ -289,6 +291,95 @@ def bench_serving(mode: str = "int8", n_req: int = 32, steps: int = 128,
     t0 = time.perf_counter()
     eng.run_until_complete()
     return n_req * gen / (time.perf_counter() - t0)
+
+
+def _bench_model(mode: str):
+    import jax.numpy as jnp
+    from pygpukit_tpu.llm.config import TransformerConfig
+    from pygpukit_tpu.llm.model import (
+        CausalTransformerModel, fuse_params, init_params_device,
+    )
+    cfg = TransformerConfig(
+        vocab_size=32000, hidden_size=2048, num_layers=22, num_heads=32,
+        num_kv_heads=4, intermediate_size=5632,
+        max_position_embeddings=2048, tie_word_embeddings=False)
+    params = fuse_params(init_params_device(cfg, 0, jnp.bfloat16))
+    if mode != "bf16":
+        from pygpukit_tpu.llm.quant import quantize_model_params
+        params = quantize_model_params(params, mode)
+    return CausalTransformerModel(cfg, params, dtype=jnp.bfloat16)
+
+
+def bench_prefill(mode: str = "bf16", s: int = 2048, iters: int = 10):
+    """1B prefill throughput at S=2048 (VERDICT r4 #6: serving quality is
+    decode + admission + prefill; this is the missing third). tok/s plus
+    MFU against the v5e bf16 MXU peak (~197 TFLOPS). int4 mode exercises
+    the M>1 w4a8 GEMM route in _mm. Reference cross-ref: FA3 prefill
+    attention alone 51.97 TFLOPS (BASELINE.md)."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    model = _bench_model(mode)
+    cfg = model.config
+    model.init_fixed_cache(s)
+    prompt = (np.arange(s - 1) % 31000 + 1).tolist()   # full bucket = s
+    logits = model.prefill(prompt)
+    _sync(logits)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        model.pos = 0
+        logits = model.prefill(prompt)
+    _sync(logits)
+    dt = (time.perf_counter() - t0) / iters
+    e, hq, hk, d, i_sz = (cfg.hidden_size, cfg.num_heads, cfg.num_kv_heads,
+                          cfg.head_dim, cfg.intermediate_size)
+    per_layer = (2 * s * e * (hq + 2 * hk) * d      # qkv projections
+                 + 2 * s * hq * d * e               # out projection
+                 + 3 * 2 * s * e * i_sz             # gate/up/down
+                 + 2 * 2 * s * s * hq * d * 0.5)    # causal attention
+    flops = cfg.num_layers * per_layer
+    return {"toks_per_s": s / dt, "tflops": flops / dt / 1e12,
+            "mfu": flops / dt / 197e12}
+
+
+def bench_serving_mixed(mode: str = "int4", n_req: int = 32,
+                        chunk: int = 32, seed: int = 42):
+    """Honest-traffic serving row (VERDICT r4 #5): request lengths drawn
+    32-256 (fixed seed), none aligned to the dispatch chunk — requests
+    finish mid-chunk, slots idle the one-chunk resolution lag, wave
+    admission runs ragged. Also reports TTFT percentiles (r4 #6).
+    chunk=32 measured best on this workload (scripts/micro_serving_mixed.py
+    sweep: 16/32/64/128 -> pick)."""
+    import numpy as np
+    from pygpukit_tpu.llm.serving import ContinuousBatchingEngine
+
+    rng = np.random.default_rng(seed)
+    lens = rng.integers(32, 257, n_req)
+    # ~1/4 of requests get an unreachable EOS id (vocab-1 never sampled by
+    # the greedy random model in practice) — exercising the EOS bookkeeping
+    # path costs nothing; finishing stays length-bound and mid-chunk
+    eos = [int(r) for r in rng.integers(0, 4, n_req)]
+    model = _bench_model(mode)
+    eng = ContinuousBatchingEngine(model, max_batch=8, max_seq_len=512,
+                                   steps_per_dispatch=chunk, pipelined=True)
+    prompt = list(range(1, 17))
+    for _ in range(8):
+        eng.submit(prompt, max_new_tokens=chunk)
+    eng.run_until_complete()
+    reqs = []
+    t0 = time.perf_counter()
+    for i in range(n_req):
+        reqs.append(eng.submit(
+            prompt, max_new_tokens=int(lens[i]),
+            eos_token_id=(model.config.vocab_size - 1) if eos[i] == 0
+            else None))
+    eng.run_until_complete()
+    dt = time.perf_counter() - t0
+    total = sum(len(r.generated) for r in reqs)
+    ttfts = sorted(r.ttft_s for r in reqs if r.ttft_s is not None)
+    p = lambda q: ttfts[min(int(q * len(ttfts)), len(ttfts) - 1)] * 1e3
+    return {"toks_per_s": total / dt, "ttft_p50_ms": p(0.50),
+            "ttft_p95_ms": p(0.95)}
 
 
 def main() -> None:
@@ -365,6 +456,35 @@ def main() -> None:
                 bench_serving(smode), 1)
         except Exception as e:
             extra[f"serving_1b_{smode}_error"] = type(e).__name__
+    try:
+        # paged KV + batch-rows int4 in ONE configuration (VERDICT r4 #1):
+        # the paged chunk feeds real [B, E] rows to the stacked Pallas
+        # w4a8 GEMV, block-table attention rides per-slot gathers
+        extra["serving_1b_int4_paged_toks_per_s"] = round(
+            bench_serving("int4", paged=True), 1)
+    except Exception as e:
+        extra["serving_1b_int4_paged_error"] = type(e).__name__
+    try:
+        # honest-traffic row (VERDICT r4 #5): mixed lengths 32-256, none
+        # chunk-aligned, + TTFT percentiles (r4 #6)
+        m = bench_serving_mixed("int4")
+        extra["serving_1b_int4_mixed_toks_per_s"] = round(m["toks_per_s"], 1)
+        extra["serving_ttft_p50_ms"] = round(m["ttft_p50_ms"], 1)
+        extra["serving_ttft_p95_ms"] = round(m["ttft_p95_ms"], 1)
+    except Exception as e:
+        extra["serving_1b_int4_mixed_error"] = type(e).__name__
+    for pmode in ("bf16", "int4"):
+        # prefill visibility (VERDICT r4 #6): S=2048 throughput + MFU;
+        # int4 exercises the M>1 w4a8 GEMM route
+        try:
+            r = bench_prefill(pmode)
+            extra[f"prefill_1b_{pmode}_toks_per_s"] = round(
+                r["toks_per_s"], 1)
+            extra[f"prefill_1b_{pmode}_tflops"] = round(r["tflops"], 1)
+            if pmode == "bf16":
+                extra["prefill_1b_bf16_mfu"] = round(r["mfu"], 4)
+        except Exception as e:
+            extra[f"prefill_1b_{pmode}_error"] = type(e).__name__
     print(json.dumps({
         "metric": "bf16_gemm_8192_tflops",
         "value": round(tflops, 2),

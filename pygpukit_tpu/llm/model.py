@@ -236,6 +236,22 @@ def _mm(x, w, out_dtype=None, int8_mode=None):
                     from ..kernels.gemv_quant import gemv_int4_packed
                     y = gemv_int4_packed(packed, x, jnp.ravel(w["scale"]))
                 return y.astype(out_dtype)
+            if (on_tpu and not blocked and w4a8 and not batched
+                    and packed.ndim == 2 and x.ndim == 2 and x.shape[0] > 8
+                    and 0 <= 2 * packed.shape[-1] - x.shape[-1] <= 1
+                    and packed.size >= (1 << 19)
+                    and os.environ.get("PYGPUKIT_INT4_GEMM", "pallas")
+                    == "pallas"):
+                # M>1 rows (prefill / batched traces with real row operands):
+                # the w4a8 int4 GEMM's native int8 MXU tile dots measured
+                # 218.3 vs the XLA dequant dot's 152.8 TOPS (bench.py
+                # int4_gemm_tops). Auto-selected on TPU per the
+                # measured-better rule; PYGPUKIT_INT4_GEMM=xla opts out.
+                # Same w4a8 activation quantization as the decode GEMV, so
+                # prefill and decode run the SAME formulation.
+                from ..kernels.gemv_quant import gemm_int4_w4a8
+                y = gemm_int4_w4a8(packed, x, jnp.ravel(w["scale"]))
+                return y.astype(out_dtype)
             from .quant import unpack_int4
             xb = x.astype(jnp.bfloat16)
             if blocked:
@@ -1510,6 +1526,11 @@ class CausalTransformerModel:
         self._prefill_exes: dict[int, Executable] = {}
         self._window_exes: dict[int, Executable] = {}
         self._gen_exes: dict[tuple, Executable] = {}
+        # set by parallel.shard_model: TP/EP-sharded params must route _mm
+        # through plain XLA dots (GSPMD partitions those; the single-chip
+        # Pallas GEMV/GEMM kernels would be replicated with gathered
+        # operands) — capture sites wrap traces in batched_trace()
+        self.xla_mm_only = False
         self._forward_jit = jax.jit(functools.partial(forward_fn, config))
 
         # RoPE tables once, f32 (reference: precompute_freqs_cis)
@@ -1617,26 +1638,36 @@ class CausalTransformerModel:
                 and "w_qkv_t" not in self.params["layers"]):
             self.params = prepare_fused_decode_params(cfg, self.params)
 
+    def _mm_ctx(self):
+        """Trace context for this model's captures: sharded params
+        (xla_mm_only, set by parallel.shard_model) mark the trace so _mm
+        keeps every matmul a plain XLA dot GSPMD can partition."""
+        import contextlib
+        return batched_trace() if self.xla_mm_only \
+            else contextlib.nullcontext()
+
     def _ensure_decode_exe(self) -> Executable:
         if self._decode_exe is None:
             fn = functools.partial(decode_step_fn, self.config)
-            self._decode_exe = capture(
-                fn, self.params, self.k_cache, self.v_cache,
-                jnp.int32(0), jnp.int32(0),
-                donate_argnums=(1, 2),
-                name="decode_step",
-            )
+            with self._mm_ctx():
+                self._decode_exe = capture(
+                    fn, self.params, self.k_cache, self.v_cache,
+                    jnp.int32(0), jnp.int32(0),
+                    donate_argnums=(1, 2),
+                    name="decode_step",
+                )
         return self._decode_exe
 
     def _ensure_prefill_exe(self, bucket: int) -> Executable:
         if bucket not in self._prefill_exes:
             fn = functools.partial(prefill_fn, self.config)
-            self._prefill_exes[bucket] = capture(
-                fn, self.params, self.k_cache, self.v_cache,
-                jnp.zeros((bucket,), jnp.int32), jnp.int32(1),
-                donate_argnums=(1, 2),
-                name=f"prefill_{bucket}",
-            )
+            with self._mm_ctx():
+                self._prefill_exes[bucket] = capture(
+                    fn, self.params, self.k_cache, self.v_cache,
+                    jnp.zeros((bucket,), jnp.int32), jnp.int32(1),
+                    donate_argnums=(1, 2),
+                    name=f"prefill_{bucket}",
+                )
         return self._prefill_exes[bucket]
 
     # -- generation ----------------------------------------------------------
@@ -1678,10 +1709,11 @@ class CausalTransformerModel:
         t = len(tokens)
         if t not in self._window_exes:
             fn = functools.partial(decode_window_fn, self.config)
-            self._window_exes[t] = capture(
-                fn, self.params, self.k_cache, self.v_cache,
-                jnp.zeros((t,), jnp.int32), jnp.int32(0),
-                donate_argnums=(1, 2), name=f"decode_window_{t}")
+            with self._mm_ctx():
+                self._window_exes[t] = capture(
+                    fn, self.params, self.k_cache, self.v_cache,
+                    jnp.zeros((t,), jnp.int32), jnp.int32(0),
+                    donate_argnums=(1, 2), name=f"decode_window_{t}")
         exe = self._window_exes[t]
         self.k_cache, self.v_cache, logits = exe.replay(
             self.params, self.k_cache, self.v_cache,
@@ -1709,10 +1741,11 @@ class CausalTransformerModel:
         if key not in self._gen_exes:
             fn = functools.partial(generate_scan_fn, self.config, n_steps,
                                    float(temperature), int(top_k))
-            self._gen_exes[key] = capture(
-                fn, self.params, self.k_cache, self.v_cache,
-                jnp.int32(0), jnp.int32(0), jax.random.PRNGKey(0),
-                donate_argnums=(1, 2), name=f"generate_{n_steps}")
+            with self._mm_ctx():
+                self._gen_exes[key] = capture(
+                    fn, self.params, self.k_cache, self.v_cache,
+                    jnp.int32(0), jnp.int32(0), jax.random.PRNGKey(0),
+                    donate_argnums=(1, 2), name=f"generate_{n_steps}")
         exe = self._gen_exes[key]
         self.k_cache, self.v_cache, toks = exe.replay(
             self.params, self.k_cache, self.v_cache,
@@ -1739,10 +1772,11 @@ class CausalTransformerModel:
         if key not in self._gen_exes:
             fn = functools.partial(speculative_scan_fn, self.config,
                                    n_rounds, gamma, n_draft)
-            self._gen_exes[key] = capture(
-                fn, self.params, self.k_cache, self.v_cache,
-                jnp.int32(0), jnp.int32(0), donate_argnums=(1, 2),
-                name=f"spec_{n_rounds}x{gamma}_d{n_draft}")
+            with self._mm_ctx():
+                self._gen_exes[key] = capture(
+                    fn, self.params, self.k_cache, self.v_cache,
+                    jnp.int32(0), jnp.int32(0), donate_argnums=(1, 2),
+                    name=f"spec_{n_rounds}x{gamma}_d{n_draft}")
         exe = self._gen_exes[key]
         self.k_cache, self.v_cache, toks, counts, pos = exe.replay(
             self.params, self.k_cache, self.v_cache,

@@ -31,26 +31,6 @@ from .model import (
 )
 
 
-def _params_have_packed_int4(params) -> bool:
-    """True when any weight leaf is a packed-int4 dict — the format whose
-    Pallas GEMV loses its eligibility under the vmapped chunk (batch-rows
-    selection, see ContinuousBatchingEngine.__init__)."""
-    found = False
-
-    def visit(v):
-        nonlocal found
-        if isinstance(v, dict):
-            if "q_packed" in v:
-                found = True
-            else:
-                for x in v.values():
-                    visit(x)
-
-    for v in params.values():
-        visit(v)
-    return found
-
-
 def _prefill_into_slot_fn(cfg, params, k_pool, v_pool, tokens, true_len, slot):
     """Prefill one sequence directly into pool slot ``slot`` (traced scalar).
 
@@ -253,16 +233,27 @@ class ContinuousBatchingEngine:
         # micro_serving_batchrows.py: int4 1827 vs 1403-1516 vmapped — the
         # stacked Pallas w4a8 GEMV carries all 8 slot rows in ONE call where
         # vmap forced the XLA dequant fallback — and int8 1711 vs 1655).
-        # Paged mode keeps the vmapped step (block-table gathers are
-        # per-slot by construction).
+        # Paged mode: the paged step ALREADY batches the weight matmuls
+        # over all slot rows (paged_decode_step_fn takes [B] tokens and is
+        # never vmapped over slots) — there the flag only controls whether
+        # the chunk capture is marked batched_trace(), i.e. whether _mm
+        # routes packed-int4 leaves to the stacked Pallas GEMV (batch) or
+        # the XLA dequant dot (vmap). batch-rows is the default on TPU for
+        # paged too (VERDICT r4 #1: int4 throughput riding paged KV).
         import os
         _mode = os.environ.get("PYGPUKIT_SERVING_STEP", "auto")
         if _mode == "auto":
             from ..core.backend import get_backend
-            self._batch_rows = (not paged
-                                and get_backend().platform == "tpu")
+            self._batch_rows = get_backend().platform == "tpu"
         else:
-            self._batch_rows = _mode == "batch" and not paged
+            self._batch_rows = _mode == "batch"
+        if mesh is not None:
+            # mesh serving compiles GSPMD programs: keep the vmapped chunk
+            # with batched_trace-marked captures so every matmul stays a
+            # plain XLA dot the partitioner can cut (the batch-rows Pallas
+            # kernels are single-chip; model.xla_mm_only guards the model's
+            # own captures the same way)
+            self._batch_rows = False
         # chunked-512 decode attention for dense-pool captures at
         # MAX >= 1024: the kv-chunk LSE path reads (and fp8-converts) only
         # live chunks where the full softmax streams the whole preallocated
@@ -279,6 +270,19 @@ class ContinuousBatchingEngine:
             self._pending_first: list = []   # [(req, prompt_len, tok_dev)]
         if mesh is not None:
             self._shard_pools(mesh)
+
+    def _mm_guard_ctx(self):
+        """batched_trace when captures must avoid the single-chip Pallas
+        matmul kernels: mesh serving / sharded model params compile GSPMD
+        programs whose dots the partitioner cuts — a pallas_call would be
+        replicated with all-gathered weights. Applied to prefill captures
+        (the chunk captures route through _paged_trace_ctx / the vmapped
+        branch, already marked)."""
+        import contextlib
+        if self.mesh is not None or getattr(self.model, "xla_mm_only",
+                                            False):
+            return batched_trace()
+        return contextlib.nullcontext()
 
     def _shard_pools(self, mesh) -> None:
         """Shard the KV pools over the mesh "tp" axis along kv heads (dense
@@ -386,7 +390,8 @@ class ContinuousBatchingEngine:
             fn = functools.partial(_prefill_wave_pl_fn, self.model.config,
                                    float(self.temperature), int(self.top_k),
                                    int(self.seed), w)
-            self._prefill_exes[key] = capture(
+            with self._mm_guard_ctx():
+                self._prefill_exes[key] = capture(
                 fn, self.model.params, self.k_cache, self.v_cache,
                 self._last_dev, self._poss_dev,
                 jnp.zeros((w, bucket), jnp.int32),
@@ -425,7 +430,8 @@ class ContinuousBatchingEngine:
         bucket = min(_bucket(max(n, 8)), self.max_seq_len)
         if bucket not in self._prefill_exes:
             fn = functools.partial(_prefill_into_slot_fn, model.config)
-            self._prefill_exes[bucket] = capture(
+            with self._mm_guard_ctx():
+                self._prefill_exes[bucket] = capture(
                 fn, model.params, self.k_cache, self.v_cache,
                 jnp.zeros((bucket,), jnp.int32), jnp.int32(1), jnp.int32(0),
                 donate_argnums=(1, 2), name=f"serve_prefill_{bucket}")
@@ -466,7 +472,8 @@ class ContinuousBatchingEngine:
             fn = functools.partial(_prefill_into_slot_pl_fn, model.config,
                                    float(self.temperature), int(self.top_k),
                                    int(self.seed))
-            self._prefill_exes[key] = capture(
+            with self._mm_guard_ctx():
+                self._prefill_exes[key] = capture(
                 fn, model.params, self.k_cache, self.v_cache,
                 self._last_dev, self._poss_dev,
                 jnp.zeros((bucket,), jnp.int32), jnp.int32(1), jnp.int32(0),
@@ -502,7 +509,8 @@ class ContinuousBatchingEngine:
             fn = functools.partial(paged_prefill_pl_fn, model.config,
                                    float(self.temperature), int(self.top_k),
                                    int(self.seed))
-            self._prefill_exes[key] = capture(
+            with self._mm_guard_ctx():
+                self._prefill_exes[key] = capture(
                 fn, model.params, self.k_cache, self.v_cache,
                 self._last_dev, self._poss_dev, self._tables_dev[0],
                 jnp.zeros((bucket,), jnp.int32), jnp.int32(1), jnp.int32(0),
@@ -536,7 +544,8 @@ class ContinuousBatchingEngine:
                                    self.model.config,
                                    float(self.temperature), int(self.top_k),
                                    int(self.seed), w)
-            self._prefill_exes[key] = capture(
+            with self._mm_guard_ctx():
+                self._prefill_exes[key] = capture(
                 fn, self.model.params, self.k_cache, self.v_cache,
                 self._last_dev, self._poss_dev,
                 jnp.zeros((w, self.max_blocks), jnp.int32),
@@ -614,7 +623,8 @@ class ContinuousBatchingEngine:
         key = ("paged", bucket)
         if key not in self._prefill_exes:
             fn = functools.partial(paged_prefill_fn, model.config)
-            self._prefill_exes[key] = capture(
+            with self._mm_guard_ctx():
+                self._prefill_exes[key] = capture(
                 fn, model.params, self.k_cache, self.v_cache,
                 self._tables_dev[0], jnp.zeros((bucket,), jnp.int32),
                 jnp.int32(1), donate_argnums=(1, 2),
@@ -637,6 +647,16 @@ class ContinuousBatchingEngine:
         self.stats.prefills += 1
         self._maybe_finish(slot, tok)
 
+    def _paged_trace_ctx(self):
+        """batched_trace marking for paged chunk captures: batch-rows mode
+        leaves the trace unmarked — the paged step feeds real [B, E] rows
+        to _mm, so the stacked Pallas quantized GEMVs stay eligible and
+        carry all slot rows in one call (the dense batch-rows rung riding
+        the paged pool). vmap mode keeps the conservative XLA routing."""
+        import contextlib
+        return contextlib.nullcontext() if self._batch_rows \
+            else batched_trace()
+
     def _ensure_paged_chunk_exe(self):
         if self._decode_exe is None:
             from .serving_paged import paged_serve_chunk_fn
@@ -645,7 +665,7 @@ class ContinuousBatchingEngine:
                 paged_serve_chunk_fn, self.model.config, n,
                 float(self.temperature), int(self.top_k), int(self.seed),
                 int(self.max_seq_len))
-            with batched_trace():
+            with self._paged_trace_ctx():
                 self._decode_exe = capture(
                     fn, self.model.params, self.k_cache, self.v_cache,
                     self._tables_dev,
@@ -714,7 +734,7 @@ class ContinuousBatchingEngine:
                     paged_serve_chunk_fn, self.model.config, n,
                     float(self.temperature), int(self.top_k), int(self.seed),
                     int(self.max_seq_len))
-                with batched_trace():
+                with self._paged_trace_ctx():
                     self._decode_exe = capture(
                         fn, self.model.params, self.k_cache, self.v_cache,
                         self._tables_dev, self._last_dev, self._poss_dev,

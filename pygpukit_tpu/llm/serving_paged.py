@@ -30,7 +30,7 @@ from jax import lax
 
 from .config import TransformerConfig
 from .model import (_attn_in, _logits, _mlp, _norm, _out_proj,
-                    _project_qkv, _residual_tail)
+                    _project_qkv, _residual_tail, _slice_layer_params)
 from ..ops.embedding import to_kv_dtype
 from ..ops.nn.rope import apply_rope_fn
 
@@ -97,12 +97,15 @@ def paged_decode_step_fn(cfg: TransformerConfig, params, k_pool, v_pool,
     offs = poss % bs
 
     # fori_loop carrying the pools — in-place block writes; scan ys forced
-    # a full 2x pool copy per step (see llm/model.decode_step_fn)
+    # a full 2x pool copy per step (see llm/model.decode_step_fn).
+    # _slice_layer_params keeps packed-int4 dicts STACKED with the layer
+    # index: this step feeds real [B, E] rows to _mm (it is never vmapped
+    # over slots), so the stacked Pallas w4a8 GEMV carries all slot rows in
+    # ONE kernel call — the batch-rows rung riding the paged pool
+    # (VERDICT r4 #1: paged capacity + int4 throughput in one config).
     def body(i, st):
         h, kp, vp = st
-        lp = jax.tree.map(
-            lambda a: lax.dynamic_index_in_dim(a, i, 0, keepdims=False),
-            params["layers"])
+        lp = _slice_layer_params(params["layers"], i)
         x = _attn_in(cfg, lp, h)
         q, k, v = _project_qkv(cfg, lp, x)                   # [B, H*, D]
         if cfg.use_rope:
@@ -261,9 +264,7 @@ def paged_prefill_fn(cfg: TransformerConfig, params, k_pool, v_pool,
 
     def body(i, st):
         h, kp, vp = st
-        lp = jax.tree.map(
-            lambda a: lax.dynamic_index_in_dim(a, i, 0, keepdims=False),
-            params["layers"])
+        lp = _slice_layer_params(params["layers"], i)
         x = _attn_in(cfg, lp, h)
         q, k, v = _project_qkv(cfg, lp, x)
         if cfg.use_rope:

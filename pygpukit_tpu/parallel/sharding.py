@@ -36,14 +36,56 @@ def _layer_spec(name: str, ndim: int) -> P:
     return P(*([None] * ndim))
 
 
+def _packed_leaf_spec(name: str, leaf: dict) -> dict:
+    """Packed-int4 dict specs: cut the quantized weight along its OUT axis
+    for column-parallel names (q/k/v/gate/up) and its packed-K axis for
+    row-parallel names (o/down), scales cut to match. Layouts
+    (llm/quant.quantize_weight): plain int4 q_packed [..., N, K/2]
+    (transposed), scale [..., 1, N]; int4_block K-major q_packed
+    [..., K/2, N], scale_block/_lo/_hi [..., K/B', N].
+
+    Row cuts shard the packed K/2 axis: the split-half nibble unpack
+    concatenates lo|hi along K, so each device's shard covers matching
+    K-positions in both halves and GSPMD all-reduces the cut contraction.
+    TP-sharded captures route _mm to the XLA dequant dot — the stacked
+    Pallas GEMV is a single-chip kernel (model shard_model sets
+    xla_mm_only; serving engines capture vmapped+batched_trace under a
+    mesh), so GSPMD only ever partitions plain dots here."""
+    col = name in _COL or name in _BIAS_COL
+    row = name in _ROW
+    blocked = "scale_block" in leaf
+    out = {}
+    for kk, vv in leaf.items():
+        nd = vv.ndim
+        spec = [None] * nd
+        if col:
+            if kk == "q_packed" and not blocked:
+                spec[nd - 2] = "tp"        # N axis of [..., N, K/2]
+            else:
+                spec[nd - 1] = "tp"        # trailing N: scales + blocked q
+        elif row:
+            if kk == "q_packed":
+                spec[(nd - 1) if not blocked else (nd - 2)] = "tp"  # K/2
+            # scales replicated on row cuts: per-column ("scale") spans the
+            # un-cut out axis, and blocked scale K/B axes can be smaller
+            # than tp (scales are ~12% of the packed bytes — replication
+            # costs little and dodges divisibility pitfalls; GSPMD aligns
+            # the dequant multiply either way)
+        out[kk] = P(*spec)
+    return out
+
+
 def _leaf_spec(name: str, leaf) -> P | dict:
     """Spec for one layer leaf; quantized {"q","scale"} dicts shard ``q``
     like the dense weight would be and cut per-column scales the same way
-    along their trailing (out) axis. Packed-int4 leaves are replicated —
-    their transposed [out, in/2] layout is a decode-GEMV artifact, not a
-    TP layout."""
+    along their trailing (out) axis; packed-int4 dicts cut via
+    _packed_leaf_spec."""
     if not isinstance(leaf, dict):
         return _layer_spec(name, leaf.ndim)
+    if "q_packed" in leaf:
+        if name in _COL | _ROW | _BIAS_COL:
+            return _packed_leaf_spec(name, leaf)
+        return {kk: P(*([None] * vv.ndim)) for kk, vv in leaf.items()}
     if "q" not in leaf:
         return {kk: P(*([None] * vv.ndim)) for kk, vv in leaf.items()}
     qspec = _layer_spec(name, leaf["q"].ndim)
@@ -66,18 +108,38 @@ def param_specs(params: dict, ep: bool = False) -> dict:
     leaves ``w_experts_*`` [L, E, in, out] over "tp" instead of Megatron
     column/row-cutting their matmul dims (each device holds E/tp whole
     experts; the decode-sized gather path reads only the owning shards and
-    GSPMD inserts the combine)."""
+    GSPMD inserts the combine). Quantized expert stacks ({"q": [L,E,in,out],
+    "scale": [L,E,1,out]}) EP-shard the expert axis of every member."""
+    def _ep_spec(leaf):
+        if isinstance(leaf, dict):
+            return {kk: P(*([None, "tp"] + [None] * (vv.ndim - 2)))
+                    for kk, vv in leaf.items()}
+        return P(None, "tp", None, None)
+
+    def _ep_eligible(leaf):
+        if isinstance(leaf, dict):
+            return all(vv.ndim == 4 for vv in leaf.values())
+        return leaf.ndim == 4
+
     specs: dict = {}
     for k, v in params.items():
         if k == "layers":
-            specs[k] = {name: (P(None, "tp", None, None)
+            specs[k] = {name: (_ep_spec(leaf)
                                if ep and name.startswith("w_experts")
-                               and not isinstance(leaf, dict)
-                               and leaf.ndim == 4
+                               and _ep_eligible(leaf)
                                else _leaf_spec(name, leaf))
                         for name, leaf in v.items()}
         elif k == "lm_head" and v is not None:
-            if isinstance(v, dict):
+            if isinstance(v, dict) and "q_packed" in v:
+                # packed-int4 head: plain layout [V, E/2] cuts vocab on the
+                # leading axis; K-major int4_block [E/2, V] and all scales
+                # cut vocab on the trailing axis
+                blocked = "scale_block" in v
+                specs[k] = {kk: (P("tp", None)
+                                 if kk == "q_packed" and not blocked
+                                 else P(*([None] * (vv.ndim - 1) + ["tp"])))
+                            for kk, vv in v.items()}
+            elif isinstance(v, dict):
                 specs[k] = {kk: (P(None, "tp") if vv.ndim == 2
                                  else P(*([None] * vv.ndim)))
                             for kk, vv in v.items()}
@@ -127,6 +189,10 @@ def shard_model(model, mesh: Mesh, ep: bool = False):
     model's executables happens lazily (they key on input shardings).
     """
     model.params = shard_params(model.params, mesh, ep=ep)
+    # sharded params: captures must keep _mm on plain XLA dots (GSPMD
+    # partitions those; the single-chip Pallas GEMV/GEMM kernels would be
+    # replicated with all-gathered weight stacks)
+    model.xla_mm_only = True
     model._decode_exe = None
     model._prefill_exes = {}
     model._window_exes = {}

@@ -139,6 +139,103 @@ def test_tp_sharded_generate_matches(mesh):
     assert got == ref
 
 
+class TestQuantizedLeafSharding:
+    """VERDICT r4 #3: the formats that win every bench (int4/int8) must
+    TP/EP-shard instead of replicating their weight stacks per chip."""
+
+    def _cfg(self, **kw):
+        from pygpukit_tpu.llm import TransformerConfig
+        base = dict(
+            vocab_size=64, hidden_size=64, num_layers=2, num_heads=8,
+            num_kv_heads=4, intermediate_size=128, head_dim_override=8,
+            max_position_embeddings=64, tie_word_embeddings=True)
+        base.update(kw)
+        return TransformerConfig(**base)
+
+    def _pair(self, cfg, mode, mesh, ep=False):
+        from pygpukit_tpu.llm import CausalTransformerModel, init_params
+        from pygpukit_tpu.llm.quant import quantize_model_params
+        params = quantize_model_params(init_params(cfg, 3, jnp.float32),
+                                       mode)
+        ref = CausalTransformerModel(
+            cfg, jax.tree.map(lambda x: x, params), dtype=jnp.float32)
+        sh = CausalTransformerModel(cfg, params, dtype=jnp.float32)
+        shard_model(sh, mesh, ep=ep)
+        assert sh.xla_mm_only
+        return ref, sh
+
+    def test_packed_int4_specs(self):
+        from pygpukit_tpu.parallel.sharding import _packed_leaf_spec
+        from jax.sharding import PartitionSpec as P
+        plain = {"q_packed": jnp.zeros((2, 16, 8), jnp.uint8),
+                 "scale": jnp.zeros((2, 1, 16), jnp.float32)}
+        s = _packed_leaf_spec("w_q", plain)            # column: cut N
+        assert s["q_packed"] == P(None, "tp", None)
+        assert s["scale"] == P(None, None, "tp")
+        s = _packed_leaf_spec("w_o", plain)            # row: cut K/2
+        assert s["q_packed"] == P(None, None, "tp")
+        assert s["scale"] == P(None, None, None)
+        blocked = {"q_packed": jnp.zeros((2, 8, 16), jnp.uint8),
+                   "scale_block": jnp.zeros((2, 4, 16), jnp.bfloat16)}
+        s = _packed_leaf_spec("w_up", blocked)         # column: trailing N
+        assert s["q_packed"] == P(None, None, "tp")
+        assert s["scale_block"] == P(None, None, "tp")
+        s = _packed_leaf_spec("w_down", blocked)       # row: cut packed K
+        assert s["q_packed"] == P(None, "tp", None)
+        assert s["scale_block"] == P(None, None, None)  # scales replicate
+
+    @pytest.mark.parametrize("mode", ["int4", "int4_block", "int8"])
+    def test_tp_sharded_quantized_generate_matches(self, mode):
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 virtual devices")
+        mesh2 = make_mesh(8, tp=2)
+        cfg = self._cfg()
+        ref, sh = self._pair(cfg, mode, mesh2)
+        wq = sh.params["layers"]["w_q"]
+        leaf = wq["q_packed"] if "q_packed" in wq else wq["q"]
+        # the quantized leaf is genuinely CUT over tp, not replicated
+        assert len(leaf.sharding.device_set) == 8
+        spec = leaf.sharding.spec
+        assert "tp" in tuple(spec), spec
+        a = ref.generate([1, 5, 9], max_new_tokens=6, temperature=0.0)
+        b = sh.generate([1, 5, 9], max_new_tokens=6, temperature=0.0)
+        assert a == b
+
+    def test_ep_sharded_quantized_experts_matches(self):
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 virtual devices")
+        mesh2 = make_mesh(8, tp=2)
+        cfg = self._cfg(num_experts=4, num_experts_per_tok=2,
+                        moe_intermediate_size=32)
+        ref, sh = self._pair(cfg, "int8", mesh2, ep=True)
+        wg = sh.params["layers"]["w_experts_gate"]
+        assert isinstance(wg, dict)
+        # expert axis (1) sharded on every member of the quantized dict
+        for vv in wg.values():
+            assert tuple(vv.sharding.spec)[1] == "tp", vv.sharding.spec
+        a = ref.generate([2, 7], max_new_tokens=6, temperature=0.0)
+        b = sh.generate([2, 7], max_new_tokens=6, temperature=0.0)
+        assert a == b
+
+    def test_tp_sharded_int4_serving_engine(self):
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 virtual devices")
+        from pygpukit_tpu.llm.serving import ContinuousBatchingEngine
+        mesh2 = make_mesh(8, tp=2)
+        cfg = self._cfg()
+        ref, sh = self._pair(cfg, "int4", mesh2)
+        ref.init_fixed_cache(64)
+        want = ref.generate([3, 9], max_new_tokens=6, temperature=0.0)
+        eng = ContinuousBatchingEngine(sh, max_batch=2, max_seq_len=64,
+                                       steps_per_dispatch=3, mesh=mesh2,
+                                       pipelined=True)
+        r1 = eng.submit([3, 9], max_new_tokens=6)
+        r2 = eng.submit([5, 1], max_new_tokens=6)
+        eng.run_until_complete()
+        assert r1.generated == want
+        assert r2.done and len(r2.generated) == 6
+
+
 def test_tp_sharded_serving_engine(mesh):
     """Continuous-batching serving over a TP-sharded model: the batched
     decode executable compiles as a GSPMD-partitioned program."""

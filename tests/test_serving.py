@@ -284,12 +284,6 @@ class TestBatchRowsServing:
         for i, r in enumerate(reqs):
             assert r.generated == refs[i], f"req {i}"
 
-    def test_quantized_int4_auto_routes_on_cpu_stays_vmap(self, model):
-        """auto mode only picks batch-rows on TPU; the engine must still
-        serve correctly either way (routing assertion only here)."""
-        from pygpukit_tpu.llm.serving import _params_have_packed_int4
-        assert not _params_have_packed_int4(model.params)
-
     def test_chunked_decode_attention_matches(self, model, monkeypatch):
         """PYGPUKIT_FLASH_DECODING=chunked (the ctx-bounded kv-chunk LSE
         path, vmapped per-slot inside the batch-rows step — vmap of the
@@ -424,6 +418,43 @@ class TestPagedServing:
         paged.run_until_complete()
         for a, b in zip(rd, rp):
             assert b.generated == a.generated
+
+    def test_int4_batch_rows_matches_vmap_routing(self):
+        """Paged batch-rows (VERDICT r4 #1): the unmarked-trace capture (_mm
+        sees stacked packed-int4 leaves with _idx from the paged step) must
+        produce the same streams as the batched_trace-marked capture (XLA
+        dequant routing) and as the dense engine — CPU routes both through
+        XLA, so streams are exact; on TPU the stacked Pallas GEMV takes over
+        with the same [B, E]-rows formulation."""
+        import os
+        cfg = TransformerConfig(
+            vocab_size=97, hidden_size=64, num_layers=2, num_heads=4,
+            num_kv_heads=2, intermediate_size=128,
+            max_position_embeddings=256, tie_word_embeddings=True)
+        from pygpukit_tpu.llm.quant import quantize_model_params
+        params = quantize_model_params(init_params(cfg, 7, jnp.float32),
+                                       "int4")
+        m = CausalTransformerModel(cfg, params, dtype=jnp.float32)
+        prompts = [[5, 11, 42], [7, 3], [1, 2, 3, 4]]
+        streams = {}
+        for mode in ("batch", "vmap"):
+            os.environ["PYGPUKIT_SERVING_STEP"] = mode
+            try:
+                eng = ContinuousBatchingEngine(
+                    m, max_batch=3, max_seq_len=64, steps_per_dispatch=4,
+                    paged=True, block_size=8, pipelined=True)
+                assert eng._batch_rows == (mode == "batch")
+                reqs = [eng.submit(p, max_new_tokens=8) for p in prompts]
+                eng.run_until_complete()
+                streams[mode] = [r.generated for r in reqs]
+            finally:
+                os.environ.pop("PYGPUKIT_SERVING_STEP", None)
+        assert streams["batch"] == streams["vmap"]
+        dense = ContinuousBatchingEngine(m, max_batch=3, max_seq_len=64,
+                                         steps_per_dispatch=4)
+        rd = [dense.submit(p, max_new_tokens=8) for p in prompts]
+        dense.run_until_complete()
+        assert streams["batch"] == [r.generated for r in rd]
 
     def test_hbm_footprint_smaller(self, model):
         """The paged win: size num_blocks to EXPECTED usage (the default now
