@@ -47,6 +47,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 
 import jax
 import jax.numpy as jnp
@@ -62,7 +63,7 @@ _FP8 = (jnp.float8_e4m3fn, jnp.float8_e5m2)
 
 def _bda_kernel(layer_ref, lens_ref, win_ref, q_ref, k_ref, v_ref, o_ref,
                 m_ref, l_ref, acc_ref, *, chunk: int, n_chunks: int,
-                scale: float, softcap: float | None):
+                scale: float, softcap: float | None, kv_fp8=None):
     b = pl.program_id(0)
     ci = pl.program_id(1)
 
@@ -79,6 +80,9 @@ def _bda_kernel(layer_ref, lens_ref, win_ref, q_ref, k_ref, v_ref, o_ref,
         q = q_ref[0]                                   # [R, Hk*D] zero-padded
         k2 = k_ref[0, 0]                               # [C, Hk*D]
         v2 = v_ref[0, 0]
+        if kv_fp8 is not None:        # u8-DMA probe: bitcast back to fp8
+            k2 = jax.lax.bitcast_convert_type(k2, kv_fp8)
+            v2 = jax.lax.bitcast_convert_type(v2, kv_fp8)
         if k2.dtype in _FP8:
             k2 = k2.astype(jnp.bfloat16)
             v2 = v2.astype(jnp.bfloat16)
@@ -121,10 +125,17 @@ def batch_decode_attention(q, k_pool, v_pool, layer, ctx_lens,
                            softcap: float | None = None, window=None):
     """Batched decode attention over dense pools, Pallas version.
 
-    q [B, 1, Hq, D]; pools [B, L, MAX, Hk, D] (bf16/f32 or fp8 storage —
-    fp8 converts in-kernel, chunk-at-a-time); layer: traced int32 scalar;
-    ctx_lens [B] int32 (lengths INCLUDING the just-written row); window:
-    optional traced int32 scalar (<=0 or None = no sliding window).
+    q [B, 1, Hq, D]; pools [B, L, MAX, Hk, D] — or PRE-MERGED
+    [B, L, MAX, Hk*D] (ndim-detected), the batch-rows serving layout. The
+    merged form is the fast path: merging here instead costs XLA two
+    layout-converting FULL-POOL copies per pool per layer (device-traced
+    at batch-8 MAX=4096: 4x~1.4 ms/layer = 122 ms/step — the 5-d carry's
+    (Hk, D) tiling orders elements differently from the kernel's row-major
+    [MAX, Hk*D] operand view, so the reshape is a relayout, not a bitcast).
+    Storage bf16/f32 or fp8 (fp8 converts in-kernel, chunk-at-a-time);
+    layer: traced int32 scalar; ctx_lens [B] int32 (lengths INCLUDING the
+    just-written row); window: optional traced int32 scalar (<=0 or None =
+    no sliding window).
     Returns [B, 1, Hq, D] matching ops.nn.attention.sdpa_batch_pools_fn.
 
     Requires chunk | MAX (callers fall back to the XLA path otherwise).
@@ -133,7 +144,11 @@ def batch_decode_attention(q, k_pool, v_pool, layer, ctx_lens,
     window models cap live context at the window anyway.
     """
     bsz, t, hq, d = q.shape
-    _, n_layers, max_len, hk, _ = k_pool.shape
+    if k_pool.ndim == 4:                      # pre-merged [B, L, MAX, Hk*D]
+        _, n_layers, max_len, _lanes = k_pool.shape
+        hk = _lanes // d
+    else:
+        _, n_layers, max_len, hk, _ = k_pool.shape
     chunk = min(chunk, max_len)
     if t != 1 or max_len % chunk or hq % hk:
         raise ValueError("batch_decode_attention: unsupported shape")
@@ -151,14 +166,28 @@ def batch_decode_attention(q, k_pool, v_pool, layer, ctx_lens,
     qp = jnp.einsum("bhd,hk->bhkd", qr, sel).reshape(bsz, hq, lanes)
     if rows > hq:
         qp = jnp.pad(qp, ((0, 0), (0, rows - hq), (0, 0)))
-    # free minor-dims merge: (Hk, D) are contiguous
-    kpm = k_pool.reshape(bsz, n_layers, max_len, lanes)
-    vpm = v_pool.reshape(bsz, n_layers, max_len, lanes)
+    if k_pool.ndim == 4:
+        kpm, vpm = k_pool, v_pool             # already merged: no relayout
+    else:
+        # logically free minor-dims merge — but on a pool CARRY whose 5-d
+        # layout tiles (Hk, D), XLA lowers this as full-pool relayout
+        # copies per call; serve merged pools (see docstring) on hot paths
+        kpm = k_pool.reshape(bsz, n_layers, max_len, lanes)
+        vpm = v_pool.reshape(bsz, n_layers, max_len, lanes)
     win = (jnp.asarray(0, jnp.int32) if window is None
            else jnp.asarray(window, jnp.int32))
+    # PYGPUKIT_BDA_U8DMA=1: DMA fp8 pools as uint8 bitcasts and bitcast
+    # back in-kernel — isolates whether the fp8 chunk cost is the DMA's
+    # dtype handling (this would fix it) or the fp8->bf16 VPU convert
+    # (this changes nothing). Probe flag, not a production path.
+    kv_fp8 = None
+    if kpm.dtype in _FP8 and os.environ.get("PYGPUKIT_BDA_U8DMA") == "1":
+        kv_fp8 = kpm.dtype
+        kpm = jax.lax.bitcast_convert_type(kpm, jnp.uint8)
+        vpm = jax.lax.bitcast_convert_type(vpm, jnp.uint8)
     kernel = functools.partial(
         _bda_kernel, chunk=chunk, n_chunks=n_chunks, scale=scale,
-        softcap=softcap)
+        softcap=softcap, kv_fp8=kv_fp8)
 
     def _pool_map(b, ci, lyr, lens, w):
         live_last = jnp.maximum((lens[b] + chunk - 1) // chunk - 1, 0)

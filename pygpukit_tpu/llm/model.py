@@ -1055,12 +1055,13 @@ def _batch_pools_attn(cfg: TransformerConfig, lp, q2, kp, vp, layer, lens):
     mode = os.environ.get("PYGPUKIT_BATCH_ATTN", "")
     window = lp.get("attn_window")
     use_pallas = False
+    hk = kp.shape[3] // q2.shape[3] if kp.ndim == 4 else kp.shape[3]
     if mode != "xla":
         from ..core.backend import get_backend
         max_len = kp.shape[2]
         chunk = min(_flash_chunk(), max_len)
         eligible = (q2.shape[1] == 1 and max_len % chunk == 0
-                    and q2.shape[2] % kp.shape[3] == 0)
+                    and q2.shape[2] % hk == 0)
         auto = (get_backend().platform == "tpu"
                 and _decode_backend(max_len) == "chunked")
         use_pallas = eligible and (mode == "pallas" or auto)
@@ -1092,8 +1093,13 @@ def batch_decode_step_fn(cfg: TransformerConfig, params, k_pool, v_pool,
     vmaps only the per-slot work (rope at each slot's position, the KV row
     write, attention over the slot's cache).
 
-    k_pool/v_pool: [B, L, MAX, Hk, D] (donated); tokens/poss: [B] int32.
-    Returns (k_pool, v_pool, logits [B, V]).
+    k_pool/v_pool: [B, L, MAX, Hk, D], or MERGED [B, L, MAX, Hk*D]
+    (ndim-detected; the serving engines allocate merged pools for this
+    step at MAX >= 1024 — the Pallas batched-attention kernel's operand
+    is the merged view, and merging a 5-d carry per layer costs XLA two
+    full-pool relayout copies per pool, 122 ms/step at batch-8 MAX=4096).
+    Donated. tokens/poss: [B] int32. Returns (k_pool, v_pool, logits
+    [B, V]).
     """
     b = tokens.shape[0]
     h = _embed_tokens(cfg, params, tokens)                       # [B, E]
@@ -1124,8 +1130,12 @@ def batch_decode_step_fn(cfg: TransformerConfig, params, k_pool, v_pool,
                     lax.dynamic_slice_in_dim(rope_sin_l, pos_b, 1, axis=0))
                 q_b = _rope(cfg, q_b, c, sn)
                 k_b = _rope(cfg, k_b, c, sn)
-            kc_b = kv_write(kc_b, k_b[None], (i, pos_b, 0, 0))
-            vc_b = kv_write(vc_b, v_b[None, None], (i, pos_b, 0, 0))
+            if kc_b.ndim == 3:        # merged pool slot [L, MAX, Hk*D]
+                kc_b = kv_write(kc_b, k_b.reshape(1, 1, -1), (i, pos_b, 0))
+                vc_b = kv_write(vc_b, v_b.reshape(1, 1, -1), (i, pos_b, 0))
+            else:
+                kc_b = kv_write(kc_b, k_b[None], (i, pos_b, 0, 0))
+                vc_b = kv_write(vc_b, v_b[None, None], (i, pos_b, 0, 0))
             return q_b, kc_b, vc_b
 
         # attention runs BATCHED over the pools: under vmap the chunked

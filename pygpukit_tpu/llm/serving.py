@@ -31,18 +31,39 @@ from .model import (
 )
 
 
+def _slot_cache(pool, slot, head_dim):
+    """[L, MAX, Hk, D] cache view of dense pool slot ``slot``.
+
+    Merged pools ([B, L, MAX, Hk*D], the batch-rows serving layout) un-merge
+    here — a SLOT-sized relayout once per admission, vs per-layer-per-step
+    pool-sized copies if the decode step had to merge instead."""
+    c = pool[slot]
+    if pool.ndim == 4:
+        return c.reshape(c.shape[0], c.shape[1], -1, head_dim)
+    return c
+
+
+def _pool_write_slot(pool, cache, slot):
+    """Write a [L, MAX, Hk, D] slot cache back into a dense pool of either
+    layout (merged pools re-merge the slot first)."""
+    if pool.ndim == 4:
+        cache = cache.reshape(cache.shape[0], cache.shape[1], -1)
+    return lax.dynamic_update_slice(
+        pool, cache[None], (slot,) + (0,) * (pool.ndim - 1))
+
+
 def _prefill_into_slot_fn(cfg, params, k_pool, v_pool, tokens, true_len, slot):
     """Prefill one sequence directly into pool slot ``slot`` (traced scalar).
 
     One donated executable per prompt bucket — replaces two eager whole-pool
     copies per admission (the serving-throughput bottleneck at small
     batches)."""
-    kc, vc, logits = prefill_fn(cfg, params, k_pool[slot], v_pool[slot],
+    kc, vc, logits = prefill_fn(cfg, params,
+                                _slot_cache(k_pool, slot, cfg.head_dim),
+                                _slot_cache(v_pool, slot, cfg.head_dim),
                                 tokens, true_len)
-    k_pool = lax.dynamic_update_slice(
-        k_pool, kc[None], (slot, 0, 0, 0, 0))
-    v_pool = lax.dynamic_update_slice(
-        v_pool, vc[None], (slot, 0, 0, 0, 0))
+    k_pool = _pool_write_slot(k_pool, kc, slot)
+    v_pool = _pool_write_slot(v_pool, vc, slot)
     return k_pool, v_pool, logits
 
 
@@ -61,10 +82,12 @@ def _prefill_into_slot_pl_fn(cfg, temperature, top_k, seed, params, k_pool,
     """Pipelined-mode prefill: also samples the first token ON DEVICE and
     writes it into the device-resident last/poss slot arrays — admission
     becomes one async dispatch (no eager argmax, no host sync)."""
-    kc, vc, logits = prefill_fn(cfg, params, k_pool[slot], v_pool[slot],
+    kc, vc, logits = prefill_fn(cfg, params,
+                                _slot_cache(k_pool, slot, cfg.head_dim),
+                                _slot_cache(v_pool, slot, cfg.head_dim),
                                 tokens, true_len)
-    k_pool = lax.dynamic_update_slice(k_pool, kc[None], (slot, 0, 0, 0, 0))
-    v_pool = lax.dynamic_update_slice(v_pool, vc[None], (slot, 0, 0, 0, 0))
+    k_pool = _pool_write_slot(k_pool, kc, slot)
+    v_pool = _pool_write_slot(v_pool, vc, slot)
     key = jax.random.fold_in(jax.random.PRNGKey(seed), rid)
     tok = _sample_logits(logits, key, temperature, top_k)
     last = last.at[slot].set(tok)
@@ -194,6 +217,43 @@ class ContinuousBatchingEngine:
         self.pipelined = pipelined
         cfg = model.config
         self.paged = paged
+        # batch-rows vs vmapped chunk step (PYGPUKIT_SERVING_STEP=
+        # batch|vmap|auto). auto: batch-rows on TPU — measured faster for
+        # every format (same-process batch-8 A/B, scripts/
+        # micro_serving_batchrows.py: int4 1827 vs 1403-1516 vmapped — the
+        # stacked Pallas w4a8 GEMV carries all 8 slot rows in ONE call where
+        # vmap forced the XLA dequant fallback — and int8 1711 vs 1655).
+        # Paged mode: the paged step ALREADY batches the weight matmuls
+        # over all slot rows (paged_decode_step_fn takes [B] tokens and is
+        # never vmapped over slots) — there the flag only controls whether
+        # the chunk capture is marked batched_trace(), i.e. whether _mm
+        # routes packed-int4 leaves to the stacked Pallas GEMV (batch) or
+        # the XLA dequant dot (vmap). batch-rows is the default on TPU for
+        # paged too (VERDICT r4 #1: int4 throughput riding paged KV).
+        # (Computed before pool allocation: batch-rows decides the dense
+        # pool layout below.)
+        import os
+        _mode = os.environ.get("PYGPUKIT_SERVING_STEP", "auto")
+        if _mode == "auto":
+            from ..core.backend import get_backend
+            self._batch_rows = get_backend().platform == "tpu"
+        else:
+            self._batch_rows = _mode == "batch"
+        if mesh is not None:
+            # mesh serving compiles GSPMD programs: keep the vmapped chunk
+            # with batched_trace-marked captures so every matmul stays a
+            # plain XLA dot the partitioner can cut (the batch-rows Pallas
+            # kernels are single-chip; model.xla_mm_only guards the model's
+            # own captures the same way)
+            self._batch_rows = False
+        # merged dense pools [B, L, MAX, Hk*D] for the batch-rows step at
+        # MAX >= 1024 (the Pallas batched-attention regime): the kernel's
+        # operand IS the merged view, so no relayout ever materialises.
+        # Merging the 5-d pools per attention call instead costs XLA two
+        # full-pool layout-conversion copies per pool PER LAYER (device-
+        # traced at batch-8 MAX=4096: 122 ms/step — 20x the whole step).
+        self._merged_pools = (self._batch_rows and not paged
+                              and max_seq_len >= 1024)
         if paged:
             # paged mode: ONE shared block pool + per-slot block tables —
             # KV HBM scales with allocated blocks, not max_batch*max_seq
@@ -215,8 +275,12 @@ class ContinuousBatchingEngine:
             self._tables_dev = jnp.asarray(self._tables_np)
             self._tables_dirty = False
         else:
-            shape = (max_batch, cfg.num_layers, max_seq_len,
-                     cfg.num_kv_heads, cfg.head_dim)
+            if self._merged_pools:
+                shape = (max_batch, cfg.num_layers, max_seq_len,
+                         cfg.num_kv_heads * cfg.head_dim)
+            else:
+                shape = (max_batch, cfg.num_layers, max_seq_len,
+                         cfg.num_kv_heads, cfg.head_dim)
             self.k_cache = jnp.zeros(shape, model.kv_dtype)
             self.v_cache = jnp.zeros(shape, model.kv_dtype)
         self._slots: list[Request | None] = [None] * max_batch
@@ -227,33 +291,6 @@ class ContinuousBatchingEngine:
         self.stats = EngineStats()
         self._decode_exe = None
         self._prefill_exes: dict[int, object] = {}
-        # batch-rows vs vmapped chunk step (PYGPUKIT_SERVING_STEP=
-        # batch|vmap|auto). auto: batch-rows on TPU — measured faster for
-        # every format (same-process batch-8 A/B, scripts/
-        # micro_serving_batchrows.py: int4 1827 vs 1403-1516 vmapped — the
-        # stacked Pallas w4a8 GEMV carries all 8 slot rows in ONE call where
-        # vmap forced the XLA dequant fallback — and int8 1711 vs 1655).
-        # Paged mode: the paged step ALREADY batches the weight matmuls
-        # over all slot rows (paged_decode_step_fn takes [B] tokens and is
-        # never vmapped over slots) — there the flag only controls whether
-        # the chunk capture is marked batched_trace(), i.e. whether _mm
-        # routes packed-int4 leaves to the stacked Pallas GEMV (batch) or
-        # the XLA dequant dot (vmap). batch-rows is the default on TPU for
-        # paged too (VERDICT r4 #1: int4 throughput riding paged KV).
-        import os
-        _mode = os.environ.get("PYGPUKIT_SERVING_STEP", "auto")
-        if _mode == "auto":
-            from ..core.backend import get_backend
-            self._batch_rows = get_backend().platform == "tpu"
-        else:
-            self._batch_rows = _mode == "batch"
-        if mesh is not None:
-            # mesh serving compiles GSPMD programs: keep the vmapped chunk
-            # with batched_trace-marked captures so every matmul stays a
-            # plain XLA dot the partitioner can cut (the batch-rows Pallas
-            # kernels are single-chip; model.xla_mm_only guards the model's
-            # own captures the same way)
-            self._batch_rows = False
         # chunked-512 decode attention for dense-pool captures at
         # MAX >= 1024: the kv-chunk LSE path reads (and fp8-converts) only
         # live chunks where the full softmax streams the whole preallocated

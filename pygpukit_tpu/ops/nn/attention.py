@@ -463,6 +463,9 @@ def sdpa_batch_pools_fn(q, k_pool, v_pool, layer, ctx_lens,
                         softcap: float | None = None, window=None):
     """Batched decode attention reading layer ``layer`` of the FULL
     [B, L, MAX, Hk, D] pools (the batch-rows serving step's form).
+    MERGED pools [B, L, MAX, Hk*D] are accepted too (ndim-detected): the
+    layer slice un-merges AFTER slicing, so the un-merge relayout is
+    layer-sized, never pool-sized.
 
     Returns ``(attn, k_pool, v_pool)`` — the pools threaded THROUGH the
     chunk while-loop as explicit carry. The caller's layer loop must carry
@@ -480,10 +483,14 @@ def sdpa_batch_pools_fn(q, k_pool, v_pool, layer, ctx_lens,
             window=window, layer=layer, return_caches=True)
 
     def one(qq, kp_b, vp_b, cl):
-        return sdpa_fixed_cache_fn(
-            qq, lax.dynamic_index_in_dim(kp_b, layer, 0, keepdims=False),
-            lax.dynamic_index_in_dim(vp_b, layer, 0, keepdims=False),
-            cl, scale, softcap=softcap, window=window)
+        kb = lax.dynamic_index_in_dim(kp_b, layer, 0, keepdims=False)
+        vb = lax.dynamic_index_in_dim(vp_b, layer, 0, keepdims=False)
+        if kb.ndim == 2:                         # merged slot [MAX, Hk*D]
+            d = qq.shape[-1]
+            kb = kb.reshape(kb.shape[0], -1, d)
+            vb = vb.reshape(vb.shape[0], -1, d)
+        return sdpa_fixed_cache_fn(qq, kb, vb, cl, scale, softcap=softcap,
+                                   window=window)
     attn = jax.vmap(one, in_axes=(0, 0, 0, 0))(q, k_pool, v_pool, ctx_lens)
     return attn, k_pool, v_pool
 
@@ -508,7 +515,11 @@ def sdpa_batch_fixed_cache_chunked_fn(q, k_cache, v_cache, ctx_lens,
     [B, L, MAX, Hk, D] pools and the (layer, chunk) slice happens INSIDE
     the loop body. Slicing the layer outside would feed the while loop a
     materialised copy of a just-updated pool carry (measured: 8x8x22
-    slices of a 738 MB pool = ~91 ms/step at batch-8 MAX=4096).
+    slices of a 738 MB pool = ~91 ms/step at batch-8 MAX=4096). MERGED
+    pools [B, L, MAX, Hk*D] (the batch-rows serving layout — minor dims
+    pre-merged so the Pallas kernel's operand view is free) are detected
+    by ndim; the per-chunk block un-merges after the slice (chunk-sized,
+    not pool-sized).
 
     ``return_caches``: return ``(out, k_cache, v_cache)`` with the caches
     threaded through the while loop as explicit carry. A caller whose own
@@ -517,7 +528,11 @@ def sdpa_batch_fixed_cache_chunked_fn(q, k_cache, v_cache, ctx_lens,
     both full caches at loop entry (2x738 MB/layer = 74 ms/step measured).
     """
     bsz, t, h, d = q.shape
-    max_len, hk = k_cache.shape[-3], k_cache.shape[-2]
+    merged = layer is not None and k_cache.ndim == 4    # [B,L,MAX,Hk*D]
+    if merged:
+        max_len, hk = k_cache.shape[2], k_cache.shape[3] // d
+    else:
+        max_len, hk = k_cache.shape[-3], k_cache.shape[-2]
     g = h // hk
     scale = scale if scale is not None else 1.0 / math.sqrt(d)
     chunk = min(chunk if chunk is not None else _flash_chunk(), max_len)
@@ -536,6 +551,10 @@ def sdpa_batch_fixed_cache_chunked_fn(q, k_cache, v_cache, ctx_lens,
         if layer is None:
             return lax.dynamic_slice(cache, (0, start, 0, 0),
                                      (bsz, chunk, hk, d))
+        if merged:
+            blk = lax.dynamic_slice(cache, (0, layer, start, 0),
+                                    (bsz, 1, chunk, hk * d))
+            return blk.reshape(bsz, chunk, hk, d)
         blk = lax.dynamic_slice(cache, (0, layer, start, 0, 0),
                                 (bsz, 1, chunk, hk, d))
         return blk.reshape(bsz, chunk, hk, d)

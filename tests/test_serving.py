@@ -316,6 +316,56 @@ class TestBatchRowsServing:
         for r, p in zip(reqs, refs):
             assert r.generated == refs[p], (p, r.generated, refs[p])
 
+    def test_merged_pools_large_max(self, model, monkeypatch):
+        """Batch-rows engines at MAX >= 1024 allocate MERGED KV pools
+        [B, L, MAX, Hk*D]: the Pallas batched-attention kernel's operand is
+        the merged view, so no pool-sized relayout ever materialises
+        (merging 5-d pool carries per layer device-traced at 122 ms/step
+        at batch-8 MAX=4096 — a 20x regression the merged layout removes).
+        Streams must match the vmapped (5-d pool) engine exactly, for both
+        bf16 and fp8 KV storage."""
+        from pygpukit_tpu.llm.model import CausalTransformerModel
+        cfg, params = model.config, model.params
+        for kv in (None, "fp8"):
+            m = CausalTransformerModel(cfg, params, kv_dtype=kv)
+            monkeypatch.setenv("PYGPUKIT_SERVING_STEP", "vmap")
+            a = ContinuousBatchingEngine(m, max_batch=2, max_seq_len=1024,
+                                         steps_per_dispatch=3,
+                                         pipelined=True)
+            assert not a._merged_pools and a.k_cache.ndim == 5
+            ra = [a.submit([5, 11, 42], max_new_tokens=6),
+                  a.submit([7, 3], max_new_tokens=6)]
+            a.run_until_complete()
+            monkeypatch.setenv("PYGPUKIT_SERVING_STEP", "batch")
+            b = ContinuousBatchingEngine(m, max_batch=2, max_seq_len=1024,
+                                         steps_per_dispatch=3,
+                                         pipelined=True)
+            assert b._merged_pools and b.k_cache.ndim == 4
+            assert b.k_cache.shape[-1] == (cfg.num_kv_heads * cfg.head_dim)
+            rb = [b.submit([5, 11, 42], max_new_tokens=6),
+                  b.submit([7, 3], max_new_tokens=6)]
+            b.run_until_complete()
+            for x, y in zip(ra, rb):
+                assert x.generated == y.generated, (kv, x.generated,
+                                                    y.generated)
+
+    def test_merged_pools_nonpipelined(self, model, monkeypatch):
+        """Merged pools through the non-pipelined batch-rows captures
+        (single-step and chunked) — greedy matches the single-sequence
+        reference."""
+        monkeypatch.setenv("PYGPUKIT_SERVING_STEP", "batch")
+        refs = {p: _single_ref(model, list(p), 6)
+                for p in ((5, 11, 42), (7, 3))}
+        for steps in (1, 3):
+            eng = ContinuousBatchingEngine(model, max_batch=2,
+                                           max_seq_len=1024,
+                                           steps_per_dispatch=steps)
+            assert eng._merged_pools
+            reqs = [eng.submit(list(p), max_new_tokens=6) for p in refs]
+            eng.run_until_complete()
+            for r, p in zip(reqs, refs):
+                assert r.generated == refs[p], (steps, p, r.generated)
+
     def test_auto_chunked_pref_large_pool(self, model, monkeypatch):
         """Engines with MAX >= 1024 auto-scope decode_pref("chunked", 512)
         over their dense captures (measured +22% batch-8 at MAX=4096) —
