@@ -382,6 +382,47 @@ def bench_serving_mixed(mode: str = "int4", n_req: int = 32,
             "ttft_p95_ms": p(0.95)}
 
 
+def bench_serving_kv(n_req: int = 16, steps: int = 32, max_seq: int = 4096):
+    """Capacity-rung serving A/B at large MAX (round 5): bf16 vs int8 KV
+    storage, same process so the tunnel day cancels. int8-KV ({"q","s"}
+    dict pools, per-row scales) halves KV bytes AND converts at stream
+    rate — unlike fp8, whose fp8->bf16 VPU convert costs 2x the batched
+    attention kernel (scripts/micro_bda_u8dma.py). int8 weights, batch-8
+    pipelined, merged batch-rows pools — micro_serving_trace's regime."""
+    import jax.numpy as jnp
+    from pygpukit_tpu.llm.config import TransformerConfig
+    from pygpukit_tpu.llm.model import (
+        CausalTransformerModel, fuse_params, init_params_device,
+    )
+    from pygpukit_tpu.llm.quant import quantize_model_params
+    from pygpukit_tpu.llm.serving import ContinuousBatchingEngine
+
+    cfg = TransformerConfig(
+        vocab_size=32000, hidden_size=2048, num_layers=22, num_heads=32,
+        num_kv_heads=4, intermediate_size=5632,
+        max_position_embeddings=2048, tie_word_embeddings=False)
+    params = quantize_model_params(
+        fuse_params(init_params_device(cfg, 0, jnp.bfloat16)), "int8")
+    prompt = list(range(1, 17))
+    out = {}
+    for kv in (None, "int8"):
+        model = CausalTransformerModel(cfg, params, dtype=jnp.bfloat16,
+                                       kv_dtype=kv)
+        eng = ContinuousBatchingEngine(model, max_batch=8,
+                                       max_seq_len=max_seq,
+                                       steps_per_dispatch=steps,
+                                       pipelined=True)
+        for _ in range(8):
+            eng.submit(prompt, max_new_tokens=steps)
+        eng.run_until_complete()
+        for _ in range(n_req):
+            eng.submit(prompt, max_new_tokens=128)
+        t0 = time.perf_counter()
+        eng.run_until_complete()
+        out[kv or "bf16"] = n_req * 128 / (time.perf_counter() - t0)
+    return out
+
+
 def main() -> None:
     tflops = bench_gemm_bf16()
     extra = {}
@@ -485,6 +526,16 @@ def main() -> None:
                 extra["prefill_1b_bf16_mfu"] = round(r["mfu"], 4)
         except Exception as e:
             extra[f"prefill_1b_{pmode}_error"] = type(e).__name__
+    try:
+        # capacity rung at large MAX (round 5): int8-KV should be ~free
+        # (>= ~0.95x bf16) where fp8-KV pays the VPU-convert tax
+        kvr = bench_serving_kv()
+        extra["serving_1b_kv_int8_toks_per_s"] = round(kvr["int8"], 1)
+        extra["serving_1b_kv_bf16_toks_per_s"] = round(kvr["bf16"], 1)
+        extra["serving_kv_int8_vs_bf16"] = round(
+            kvr["int8"] / kvr["bf16"], 4)
+    except Exception as e:
+        extra["serving_1b_kv_int8_error"] = type(e).__name__
     print(json.dumps({
         "metric": "bf16_gemm_8192_tflops",
         "value": round(tflops, 2),

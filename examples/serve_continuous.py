@@ -31,6 +31,14 @@ def main() -> None:
                     help="device-resident decode state; chunk N+1 dispatches "
                          "before chunk N's tokens are read (highest "
                          "throughput over remote/tunneled devices)")
+    ap.add_argument("--kv-dtype", default=None,
+                    choices=["fp8", "int8"],
+                    help="quantized KV cache: int8 = per-row-scaled dict "
+                         "pools, the no-tax capacity rung on v5e; fp8 = "
+                         "HF kv_cache_quant_algo compatibility")
+    ap.add_argument("--paged", action="store_true",
+                    help="paged block-pool KV (capacity scales with live "
+                         "blocks, not max_batch*max_seq)")
     args = ap.parse_args()
 
     from pygpukit_tpu.llm.serving import ContinuousBatchingEngine
@@ -47,12 +55,14 @@ def main() -> None:
             num_kv_heads=4, intermediate_size=256,
             max_position_embeddings=512, tie_word_embeddings=True)
         model = CausalTransformerModel(cfg, init_params(cfg, 0),
-                                       dtype=jnp.bfloat16)
+                                       dtype=jnp.bfloat16,
+                                       kv_dtype=args.kv_dtype)
 
+    kw = dict(paged=True, block_size=16) if args.paged else {}
     eng = ContinuousBatchingEngine(model, max_batch=args.max_batch,
                                    max_seq_len=512,
                                    steps_per_dispatch=args.steps_per_dispatch,
-                                   pipelined=args.pipelined)
+                                   pipelined=args.pipelined, **kw)
     # stagger submissions to show dynamic join; stream request 1's tokens
     reqs = []
     t0 = time.time()

@@ -61,11 +61,25 @@ _NEG_INF = -1e30
 _FP8 = (jnp.float8_e4m3fn, jnp.float8_e5m2)
 
 
-def _bda_kernel(layer_ref, lens_ref, win_ref, q_ref, k_ref, v_ref, o_ref,
-                m_ref, l_ref, acc_ref, *, chunk: int, n_chunks: int,
-                scale: float, softcap: float | None, kv_fp8=None):
+def _select_row(mat, idx):
+    """Row ``idx`` of a [L, C] VMEM tile as [1, C] f32, via masked
+    reduction (Mosaic rejects dynamic sublane indexing unless the index is
+    provably 8-aligned)."""
+    sel = jax.lax.broadcasted_iota(jnp.int32, mat.shape, 0) == idx
+    return jnp.sum(jnp.where(sel, mat.astype(_F32), 0.0), axis=0,
+                   keepdims=True)
+
+
+def _bda_kernel(layer_ref, lens_ref, win_ref, q_ref, k_ref, v_ref, *rest,
+                chunk: int, n_chunks: int, scale: float,
+                softcap: float | None, kv_fp8=None, int8: bool = False):
+    if int8:              # per-row-scale int8 pools: two extra scale refs
+        ks_ref, vs_ref, o_ref, m_ref, l_ref, acc_ref = rest
+    else:
+        o_ref, m_ref, l_ref, acc_ref = rest
     b = pl.program_id(0)
     ci = pl.program_id(1)
+    lyr = layer_ref[0]
 
     @pl.when(ci == 0)
     def _():
@@ -83,15 +97,26 @@ def _bda_kernel(layer_ref, lens_ref, win_ref, q_ref, k_ref, v_ref, o_ref,
         if kv_fp8 is not None:        # u8-DMA probe: bitcast back to fp8
             k2 = jax.lax.bitcast_convert_type(k2, kv_fp8)
             v2 = jax.lax.bitcast_convert_type(v2, kv_fp8)
-        if k2.dtype in _FP8:
-            k2 = k2.astype(jnp.bfloat16)
-            v2 = v2.astype(jnp.bfloat16)
+        if k2.dtype in _FP8 or k2.dtype == jnp.int8:
+            k2 = k2.astype(jnp.bfloat16)    # int8->bf16 runs at stream rate
+            v2 = v2.astype(jnp.bfloat16)    # (fp8's convert is the 2x tax)
         prec = jax.lax.Precision.HIGHEST if q.dtype == _F32 else None
         # zero lanes outside each row's kv-head block make this exactly
         # the per-head score — no cross-head masking needed
         s = jax.lax.dot_general(
             q, k2.astype(q.dtype), (((1,), (1,)), ((), ())),
             preferred_element_type=_F32, precision=prec) * scale  # [R, C]
+        if int8:
+            # k row scales fold into the score COLUMNS (C scales vs
+            # C*lanes dequant multiplies). The scale block rides full-L
+            # (Mosaic requires the block's second-to-last dim 8-divisible
+            # or full — (1,1,C) on an [B,L,MAX] array is rejected), and the
+            # layer row comes out via a masked sublane REDUCTION: a dynamic
+            # sublane index must be provably 8-aligned ("cannot statically
+            # prove that index in dimension 1 is a multiple of 8"), but
+            # iota==lyr -> multiply -> sum over L is plain VPU work on a
+            # [L, C] tile (~11k elems/call, noise).
+            s = s * _select_row(ks_ref[0], lyr)            # [R,C] * [1,C]
         if softcap is not None:
             s = softcap * jnp.tanh(s / softcap)
         pos = ci * chunk + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
@@ -106,6 +131,9 @@ def _bda_kernel(layer_ref, lens_ref, win_ref, q_ref, k_ref, v_ref, o_ref,
         p = jnp.where(dead, 0.0, jnp.exp(s - m_new))
         alpha = jnp.exp(m_prev - m_new)
         l_ref[:] = l_ref[:] * alpha + jnp.sum(p, axis=1, keepdims=True)
+        if int8:
+            # fold v row scales into P (C multiplies vs C*lanes dequant)
+            p = p * _select_row(vs_ref[0], lyr)
         # P@V operands follow q.dtype like the score dot: an f32 query over
         # a bf16/fp8 pool would otherwise pair HIGHEST with bf16 operands,
         # which Mosaic rejects
@@ -132,10 +160,14 @@ def batch_decode_attention(q, k_pool, v_pool, layer, ctx_lens,
     at batch-8 MAX=4096: 4x~1.4 ms/layer = 122 ms/step — the 5-d carry's
     (Hk, D) tiling orders elements differently from the kernel's row-major
     [MAX, Hk*D] operand view, so the reshape is a relayout, not a bitcast).
-    Storage bf16/f32 or fp8 (fp8 converts in-kernel, chunk-at-a-time);
-    layer: traced int32 scalar; ctx_lens [B] int32 (lengths INCLUDING the
-    just-written row); window: optional traced int32 scalar (<=0 or None =
-    no sliding window).
+    Storage bf16/f32, fp8 (converts in-kernel, chunk-at-a-time), or int8
+    dicts ``{"q": int8 pool, "s": bf16 [B, L, MAX] row scales}`` — int8 is
+    the FAST capacity rung: the int8->bf16 convert runs at stream rate
+    where fp8's costs 2x the kernel (micro_bda_u8dma.py), and the row
+    scales fold into the score columns / the P matrix (C multiplies per
+    chunk, not C*lanes). layer: traced int32 scalar; ctx_lens [B] int32
+    (lengths INCLUDING the just-written row); window: optional traced
+    int32 scalar (<=0 or None = no sliding window).
     Returns [B, 1, Hq, D] matching ops.nn.attention.sdpa_batch_pools_fn.
 
     Requires chunk | MAX (callers fall back to the XLA path otherwise).
@@ -144,6 +176,11 @@ def batch_decode_attention(q, k_pool, v_pool, layer, ctx_lens,
     window models cap live context at the window anyway.
     """
     bsz, t, hq, d = q.shape
+    int8 = isinstance(k_pool, dict)           # {"q" int8, "s" bf16 [B,L,MAX]}
+    ks = vs = None
+    if int8:
+        k_pool, ks = k_pool["q"], k_pool["s"]
+        v_pool, vs = v_pool["q"], v_pool["s"]
     if k_pool.ndim == 4:                      # pre-merged [B, L, MAX, Hk*D]
         _, n_layers, max_len, _lanes = k_pool.shape
         hk = _lanes // d
@@ -187,21 +224,33 @@ def batch_decode_attention(q, k_pool, v_pool, layer, ctx_lens,
         vpm = jax.lax.bitcast_convert_type(vpm, jnp.uint8)
     kernel = functools.partial(
         _bda_kernel, chunk=chunk, n_chunks=n_chunks, scale=scale,
-        softcap=softcap, kv_fp8=kv_fp8)
+        softcap=softcap, kv_fp8=kv_fp8, int8=int8)
 
     def _pool_map(b, ci, lyr, lens, w):
         live_last = jnp.maximum((lens[b] + chunk - 1) // chunk - 1, 0)
         return (b, lyr[0], jnp.minimum(ci, live_last), 0)
 
+    def _scale_map(b, ci, lyr, lens, w):
+        # full-L block (second-to-last dim must be 8-divisible or full);
+        # the kernel selects the layer row via the prefetched scalar
+        live_last = jnp.maximum((lens[b] + chunk - 1) // chunk - 1, 0)
+        return (b, 0, jnp.minimum(ci, live_last))
+
+    in_specs = [
+        pl.BlockSpec((1, rows, lanes),
+                     lambda b, ci, lyr, lens, w: (b, 0, 0)),
+        pl.BlockSpec((1, 1, chunk, lanes), _pool_map),
+        pl.BlockSpec((1, 1, chunk, lanes), _pool_map),
+    ]
+    operands = [qp, kpm, vpm]
+    if int8:
+        in_specs += [pl.BlockSpec((1, n_layers, chunk), _scale_map),
+                     pl.BlockSpec((1, n_layers, chunk), _scale_map)]
+        operands += [ks, vs]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,            # layer, ctx_lens, window
         grid=(bsz, n_chunks),
-        in_specs=[
-            pl.BlockSpec((1, rows, lanes),
-                         lambda b, ci, lyr, lens, w: (b, 0, 0)),
-            pl.BlockSpec((1, 1, chunk, lanes), _pool_map),
-            pl.BlockSpec((1, 1, chunk, lanes), _pool_map),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, rows, lanes),
                                lambda b, ci, lyr, lens, w: (b, 0, 0)),
         scratch_shapes=[
@@ -220,7 +269,7 @@ def batch_decode_attention(q, k_pool, v_pool, layer, ctx_lens,
     )(jnp.asarray(layer, jnp.int32).reshape(1),
       jnp.asarray(ctx_lens, jnp.int32),
       win.reshape(1),
-      qp, kpm, vpm)
+      *operands)
     # block-diagonal extract: row h*G+gi's result lives in its kv head's
     # D-lane block
     o4 = out[:, :hq].reshape(bsz, hk, g, hk, d)

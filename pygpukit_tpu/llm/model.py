@@ -32,7 +32,7 @@ import numpy as np
 from jax import lax
 
 from ..core.executable import Executable, capture
-from ..ops.embedding import kv_write
+from ..ops.embedding import kv_cache_zeros, kv_leaf, kv_write
 from ..ops.nn.activation import gelu_fn, swiglu_fn
 from ..ops.nn.attention import (flash_attention_fn, sdpa_batch_pools_fn,
                                 sdpa_fixed_cache_fn)
@@ -81,7 +81,8 @@ def _pf32(*arrs):
 def resolve_kv_dtype(kv_dtype, model_dtype):
     """KV-cache storage dtype: explicit arg > PYGPUKIT_KV_DTYPE env >
     the model dtype. Accepted names: fp8 / fp8_e4m3 (aliases), fp8_e5m2,
-    bf16 / bfloat16, f32 / float32."""
+    int8 (per-row-scaled dict caches — the FAST capacity rung on v5e, see
+    ops/embedding.kv_cache_zeros), bf16 / bfloat16, f32 / float32."""
     import os
     if kv_dtype is None:
         kv_dtype = os.environ.get("PYGPUKIT_KV_DTYPE", "") or None
@@ -91,7 +92,8 @@ def resolve_kv_dtype(kv_dtype, model_dtype):
         names = {
             "fp8": jnp.float8_e4m3fn, "fp8_e4m3": jnp.float8_e4m3fn,
             "e4m3": jnp.float8_e4m3fn, "fp8_e5m2": jnp.float8_e5m2,
-            "e5m2": jnp.float8_e5m2, "bf16": jnp.bfloat16,
+            "e5m2": jnp.float8_e5m2, "int8": jnp.int8,
+            "bf16": jnp.bfloat16,
             "bfloat16": jnp.bfloat16, "f32": jnp.float32,
             "float32": jnp.float32,
         }
@@ -708,7 +710,7 @@ def prefill_fn(cfg: TransformerConfig, params, k_cache, v_cache, tokens,
         h = _residual_tail(cfg, lp, h, attn, s, x)
         return (h, kc_all, vc_all)
 
-    h, k_cache, v_cache = lax.fori_loop(0, k_cache.shape[0], body,
+    h, k_cache, v_cache = lax.fori_loop(0, kv_leaf(k_cache).shape[0], body,
                                         (h, k_cache, v_cache))
     h = _norm(cfg, h, params["final_norm_w"], params.get("final_norm_b"))
     last = jnp.take(h, true_len - 1, axis=0)
@@ -886,6 +888,27 @@ def _slice_layer_params(layers, i):
     return out
 
 
+def _kv_write_backend() -> str:
+    """Row-write backend for the batch-rows step: "pallas" (one RMW
+    pallas_call per layer, kernels/kv_row_write.py) or "xla" (vmapped
+    per-slot scatters — a serial 8-iteration loop per pool leaf,
+    1.46 ms/step at batch-8 bf16, double for int8 dicts).
+    PYGPUKIT_KV_WRITE overrides; auto = xla until the kernel is
+    TPU-validated (scripts/micro_krw_ab.py)."""
+    import os
+    mode = os.environ.get("PYGPUKIT_KV_WRITE", "auto")
+    if mode in ("pallas", "xla"):
+        return mode
+    return "xla"
+
+
+def _kv_layer(cache, i):
+    """Layer ``i``'s slice of a stacked [L, ...] cache (int8-dict-safe:
+    both leaves carry L as their leading dim)."""
+    return jax.tree.map(
+        lambda a: lax.dynamic_index_in_dim(a, i, 0, keepdims=False), cache)
+
+
 def decode_step_fn(cfg: TransformerConfig, params, k_cache, v_cache, token,
                    pos, allow_fused: bool = True):
     """One decode step: token scalar, pos scalar -> (k_cache, v_cache, logits).
@@ -897,7 +920,8 @@ def decode_step_fn(cfg: TransformerConfig, params, k_cache, v_cache, token,
     opts a call site out — the speculative draft runs on sliced layer
     stacks the fused kernel was never prepared for).
     """
-    if (allow_fused and k_cache.dtype == jnp.bfloat16
+    if (allow_fused and not isinstance(k_cache, dict)
+            and k_cache.dtype == jnp.bfloat16
             and use_fused_decode(cfg, params, k_cache.shape[1])):
         return fused_decode_step_fn(cfg, params, k_cache, v_cache, token, pos)
     h = _embed_tokens(cfg, params, token[None])                  # [1, E]
@@ -932,8 +956,7 @@ def decode_step_fn(cfg: TransformerConfig, params, k_cache, v_cache, token,
         kc_all = kv_write(kc_all, k[None], (i, pos, 0, 0))
         vc_all = kv_write(vc_all, v[None], (i, pos, 0, 0))
         attn = sdpa_fixed_cache_fn(
-            q, lax.dynamic_index_in_dim(kc_all, i, 0, keepdims=False),
-            lax.dynamic_index_in_dim(vc_all, i, 0, keepdims=False),
+            q, _kv_layer(kc_all, i), _kv_layer(vc_all, i),
             pos + 1, scale=cfg.attn_scale,
             softcap=cfg.attn_logit_softcap,
             window=lp.get("attn_window"))
@@ -945,7 +968,7 @@ def decode_step_fn(cfg: TransformerConfig, params, k_cache, v_cache, token,
     # a cfg-bound loop would clamp to the last draft layer and silently run
     # full-depth (full cost, garbage proposals)
     h, k_cache, v_cache = lax.fori_loop(
-        0, k_cache.shape[0], body, (h, k_cache, v_cache),
+        0, kv_leaf(k_cache).shape[0], body, (h, k_cache, v_cache),
         unroll=_scan_unroll())
     h = _norm(cfg, h, params["final_norm_w"], params.get("final_norm_b"))
     logits = _logits(cfg, params, h[0])
@@ -993,15 +1016,14 @@ def decode_window_fn(cfg: TransformerConfig, params, k_cache, v_cache,
         kc_all = kv_write(kc_all, k[None], (i, pos, 0, 0))
         vc_all = kv_write(vc_all, v[None], (i, pos, 0, 0))
         attn = sdpa_fixed_cache_fn(
-            q, lax.dynamic_index_in_dim(kc_all, i, 0, keepdims=False),
-            lax.dynamic_index_in_dim(vc_all, i, 0, keepdims=False),
+            q, _kv_layer(kc_all, i), _kv_layer(vc_all, i),
             pos + t, scale=cfg.attn_scale,
             softcap=cfg.attn_logit_softcap,
             window=lp.get("attn_window"))
         h = _residual_tail(cfg, lp, h, attn, t, x)
         return (h, kc_all, vc_all)
 
-    h, k_cache, v_cache = lax.fori_loop(0, k_cache.shape[0], body,
+    h, k_cache, v_cache = lax.fori_loop(0, kv_leaf(k_cache).shape[0], body,
                                         (h, k_cache, v_cache))
     h = _norm(cfg, h, params["final_norm_w"], params.get("final_norm_b"))
     return k_cache, v_cache, _logits(cfg, params, h)
@@ -1055,10 +1077,11 @@ def _batch_pools_attn(cfg: TransformerConfig, lp, q2, kp, vp, layer, lens):
     mode = os.environ.get("PYGPUKIT_BATCH_ATTN", "")
     window = lp.get("attn_window")
     use_pallas = False
-    hk = kp.shape[3] // q2.shape[3] if kp.ndim == 4 else kp.shape[3]
+    kpl = kv_leaf(kp)
+    hk = kpl.shape[3] // q2.shape[3] if kpl.ndim == 4 else kpl.shape[3]
     if mode != "xla":
         from ..core.backend import get_backend
-        max_len = kp.shape[2]
+        max_len = kpl.shape[2]
         chunk = min(_flash_chunk(), max_len)
         eligible = (q2.shape[1] == 1 and max_len % chunk == 0
                     and q2.shape[2] % hk == 0)
@@ -1108,17 +1131,18 @@ def batch_decode_step_fn(cfg: TransformerConfig, params, k_pool, v_pool,
     rope_cos_l = params.get("rope_cos_local")
     rope_sin_l = params.get("rope_sin_local")
 
+    use_krw = _kv_write_backend() == "pallas"
+
     def body(i, st):
         h, kp, vp = st
         lp = _slice_layer_params(params["layers"], i)
         x = _attn_in(cfg, lp, h)
         q, k, v = _project_qkv(cfg, lp, x)                       # [B, H, D]
 
-        def slot(q_b, k_b, v_b, kc_b, vc_b, pos_b):
+        def slot(q_b, k_b, v_b, pos_b):
             # per-slot head of the attention sublayer (rope at the slot's
-            # position + the KV row write); everything here is tiny (no
-            # weight reads), so vmap costs nothing while the matmuls above
-            # stay batch-rows
+            # position); everything here is tiny (no weight reads), so
+            # vmap costs nothing while the matmuls above stay batch-rows
             q_b, k_b = q_b[None], k_b[None]                      # t = 1
             if cfg.use_rope:
                 c, sn = _rope_rows_for(params, pos_b, 1, pos_b + 1)
@@ -1130,14 +1154,29 @@ def batch_decode_step_fn(cfg: TransformerConfig, params, k_pool, v_pool,
                     lax.dynamic_slice_in_dim(rope_sin_l, pos_b, 1, axis=0))
                 q_b = _rope(cfg, q_b, c, sn)
                 k_b = _rope(cfg, k_b, c, sn)
-            if kc_b.ndim == 3:        # merged pool slot [L, MAX, Hk*D]
+            return q_b, k_b[0], v_b
+
+        def write_slot(k_b, v_b, kc_b, vc_b, pos_b):
+            # XLA fallback row write: per-slot dynamic_update_slice. Under
+            # vmap the per-slot positions force a SERIAL scatter loop per
+            # pool leaf (~4 us/slot/layer fixed regardless of the 512-byte
+            # payload — 1.46 ms/step at batch-8 for bf16's two leaves,
+            # double for int8's four; kernels/kv_row_write.py replaces it
+            # on TPU with ONE RMW pallas_call per layer).
+            if kv_leaf(kc_b).ndim == 3:   # merged pool slot [L, MAX, Hk*D]
                 kc_b = kv_write(kc_b, k_b.reshape(1, 1, -1), (i, pos_b, 0))
                 vc_b = kv_write(vc_b, v_b.reshape(1, 1, -1), (i, pos_b, 0))
             else:
-                kc_b = kv_write(kc_b, k_b[None], (i, pos_b, 0, 0))
+                kc_b = kv_write(kc_b, k_b[None, None], (i, pos_b, 0, 0))
                 vc_b = kv_write(vc_b, v_b[None, None], (i, pos_b, 0, 0))
-            return q_b, kc_b, vc_b
+            return kc_b, vc_b
 
+        q2, k_rows, v_rows = jax.vmap(slot)(q, k, v, poss)
+        if use_krw:
+            from ..kernels.kv_row_write import kv_rows_write
+            kp, vp = kv_rows_write(kp, vp, k_rows, v_rows, i, poss)
+        else:
+            kp, vp = jax.vmap(write_slot)(k_rows, v_rows, kp, vp, poss)
         # attention runs BATCHED over the pools: under vmap the chunked
         # LSE loop's per-slot chunk cursor turns every cache slice into a
         # gather (traced at 63 GB/s bf16 / ~14 GB/s fp8 at batch-8
@@ -1149,13 +1188,12 @@ def batch_decode_step_fn(cfg: TransformerConfig, params, k_pool, v_pool,
         # carrying the pre-attention values keeps them live across the
         # while loop and XLA copy-inserts 2x full-pool copies per layer
         # (74 ms/step at batch-8 MAX=4096 on 1B, device-traced).
-        q2, kp, vp = jax.vmap(slot)(q, k, v, kp, vp, poss)
         attn, kp, vp = _batch_pools_attn(cfg, lp, q2, kp, vp, i, poss + 1)
         h = _residual_tail(cfg, lp, h, attn[:, 0].reshape(b, -1), b, x)
         return (h, kp, vp)
 
     h, k_pool, v_pool = lax.fori_loop(
-        0, k_pool.shape[1], body, (h, k_pool, v_pool),
+        0, kv_leaf(k_pool).shape[1], body, (h, k_pool, v_pool),
         unroll=_scan_unroll())
     h = _norm(cfg, h, params["final_norm_w"], params.get("final_norm_b"))
     return k_pool, v_pool, _logits(cfg, params, h)
@@ -1230,8 +1268,10 @@ def speculative_scan_fn(cfg: TransformerConfig, n_rounds: int, gamma: int,
     def round_fn(carry, _):
         kc, vc, cur, p = carry
 
-        kcd = lax.slice_in_dim(kc, 0, n_draft, axis=0)
-        vcd = lax.slice_in_dim(vc, 0, n_draft, axis=0)
+        kcd = jax.tree.map(lambda a: lax.slice_in_dim(a, 0, n_draft,
+                                                      axis=0), kc)
+        vcd = jax.tree.map(lambda a: lax.slice_in_dim(a, 0, n_draft,
+                                                      axis=0), vc)
 
         def dstep(c, _):
             kcd, vcd, tok, pp = c
@@ -1632,9 +1672,9 @@ class CausalTransformerModel:
         cfg = self.config
         shape = (cfg.num_layers, max_seq_len, cfg.num_kv_heads, cfg.head_dim)
         same = (self.k_cache is not None and self.max_seq_len == max_seq_len
-                and self.k_cache.dtype == self.kv_dtype)
-        self.k_cache = jnp.zeros(shape, self.kv_dtype)
-        self.v_cache = jnp.zeros(shape, self.kv_dtype)
+                and kv_leaf(self.k_cache).dtype == jnp.dtype(self.kv_dtype))
+        self.k_cache = kv_cache_zeros(shape, self.kv_dtype)
+        self.v_cache = kv_cache_zeros(shape, self.kv_dtype)
         self.max_seq_len = max_seq_len
         self.pos = 0
         if same:
@@ -1907,12 +1947,13 @@ class CausalTransformerModel:
     # -- KV snapshot / restore (reference: causal.py:1003,1017) --------------
 
     def snapshot_kv_cache(self) -> KVSnapshot:
+        host = lambda c: jax.tree.map(np.asarray, c)
         return KVSnapshot(
-            k=np.asarray(self.k_cache), v=np.asarray(self.v_cache), pos=self.pos)
+            k=host(self.k_cache), v=host(self.v_cache), pos=self.pos)
 
     def restore_kv_cache(self, snap: KVSnapshot) -> None:
-        # np.asarray preserves fp8 (ml_dtypes) — restore in the cache's
-        # storage dtype, not the model dtype
-        self.k_cache = jnp.asarray(snap.k, self.kv_dtype)
-        self.v_cache = jnp.asarray(snap.v, self.kv_dtype)
+        # np.asarray preserves fp8 (ml_dtypes) and int8-dict leaves —
+        # restore in the cache's storage dtypes, not the model dtype
+        self.k_cache = jax.tree.map(jnp.asarray, snap.k)
+        self.v_cache = jax.tree.map(jnp.asarray, snap.v)
         self.pos = snap.pos

@@ -86,9 +86,15 @@ def kv_dtype_from_quant_config(qc: dict | None) -> str | None:
         return "fp8_e5m2"
     if "fp8" in a or "e4m3" in a:
         return "fp8_e4m3"
-    # unsupported algo (e.g. "INT8" in the ModelOpt schema): fall back to
-    # the dense cache rather than failing the whole load — the weights are
-    # loadable either way, the KV algo is an optimisation hint
+    if "int8" in a:
+        # ModelOpt INT8 schema -> per-row-scaled int8 dict caches — on v5e
+        # this is the FAST capacity rung (integer converts run at stream
+        # rate where the fp8 VPU convert costs 2x the attention kernel;
+        # docs/performance.md "int8-KV")
+        return "int8"
+    # unsupported algo: fall back to the dense cache rather than failing
+    # the whole load — the weights are loadable either way, the KV algo is
+    # an optimisation hint
     import warnings
     warnings.warn(f"unsupported kv_cache_quant_algo {algo!r}; "
                   "using the model dtype for the KV cache")

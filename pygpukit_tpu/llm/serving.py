@@ -24,6 +24,7 @@ import numpy as np
 from jax import lax
 
 from ..core.executable import capture
+from ..ops.embedding import kv_cache_zeros
 from .model import (
     CausalTransformerModel, _bucket, batch_decode_step_fn,
     batch_generate_scan_fn, batched_trace, decode_step_fn,
@@ -36,7 +37,11 @@ def _slot_cache(pool, slot, head_dim):
 
     Merged pools ([B, L, MAX, Hk*D], the batch-rows serving layout) un-merge
     here — a SLOT-sized relayout once per admission, vs per-layer-per-step
-    pool-sized copies if the decode step had to merge instead."""
+    pool-sized copies if the decode step had to merge instead. int8 dict
+    pools ({"q","s"}) slice both leaves; the scale rows need no un-merge."""
+    if isinstance(pool, dict):
+        return {"q": _slot_cache(pool["q"], slot, head_dim),
+                "s": pool["s"][slot]}
     c = pool[slot]
     if pool.ndim == 4:
         return c.reshape(c.shape[0], c.shape[1], -1, head_dim)
@@ -45,8 +50,12 @@ def _slot_cache(pool, slot, head_dim):
 
 def _pool_write_slot(pool, cache, slot):
     """Write a [L, MAX, Hk, D] slot cache back into a dense pool of either
-    layout (merged pools re-merge the slot first)."""
-    if pool.ndim == 4:
+    layout (merged pools re-merge the slot first; int8 dicts write both
+    leaves)."""
+    if isinstance(pool, dict):
+        return {"q": _pool_write_slot(pool["q"], cache["q"], slot),
+                "s": _pool_write_slot(pool["s"], cache["s"], slot)}
+    if pool.ndim == 4 and cache.ndim == 4:      # merged KV rows
         cache = cache.reshape(cache.shape[0], cache.shape[1], -1)
     return lax.dynamic_update_slice(
         pool, cache[None], (slot,) + (0,) * (pool.ndim - 1))
@@ -268,8 +277,17 @@ class ContinuousBatchingEngine:
             nb = num_blocks or (max_batch * self.max_blocks + 2)
             pool_shape = (cfg.num_layers, nb, cfg.num_kv_heads, block_size,
                           cfg.head_dim)
-            self.k_cache = jnp.zeros(pool_shape, model.kv_dtype)
-            self.v_cache = jnp.zeros(pool_shape, model.kv_dtype)
+            if jnp.dtype(model.kv_dtype) == jnp.int8:
+                # int8 dict block pools: scale rows [L, NB, BS]
+                # (serving_paged._paged_write_rows / _paged_gather)
+                self.k_cache = {
+                    "q": jnp.zeros(pool_shape, jnp.int8),
+                    "s": jnp.zeros((cfg.num_layers, nb, block_size),
+                                   jnp.bfloat16)}
+                self.v_cache = jax.tree.map(jnp.zeros_like, self.k_cache)
+            else:
+                self.k_cache = jnp.zeros(pool_shape, model.kv_dtype)
+                self.v_cache = jnp.zeros(pool_shape, model.kv_dtype)
             self._alloc = BlockAllocator(nb, block_size)
             self._tables_np = np.zeros((max_batch, self.max_blocks), np.int32)
             self._tables_dev = jnp.asarray(self._tables_np)
@@ -281,8 +299,10 @@ class ContinuousBatchingEngine:
             else:
                 shape = (max_batch, cfg.num_layers, max_seq_len,
                          cfg.num_kv_heads, cfg.head_dim)
-            self.k_cache = jnp.zeros(shape, model.kv_dtype)
-            self.v_cache = jnp.zeros(shape, model.kv_dtype)
+            self.k_cache = kv_cache_zeros(shape, model.kv_dtype,
+                                          merged=self._merged_pools)
+            self.v_cache = kv_cache_zeros(shape, model.kv_dtype,
+                                          merged=self._merged_pools)
         self._slots: list[Request | None] = [None] * max_batch
         self._queue: list[Request] = []
         self._next_id = 1
@@ -335,8 +355,15 @@ class ContinuousBatchingEngine:
         spec = (P(None, None, "tp", None, None) if self.paged
                 else P(None, None, None, "tp", None))
         sh = NamedSharding(mesh, spec)
-        self.k_cache = jax.device_put(self.k_cache, sh)
-        self.v_cache = jax.device_put(self.v_cache, sh)
+
+        def put(pool):
+            if isinstance(pool, dict):       # int8: scale rows replicate
+                return {"q": jax.device_put(pool["q"], sh),
+                        "s": jax.device_put(
+                            pool["s"], NamedSharding(mesh, P(None)))}
+            return jax.device_put(pool, sh)
+        self.k_cache = put(self.k_cache)
+        self.v_cache = put(self.v_cache)
         rep = NamedSharding(mesh, P(None))
         if self.pipelined:
             self._last_dev = jax.device_put(self._last_dev, rep)

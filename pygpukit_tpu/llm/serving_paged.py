@@ -46,23 +46,41 @@ def _use_pallas_paged() -> bool:
 
 # ------------------------------------------------------------------ compute --
 
+def _paged_gather(pool_l, table):
+    """Gather a sequence's blocks from one layer's pool as [Hk, MB*BS, D].
+
+    int8 dict pools ({"q": [NB,Hk,BS,D], "s": [NB,BS] per-row scales})
+    gather both leaves and dequantise the gathered (live-only) blocks —
+    the scale sits between the gather and the dot, so only table-selected
+    bytes ever convert."""
+    from ..ops.nn.attention import _kv_load
+    if isinstance(pool_l, dict):
+        qg = pool_l["q"][table]                       # [MB, Hk, BS, D]
+        sg = pool_l["s"][table]                       # [MB, BS]
+        seq = qg.astype(jnp.bfloat16) * sg[:, None, :, None]
+    else:
+        seq = _kv_load(pool_l[table])
+    mb, hk, bs, d = seq.shape
+    return seq.transpose(1, 0, 2, 3).reshape(hk, mb * bs, d)
+
+
 def _paged_attn_one(q, k_pool_l, v_pool_l, table, ctx_len, scale,
                     softcap=None, window=None):
-    """q [Hq, D]; pools [NB, Hk, BS, D]; table [MB] -> [Hq, D].
+    """q [Hq, D]; pools [NB, Hk, BS, D] (or int8 dicts); table [MB] ->
+    [Hq, D].
 
     ``window``: per-layer sliding window (traced scalar, 0 = full) — the
     decode query at position ctx_len-1 attends keys in
     [ctx_len - window, ctx_len). ``softcap``: gemma-2 logit cap. Both
     mirror the dense sdpa_fixed_cache_fn semantics."""
     hq, d = q.shape
-    nb, hk, bs, _ = k_pool_l.shape
+    from ..ops.nn.attention import _apply_softcap, _window_or_inf
+    kseq = _paged_gather(k_pool_l, table)
+    vseq = _paged_gather(v_pool_l, table)
+    hk = kseq.shape[0]
     g = hq // hk
     mb = table.shape[0]
-    from ..ops.nn.attention import _kv_load, _apply_softcap, _window_or_inf
-    kseq = _kv_load(k_pool_l[table]).transpose(1, 0, 2, 3).reshape(
-        hk, mb * bs, d)
-    vseq = _kv_load(v_pool_l[table]).transpose(1, 0, 2, 3).reshape(
-        hk, mb * bs, d)
+    bs = kseq.shape[1] // mb
     qh = q.reshape(hk, g, d)
     scores = jnp.einsum("hgd,hkd->hgk", qh, kseq,
                         preferred_element_type=_F32) * scale
@@ -79,14 +97,35 @@ def _paged_attn_one(q, k_pool_l, v_pool_l, table, ctx_len, scale,
     return o.reshape(hq, d).astype(q.dtype)
 
 
+def _paged_write_rows(pool, rows, layer, blocks, offs, valid=None):
+    """Scatter per-position KV ``rows`` [N, Hk, D] into layer ``layer`` at
+    (blocks[n], offs[n]). int8 dict pools quantize each row (amax over its
+    heads) and scatter both leaves; ``valid`` masks padded prefill rows to
+    zero (they land in the trash block)."""
+    if isinstance(pool, dict):
+        from ..ops.embedding import kv_quant_rows
+        q, s = kv_quant_rows(rows, 2)                        # [N,Hk,D], [N]
+        if valid is not None:
+            q = jnp.where(valid[:, None, None], q, 0)
+            s = jnp.where(valid, s, 0)
+        return {"q": pool["q"].at[layer, blocks, :, offs, :].set(q),
+                "s": pool["s"].at[layer, blocks, offs].set(s)}
+    if valid is not None:
+        rows = jnp.where(valid[:, None, None], rows, 0)
+    return pool.at[layer, blocks, :, offs, :].set(
+        to_kv_dtype(rows, pool.dtype))
+
+
 def paged_decode_step_fn(cfg: TransformerConfig, params, k_pool, v_pool,
                          tables, tokens, poss):
     """One batched decode step over the shared paged pool.
 
-    k_pool/v_pool [L, NB, Hk, BS, D]; tables [B, MB] int32; tokens [B];
+    k_pool/v_pool [L, NB, Hk, BS, D] (int8: dicts with [L, NB, BS] scale
+    rows); tables [B, MB] int32; tokens [B];
     poss [B] -> (k_pool, v_pool, logits [B, V]).
     """
-    bs = k_pool.shape[3]
+    from ..ops.embedding import kv_leaf
+    bs = kv_leaf(k_pool).shape[3]
     scale = cfg.attn_scale
     b = tokens.shape[0]
     from .model import _embed_tokens
@@ -111,11 +150,14 @@ def paged_decode_step_fn(cfg: TransformerConfig, params, k_pool, v_pool,
         if cfg.use_rope:
             q = _rope_rows(q, rope_cos, rope_sin, poss, params, cfg, lp)
             k = _rope_rows(k, rope_cos, rope_sin, poss, params, cfg, lp)
-        kp = kp.at[i, blocks, :, offs, :].set(to_kv_dtype(k, kp.dtype))
-        vp = vp.at[i, blocks, :, offs, :].set(to_kv_dtype(v, vp.dtype))
-        kp_l = lax.dynamic_index_in_dim(kp, i, 0, keepdims=False)
-        vp_l = lax.dynamic_index_in_dim(vp, i, 0, keepdims=False)
-        if (_use_pallas_paged() and kp_l.dtype == jnp.bfloat16
+        kp = _paged_write_rows(kp, k, i, blocks, offs)
+        vp = _paged_write_rows(vp, v, i, blocks, offs)
+        kp_l = jax.tree.map(
+            lambda a: lax.dynamic_index_in_dim(a, i, 0, keepdims=False), kp)
+        vp_l = jax.tree.map(
+            lambda a: lax.dynamic_index_in_dim(a, i, 0, keepdims=False), vp)
+        if (_use_pallas_paged() and not isinstance(kp_l, dict)
+                and kp_l.dtype == jnp.bfloat16
                 and cfg.attn_logit_softcap is None
                 and cfg.sliding_window is None):
             # (fp8 pools, softcaps and sliding windows take the XLA gather
@@ -251,8 +293,9 @@ def paged_prefill_fn(cfg: TransformerConfig, params, k_pool, v_pool,
                      table, tokens, true_len):
     """Prefill one sequence into its blocks (table [MB]); returns last-pos
     logits. Padded rows scatter into the trash block (block 0)."""
+    from ..ops.embedding import kv_leaf
     s = tokens.shape[0]
-    bs = k_pool.shape[3]
+    bs = kv_leaf(k_pool).shape[3]
     from .model import _embed_tokens
     h = _embed_tokens(cfg, params, tokens)
     rope_cos = params.get("rope_cos")
@@ -277,10 +320,8 @@ def paged_prefill_fn(cfg: TransformerConfig, params, k_pool, v_pool,
                 None if rcl is None else params["rope_sin_local"][:s])
             q = _rope(cfg, q, rc, rs)
             k = _rope(cfg, k, rc, rs)
-        kp = kp.at[i, blocks, :, offs, :].set(
-            to_kv_dtype(jnp.where(valid[:, None, None], k, 0), kp.dtype))
-        vp = vp.at[i, blocks, :, offs, :].set(
-            to_kv_dtype(jnp.where(valid[:, None, None], v, 0), vp.dtype))
+        kp = _paged_write_rows(kp, k, i, blocks, offs, valid)
+        vp = _paged_write_rows(vp, v, i, blocks, offs, valid)
         from .model import _prefill_attn
         attn = _prefill_attn(q, k, v, true_len, cfg.attn_scale,
                              cfg.attn_logit_softcap, lp.get("attn_window"))

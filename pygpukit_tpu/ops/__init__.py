@@ -9,6 +9,7 @@ from .batching import (
 from .embedding import (
     embedding_lookup, embedding_lookup_batch,
     kv_cache_prefill, kv_cache_prefill_gqa, kv_cache_update, kv_cache_update_gqa,
+    kv_cache_zeros, kv_dequant, kv_quant_rows, kv_write,
 )
 from .matmul import (
     batched_matmul, fp8_available, gemv, gemv_bf16, gemv_int4, gemv_w8a16,

@@ -56,11 +56,26 @@ def _pf32(*arrs):
 def _kv_load(blk):
     """Dequantise a cache block for attention math: fp8 storage (see
     ops/embedding.KV_FP8_MAX) reads as bf16 — the dot has no fp8 MXU to
-    gain from, the halved HBM stream is the win."""
+    gain from, the halved HBM stream is the win. int8 dict blocks
+    ({"q", "s"}, ops/embedding.kv_cache_zeros) dequantise against their
+    per-row scales."""
+    if isinstance(blk, dict):
+        from ..embedding import kv_dequant
+        return kv_dequant(blk["q"], blk["s"])
     from ..embedding import KV_FP8_MAX
     if jnp.dtype(blk.dtype) in KV_FP8_MAX:
         return blk.astype(jnp.bfloat16)
     return blk
+
+
+def _kv_shape(cache):
+    """Storage-leaf shape of a plain or int8-dict cache."""
+    return (cache["q"] if isinstance(cache, dict) else cache).shape
+
+
+def _pf32_kv(q, cache):
+    """_pf32 against a cache that may be an int8 dict (never f32)."""
+    return None if isinstance(cache, dict) else _pf32(q, cache)
 
 
 def _apply_softcap(scores, softcap):
@@ -312,7 +327,7 @@ def sdpa_fixed_cache_fn(q, k_cache, v_cache, ctx_len,
     the full-softmax formulation streams the whole preallocated cache from
     HBM every step regardless of how much of it is valid.
     """
-    if _decode_backend(k_cache.shape[0]) == "chunked":
+    if _decode_backend(_kv_shape(k_cache)[0]) == "chunked":
         return sdpa_fixed_cache_chunked_fn(q, k_cache, v_cache, ctx_len,
                                            scale, softcap=softcap,
                                            window=window)
@@ -323,6 +338,9 @@ def sdpa_fixed_cache_fn(q, k_cache, v_cache, ctx_len,
 def _sdpa_fixed_cache_full(q, k_cache, v_cache, ctx_len,
                            scale: float | None = None,
                            softcap: float | None = None, window=None):
+    if isinstance(k_cache, dict):      # int8: small-MAX path dequantises
+        k_cache = _kv_load(k_cache)    # the whole (small) cache up front
+        v_cache = _kv_load(v_cache)
     t, h, d = q.shape
     max_len, hk, _ = k_cache.shape
     g = h // hk
@@ -370,12 +388,12 @@ def sdpa_fixed_cache_chunked_fn(q, k_cache, v_cache, ctx_len,
     the parallelism came for free but the read didn't.
     """
     t, h, d = q.shape
-    max_len, hk, _ = k_cache.shape
+    max_len, hk, _ = _kv_shape(k_cache)
     g = h // hk
     scale = scale if scale is not None else 1.0 / math.sqrt(d)
     chunk = min(chunk if chunk is not None else _flash_chunk(), max_len)
-    prec_k = _pf32(q, k_cache)
-    prec_v = _pf32(q, v_cache)
+    prec_k = _pf32_kv(q, k_cache)
+    prec_v = _pf32_kv(q, v_cache)
     n_chunks = -(-max_len // chunk)
     qh = q.reshape(t, hk, g, d).transpose(1, 2, 0, 3)        # [Hk,G,T,D]
     q_off = jnp.arange(t)[None, None, :, None]
@@ -397,12 +415,17 @@ def sdpa_fixed_cache_chunked_fn(q, k_cache, v_cache, ctx_len,
         # max_len; slice from the clamped start and mask to the logical
         # [start_log, start_log+chunk) range so no position double-counts
         start = jnp.minimum(start_log, max_len - chunk)
-        # slice the stored (possibly fp8) block, THEN dequantise — only
-        # live chunks ever stream from HBM or convert
-        k_blk = _kv_load(lax.dynamic_slice(k_cache, (start, 0, 0),
-                                           (chunk, hk, d)))
-        v_blk = _kv_load(lax.dynamic_slice(v_cache, (start, 0, 0),
-                                           (chunk, hk, d)))
+        # slice the stored (possibly fp8/int8) block, THEN dequantise —
+        # only live chunks ever stream from HBM or convert
+        def _slice_c(cache):
+            if isinstance(cache, dict):
+                return {"q": lax.dynamic_slice(cache["q"], (start, 0, 0),
+                                               (chunk, hk, d)),
+                        "s": lax.dynamic_slice(cache["s"], (start,),
+                                               (chunk,))}
+            return lax.dynamic_slice(cache, (start, 0, 0), (chunk, hk, d))
+        k_blk = _kv_load(_slice_c(k_cache))
+        v_blk = _kv_load(_slice_c(v_cache))
         kk = jnp.transpose(k_blk, (1, 0, 2))                 # [Hk,C,D]
         vv = jnp.transpose(v_blk, (1, 0, 2))
         s = jnp.einsum("hgtd,hkd->hgtk", qh, kk,
@@ -448,7 +471,7 @@ def sdpa_batch_fixed_cache_fn(q, k_cache, v_cache, ctx_lens,
     fusion). The batched form advances ONE shared scalar chunk index, so
     the reads stay contiguous dynamic slices at stream rate.
     """
-    if _decode_backend(k_cache.shape[1]) == "chunked":
+    if _decode_backend(_kv_shape(k_cache)[1]) == "chunked":
         return sdpa_batch_fixed_cache_chunked_fn(
             q, k_cache, v_cache, ctx_lens, scale, softcap=softcap,
             window=window)
@@ -477,14 +500,19 @@ def sdpa_batch_pools_fn(q, k_pool, v_pool, layer, ctx_lens,
     body — slicing the pool carry outside it materialises a [B,MAX,Hk,D]
     copy per layer.
     """
-    if _decode_backend(k_pool.shape[2]) == "chunked":
+    if _decode_backend(_kv_shape(k_pool)[2]) == "chunked":
         return sdpa_batch_fixed_cache_chunked_fn(
             q, k_pool, v_pool, ctx_lens, scale, softcap=softcap,
             window=window, layer=layer, return_caches=True)
 
     def one(qq, kp_b, vp_b, cl):
-        kb = lax.dynamic_index_in_dim(kp_b, layer, 0, keepdims=False)
-        vb = lax.dynamic_index_in_dim(vp_b, layer, 0, keepdims=False)
+        def _lyr(p):
+            return jax.tree.map(
+                lambda a: lax.dynamic_index_in_dim(a, layer, 0,
+                                                   keepdims=False), p)
+        kb, vb = _lyr(kp_b), _lyr(vp_b)
+        if isinstance(kb, dict):             # int8: dequant the layer slice
+            kb, vb = _kv_load(kb), _kv_load(vb)
         if kb.ndim == 2:                         # merged slot [MAX, Hk*D]
             d = qq.shape[-1]
             kb = kb.reshape(kb.shape[0], -1, d)
@@ -528,16 +556,17 @@ def sdpa_batch_fixed_cache_chunked_fn(q, k_cache, v_cache, ctx_lens,
     both full caches at loop entry (2x738 MB/layer = 74 ms/step measured).
     """
     bsz, t, h, d = q.shape
-    merged = layer is not None and k_cache.ndim == 4    # [B,L,MAX,Hk*D]
+    kshape = _kv_shape(k_cache)
+    merged = layer is not None and len(kshape) == 4     # [B,L,MAX,Hk*D]
     if merged:
-        max_len, hk = k_cache.shape[2], k_cache.shape[3] // d
+        max_len, hk = kshape[2], kshape[3] // d
     else:
-        max_len, hk = k_cache.shape[-3], k_cache.shape[-2]
+        max_len, hk = kshape[-3], kshape[-2]
     g = h // hk
     scale = scale if scale is not None else 1.0 / math.sqrt(d)
     chunk = min(chunk if chunk is not None else _flash_chunk(), max_len)
-    prec_k = _pf32(q, k_cache)
-    prec_v = _pf32(q, v_cache)
+    prec_k = _pf32_kv(q, k_cache)
+    prec_v = _pf32_kv(q, v_cache)
     n_chunks = -(-max_len // chunk)
     qh = q.reshape(bsz, t, hk, g, d).transpose(0, 2, 3, 1, 4)  # [B,Hk,G,T,D]
     q_off = jnp.arange(t)[None, None, None, :, None]
@@ -547,7 +576,7 @@ def sdpa_batch_fixed_cache_chunked_fn(q, k_cache, v_cache, ctx_lens,
     lo = jnp.int32(0) if w_eff is None else jnp.maximum(
         jnp.int32(0), (jnp.min(ctx_lens) - t - w_eff + 1) // chunk)
 
-    def _blk(cache, start):
+    def _blk_q(cache, start):
         if layer is None:
             return lax.dynamic_slice(cache, (0, start, 0, 0),
                                      (bsz, chunk, hk, d))
@@ -558,6 +587,16 @@ def sdpa_batch_fixed_cache_chunked_fn(q, k_cache, v_cache, ctx_lens,
         blk = lax.dynamic_slice(cache, (0, layer, start, 0, 0),
                                 (bsz, 1, chunk, hk, d))
         return blk.reshape(bsz, chunk, hk, d)
+
+    def _blk(cache, start):
+        if not isinstance(cache, dict):
+            return _blk_q(cache, start)
+        if layer is None:                 # s [B, MAX]
+            s_blk = lax.dynamic_slice(cache["s"], (0, start), (bsz, chunk))
+        else:                             # s [B, L, MAX]
+            s_blk = lax.dynamic_slice(cache["s"], (0, layer, start),
+                                      (bsz, 1, chunk)).reshape(bsz, chunk)
+        return {"q": _blk_q(cache["q"], start), "s": s_blk}
 
     def cond(carry):
         i = carry[0]

@@ -211,8 +211,11 @@ class TestLoaderKVDtype:
             {"kv_cache_quant_algo": "FP8"}) == "fp8_e4m3"
         assert kv_dtype_from_quant_config(
             {"kv_cache_quant_algo": "fp8_e5m2"}) == "fp8_e5m2"
+        # ModelOpt INT8 maps to the per-row-scaled int8 dict cache
+        assert kv_dtype_from_quant_config(
+            {"kv_cache_quant_algo": "INT8"}) == "int8"
         with pytest.warns(UserWarning):
             # unsupported algo falls back to the dense cache (the load
             # must not fail over an optimisation hint)
             assert kv_dtype_from_quant_config(
-                {"kv_cache_quant_algo": "int8"}) is None
+                {"kv_cache_quant_algo": "nvfp4"}) is None
