@@ -893,13 +893,16 @@ def _kv_write_backend() -> str:
     pallas_call per layer, kernels/kv_row_write.py) or "xla" (vmapped
     per-slot scatters — a serial 8-iteration loop per pool leaf,
     1.46 ms/step at batch-8 bf16, double for int8 dicts).
-    PYGPUKIT_KV_WRITE overrides; auto = xla until the kernel is
-    TPU-validated (scripts/micro_krw_ab.py)."""
+    PYGPUKIT_KV_WRITE overrides; auto = pallas on TPU (measured on every
+    serving config, scripts/micro_krw_ab.py same-process 2026-08-20:
+    int4 MAX=512 2263 -> 2523, bf16-KV MAX=4096 1429 -> 1817, int8-KV
+    1203 -> 1946 tok/s)."""
     import os
     mode = os.environ.get("PYGPUKIT_KV_WRITE", "auto")
     if mode in ("pallas", "xla"):
         return mode
-    return "xla"
+    from ..core.backend import get_backend
+    return "pallas" if get_backend().platform == "tpu" else "xla"
 
 
 def _kv_layer(cache, i):
