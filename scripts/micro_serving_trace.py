@@ -6,7 +6,7 @@ micro_serving_kv8 measured batch-8 MAX=4096 int8 at 964 tok/s (bf16 KV)
 the pipelined engine and aggregates per-fusion device time to find the
 missing ~5 ms/step.
 
-Usage: PYTHONPATH=/root/repo:/root/.axon_site python scripts/micro_serving_trace.py [max_seq] [kv]
+Usage: PYTHONPATH=/root/repo:/root/.axon_site python scripts/micro_serving_trace.py [max_seq] [kv] [wmode] [steps]
 """
 import glob
 import gzip
@@ -29,14 +29,18 @@ from pygpukit_tpu.llm.serving import ContinuousBatchingEngine
 
 MAXS = int(sys.argv[1]) if len(sys.argv) > 1 else 4096
 KV = sys.argv[2] if len(sys.argv) > 2 else None
-STEPS = 32
+if KV in ("bf16", "none", "None"):
+    KV = None
+WMODE = sys.argv[3] if len(sys.argv) > 3 else "int8"
+STEPS = int(sys.argv[4]) if len(sys.argv) > 4 else 32
 N_REQ = 16
 
 cfg = TransformerConfig(
     vocab_size=32000, hidden_size=2048, num_layers=22, num_heads=32,
-    num_kv_heads=4, intermediate_size=5632, max_position_embeddings=2048)
+    num_kv_heads=4, intermediate_size=5632, max_position_embeddings=2048,
+    tie_word_embeddings=False)
 params = quantize_model_params(
-    fuse_params(init_params_device(cfg, seed=0, dtype=jnp.bfloat16)), "int8")
+    fuse_params(init_params_device(cfg, seed=0, dtype=jnp.bfloat16)), WMODE)
 prompt = list(range(1, 17))
 
 model = CausalTransformerModel(cfg, params, dtype=jnp.bfloat16, kv_dtype=KV)
