@@ -45,7 +45,8 @@ def main() -> None:
 
     if args.model:
         from pygpukit_tpu.llm import load_model_from_safetensors
-        model = load_model_from_safetensors(args.model)
+        model = load_model_from_safetensors(args.model,
+                                            kv_dtype=args.kv_dtype)
     else:
         from pygpukit_tpu.llm import (
             CausalTransformerModel, TransformerConfig, init_params,

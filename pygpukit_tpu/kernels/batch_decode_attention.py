@@ -64,7 +64,9 @@ _FP8 = (jnp.float8_e4m3fn, jnp.float8_e5m2)
 def _select_row(mat, idx):
     """Row ``idx`` of a [L, C] VMEM tile as [1, C] f32, via masked
     reduction (Mosaic rejects dynamic sublane indexing unless the index is
-    provably 8-aligned)."""
+    provably 8-aligned). Twin of kv_row_write._row_of (dtype-widening
+    variant) — a Mosaic legality fix to either must be mirrored in the
+    other."""
     sel = jax.lax.broadcasted_iota(jnp.int32, mat.shape, 0) == idx
     return jnp.sum(jnp.where(sel, mat.astype(_F32), 0.0), axis=0,
                    keepdims=True)

@@ -883,8 +883,11 @@ def gemm_int4_w4a8(w_packed, x, scale=None, bm: int | None = None,
     """w4a8 int4 GEMM: y[M, N] ~= x[M, K] @ unpack(W_packed[N, K/2]).T *
     scale, per-row int8 activation quantization feeding native int8 MXU
     dots. The M>1 member of the w4a8 family (VERDICT r3 #3): model._mm
-    routes plain-int4 leaves here for M>8 rows on TPU (prefill; env
-    opt-out PYGPUKIT_INT4_GEMM=xla) — measured 218.3 vs the XLA dequant
+    routes plain-int4 leaves here for M>8 rows on TPU — but ONLY for
+    UNSLICED 2-D weights (lm head, direct calls; env opt-out
+    PYGPUKIT_INT4_GEMM=xla): a pallas_call cannot absorb a layer
+    dynamic-slice, so in-loop sliced operands stay on the XLA dequant
+    dot (model._mm sliced_here). Measured 218.3 vs the XLA dequant
     dot's 152.8 TOPS at the reference's quant-table shape. Split-half
     packing identical to gemv_int4_packed."""
     n, k_half = w_packed.shape

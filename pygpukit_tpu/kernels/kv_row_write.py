@@ -59,7 +59,9 @@ def _wide(dtype):
 
 def _row_of(tile, b):
     """Row ``b`` of a [B, ...] VMEM tile via masked reduction (dynamic
-    sublane indexing must be provably 8-aligned)."""
+    sublane indexing must be provably 8-aligned). Twin of
+    batch_decode_attention._select_row (f32-only variant) — a Mosaic
+    legality fix to either must be mirrored in the other."""
     w = _wide(tile.dtype)
     sel = jax.lax.broadcasted_iota(
         jnp.int32, tile.shape, 0) == b

@@ -206,12 +206,21 @@ def _mm(x, w, out_dtype=None, int8_mode=None):
                                                      w["scale"])
                     return y.astype(out_dtype)
                 # fallback: slice the layer here (same as the caller would
-                # have) and continue through the 2-D paths below
+                # have) and continue through the 2-D paths below. Mark it:
+                # a pallas_call CANNOT absorb this dynamic slice the way an
+                # XLA dot does — feeding the sliced operand to the w4a8 GEMM
+                # below would materialize a full per-call copy of the
+                # layer's packed weight (the 761 us/tok class of cost), so
+                # sliced in-loop M>8 operands must stay on the XLA dequant
+                # dot until a scalar-prefetch STACKED GEMM exists.
+                sliced_here = True
                 packed = lax.dynamic_index_in_dim(packed, idx, 0,
                                                   keepdims=False)
                 w = {k: (lax.dynamic_index_in_dim(v, idx, 0, keepdims=False)
                          if k != "_idx" and v.ndim > 2 else v)
                      for k, v in w.items() if k != "_idx"}
+            else:
+                sliced_here = False
             if blocked:
                 from ..kernels.gemv_quant import block_tiles_aligned
                 blk_ok = (packed.ndim == 2 and block_tiles_aligned(
@@ -239,18 +248,21 @@ def _mm(x, w, out_dtype=None, int8_mode=None):
                     y = gemv_int4_packed(packed, x, jnp.ravel(w["scale"]))
                 return y.astype(out_dtype)
             if (on_tpu and not blocked and w4a8 and not batched
+                    and not sliced_here
                     and packed.ndim == 2 and x.ndim == 2 and x.shape[0] > 8
                     and 0 <= 2 * packed.shape[-1] - x.shape[-1] <= 1
                     and packed.size >= (1 << 19)
                     and os.environ.get("PYGPUKIT_INT4_GEMM", "pallas")
                     == "pallas"):
-                # M>1 rows (prefill / batched traces with real row operands):
+                # M>1 rows on UNSLICED 2-D weights (lm head, direct calls):
                 # the w4a8 int4 GEMM's native int8 MXU tile dots measured
                 # 218.3 vs the XLA dequant dot's 152.8 TOPS (bench.py
                 # int4_gemm_tops). Auto-selected on TPU per the
                 # measured-better rule; PYGPUKIT_INT4_GEMM=xla opts out.
-                # Same w4a8 activation quantization as the decode GEMV, so
-                # prefill and decode run the SAME formulation.
+                # Layer-sliced in-loop operands are excluded (sliced_here):
+                # the Pallas call would materialize a per-call copy of the
+                # layer's weight — those stay on the XLA dequant dot, which
+                # absorbs the slice.
                 from ..kernels.gemv_quant import gemm_int4_w4a8
                 y = gemm_int4_w4a8(packed, x, jnp.ravel(w["scale"]))
                 return y.astype(out_dtype)
@@ -1956,7 +1968,24 @@ class CausalTransformerModel:
 
     def restore_kv_cache(self, snap: KVSnapshot) -> None:
         # np.asarray preserves fp8 (ml_dtypes) and int8-dict leaves —
-        # restore in the cache's storage dtypes, not the model dtype
-        self.k_cache = jax.tree.map(jnp.asarray, snap.k)
-        self.v_cache = jax.tree.map(jnp.asarray, snap.v)
+        # restore in the cache's storage dtypes, not the model dtype.
+        # Structure must match the model's kv_dtype (a bf16 snapshot can't
+        # feed executables captured over int8 dict pools and vice versa —
+        # donation would fail with an opaque pytree mismatch downstream);
+        # plain-array snapshots coerce to the model's storage dtype as the
+        # pre-round-5 code did.
+        want_dict = jnp.dtype(self.kv_dtype) == jnp.int8
+        have_dict = isinstance(snap.k, dict)
+        if want_dict != have_dict:
+            raise TypeError(
+                f"KV snapshot structure ({'int8 dict' if have_dict else 'array'}) "
+                f"does not match model kv_dtype={self.kv_dtype} "
+                f"({'int8 dict' if want_dict else 'array'} pools); "
+                "re-quantize or rebuild the model with the matching kv_dtype")
+        if want_dict:
+            self.k_cache = jax.tree.map(jnp.asarray, snap.k)
+            self.v_cache = jax.tree.map(jnp.asarray, snap.v)
+        else:
+            self.k_cache = jnp.asarray(snap.k, self.kv_dtype)
+            self.v_cache = jnp.asarray(snap.v, self.kv_dtype)
         self.pos = snap.pos

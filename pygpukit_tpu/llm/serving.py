@@ -248,12 +248,15 @@ class ContinuousBatchingEngine:
             self._batch_rows = get_backend().platform == "tpu"
         else:
             self._batch_rows = _mode == "batch"
-        if mesh is not None:
+        if mesh is not None or getattr(model, "xla_mm_only", False):
             # mesh serving compiles GSPMD programs: keep the vmapped chunk
             # with batched_trace-marked captures so every matmul stays a
             # plain XLA dot the partitioner can cut (the batch-rows Pallas
             # kernels are single-chip; model.xla_mm_only guards the model's
-            # own captures the same way)
+            # own captures the same way — and a model whose params were
+            # sharded via parallel.shard_model sets it even when the engine
+            # is built WITHOUT mesh=, so the single-chip Pallas step must
+            # not capture over GSPMD-sharded leaves)
             self._batch_rows = False
         # merged dense pools [B, L, MAX, Hk*D] for the batch-rows step at
         # MAX >= 1024 (the Pallas batched-attention regime): the kernel's

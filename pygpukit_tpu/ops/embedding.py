@@ -86,10 +86,6 @@ def kv_leaf(cache):
     return cache["q"] if isinstance(cache, dict) else cache
 
 
-def kv_is_int8(cache) -> bool:
-    return isinstance(cache, dict)
-
-
 def kv_quant_rows(new, n_red: int):
     """Quantize ``new`` to (int8 rows, bf16 row scales) reducing amax over
     the last ``n_red`` dims. Quantizes against the bf16-ROUNDED scale so
