@@ -248,7 +248,7 @@ def _mm(x, w, out_dtype=None, int8_mode=None):
                     y = gemv_int4_packed(packed, x, jnp.ravel(w["scale"]))
                 return y.astype(out_dtype)
             if (on_tpu and not blocked and w4a8 and not batched
-                    and not sliced_here
+                    and (not sliced_here or x.shape[0] >= 256)
                     and packed.ndim == 2 and x.ndim == 2 and x.shape[0] > 8
                     and 0 <= 2 * packed.shape[-1] - x.shape[-1] <= 1
                     and packed.size >= (1 << 19)
@@ -259,10 +259,16 @@ def _mm(x, w, out_dtype=None, int8_mode=None):
                 # 218.3 vs the XLA dequant dot's 152.8 TOPS (bench.py
                 # int4_gemm_tops). Auto-selected on TPU per the
                 # measured-better rule; PYGPUKIT_INT4_GEMM=xla opts out.
-                # Layer-sliced in-loop operands are excluded (sliced_here):
-                # the Pallas call would materialize a per-call copy of the
-                # layer's weight — those stay on the XLA dequant dot, which
-                # absorbs the slice.
+                # Layer-sliced in-loop operands are excluded BELOW M=256
+                # (sliced_here): the Pallas call makes XLA materialize a
+                # per-call copy of the layer's weight (~3x its stream
+                # bytes), which dominates in the stream-bound small-M
+                # regime (admission prefills, batch-rows at max_batch>8) —
+                # those stay on the XLA dequant dot, which absorbs the
+                # slice. At M >= 256 the GEMM is compute-bound and its
+                # 218.3-vs-152.8 TOPS advantage beats the copy tax
+                # (crossover ~M=133: 2M·K·N/218e12 vs 2·(K·N/2)/819e9),
+                # so long prefills keep the kernel.
                 from ..kernels.gemv_quant import gemm_int4_w4a8
                 y = gemm_int4_w4a8(packed, x, jnp.ravel(w["scale"]))
                 return y.astype(out_dtype)
