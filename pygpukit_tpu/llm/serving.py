@@ -960,7 +960,11 @@ class ContinuousBatchingEngine:
         """One pipelined engine step:
 
         1. dispatch a chunk over the current device state (admissions from
-           the previous call are already applied on device),
+           the previous call are already applied on device) — UNLESS every
+           active request is length-certain to finish inside the chunk
+           already in flight (_tail_covered): that dispatch would be a
+           fully dead chunk (trace-measured at 27% of device time on
+           aligned workloads; docs/performance.md "dead tail chunk"),
         2. resolve the PREVIOUS chunk's tokens — the np.asarray readback
            overlaps the chunk just dispatched,
         3. bookkeeping frees slots, then admissions prefill into them
