@@ -363,6 +363,11 @@ def bench_serving_mixed(mode: str = "int4", n_req: int = 32,
     eng = ContinuousBatchingEngine(model, max_batch=8, max_seq_len=512,
                                    steps_per_dispatch=chunk, pipelined=True)
     prompt = list(range(1, 17))
+    # production startup warmup: precompile chunk/prefill/wave executables
+    # (wave sizes are power-of-two-bounded by _dispatch_prefills) — without
+    # it, each fresh wave size compiles MID-WORKLOAD, 1.7-4.6 s per size
+    # (scripts/micro_mixed_chunkwall.py: 516 tok/s cold vs ~1700 warm)
+    eng.warmup(prompt_lens=(len(prompt),))
     for _ in range(8):
         eng.submit(prompt, max_new_tokens=chunk)
     eng.run_until_complete()

@@ -80,7 +80,7 @@ def _blend_row(old, new_row_w, off):
 
 
 def _krw_kernel(layer_ref, poss_ref, ksc_ref, vsc_ref, k_new_ref, v_new_ref,
-                kq_in, vq_in, *rest, int8: bool):
+                kq_in, vq_in, *rest, int8: bool, scale_w: int = _SCALE_W):
     if int8:
         ks_in, vs_in, kq_out, vq_out, ks_out, vs_out = rest
     else:
@@ -99,7 +99,7 @@ def _krw_kernel(layer_ref, poss_ref, ksc_ref, vsc_ref, k_new_ref, v_new_ref,
     rmw(vq_in, vq_out, v_new_ref)
     if int8:
         # scale tiles [1, L, W] bf16: blend the (lyr, pos % W) element
-        woff = pos % _SCALE_W
+        woff = pos % scale_w
 
         def rmw_scale(s_in, s_out, val):
             old = s_in[0].astype(_F32)                  # [L, W]
@@ -166,11 +166,20 @@ def kv_rows_write(k_pool, v_pool, k_new, v_new, layer, poss):
                   jax.ShapeDtypeStruct(v_pool.shape, v_pool.dtype)]
     # aliases index the FULL input list (4 prefetch args first)
     aliases = {6: 0, 7: 1}
+    sw = _SCALE_W
     if int8:
-        sblk = (1, n_layers, _SCALE_W)
+        # scale arrays are [B, L, MAX]; the 512-lane window assumes
+        # MAX % 512 == 0 (engines use power-of-two MAX >= 512). Any other
+        # MAX rides a FULL-width block instead — "equal to the array dim"
+        # is always on Mosaic's legality map, and a partial 512 window at
+        # the tail would clamp out of bounds and land the blend on the
+        # wrong column.
+        if ks.shape[2] % _SCALE_W != 0:
+            sw = ks.shape[2]
+        sblk = (1, n_layers, sw)
 
         def _swin(b, lyr, ps, ksc, vsc):
-            return (b, 0, ps[b] // _SCALE_W)
+            return (b, 0, ps[b] // sw)
 
         in_specs += [pl.BlockSpec(sblk, _swin), pl.BlockSpec(sblk, _swin)]
         operands += [ks, vs]
@@ -187,7 +196,7 @@ def kv_rows_write(k_pool, v_pool, k_new, v_new, layer, poss):
         scratch_shapes=[],
     )
     out = pl.pallas_call(
-        functools.partial(_krw_kernel, int8=int8),
+        functools.partial(_krw_kernel, int8=int8, scale_w=sw),
         grid_spec=grid_spec,
         out_shape=out_shapes,
         input_output_aliases=aliases,

@@ -54,6 +54,26 @@ def test_bitwise_vs_scatter(kv, merged):
         assert np.array_equal(np.asarray(a), np.asarray(b)), (kv, merged)
 
 
+@pytest.mark.parametrize("max_len", [256, 576])
+def test_int8_scale_window_small_max(max_len):
+    """int8-KV scale tiles ride a FULL-width block when MAX isn't a
+    512-multiple (a partial window would clamp out of bounds on TPU and
+    blend the wrong column)."""
+    rows_k = jax.random.normal(jax.random.PRNGKey(2), (B, HK, D),
+                               jnp.bfloat16)
+    rows_v = jax.random.normal(jax.random.PRNGKey(3), (B, HK, D),
+                               jnp.bfloat16)
+    poss = jnp.array([0, 5, 17, 100, max_len - 1, 8, 9, 63], jnp.int32)
+    shape = (B, L, max_len, HK * D)
+    kp = kv_cache_zeros(shape, jnp.int8, merged=True)
+    vp = kv_cache_zeros(shape, jnp.int8, merged=True)
+    kk, vk = kv_rows_write(kp, vp, rows_k, rows_v, 1, poss)
+    kr, vr = jax.vmap(_ref_write(1))(kp, vp, rows_k, rows_v, poss)
+    for a, b in zip(jax.tree.leaves(kk) + jax.tree.leaves(vk),
+                    jax.tree.leaves(kr) + jax.tree.leaves(vr)):
+        assert np.array_equal(np.asarray(a), np.asarray(b)), max_len
+
+
 def test_batch_step_token_parity(monkeypatch):
     """batch_decode_step_fn with PYGPUKIT_KV_WRITE=pallas (interpret on
     CPU) produces the same token stream as the XLA scatter path."""

@@ -751,3 +751,51 @@ class TestPagedGemmaFeatures:
         r = paged.submit(list(range(1, 14)), max_new_tokens=10)
         paged.run_until_complete()
         assert r.generated == ref, (r.generated, ref)
+
+
+class TestWarmupAndWaveSplit:
+    """Admission waves are split into power-of-two sub-waves so the
+    executable key space is bounded, and warmup() precompiles every
+    executable the engine can hit — no XLA compile lands mid-workload
+    (on TPU each fresh wave size cost 1.7-4.6 s while requests waited;
+    scripts/micro_mixed_chunkwall.py)."""
+
+    def _model(self, batch=8):
+        cfg = TransformerConfig(
+            vocab_size=97, hidden_size=48, num_layers=2, num_heads=4,
+            num_kv_heads=2, intermediate_size=96, head_dim_override=12,
+            max_position_embeddings=256, tie_word_embeddings=True)
+        return CausalTransformerModel(cfg, init_params(cfg, 5, jnp.float32),
+                                      dtype=jnp.float32)
+
+    @pytest.mark.parametrize("paged", [False, True])
+    def test_no_compiles_after_warmup(self, paged):
+        model = self._model()
+        kw = dict(paged=True, block_size=8) if paged else {}
+        eng = ContinuousBatchingEngine(model, max_batch=8, max_seq_len=64,
+                                       steps_per_dispatch=4, pipelined=True,
+                                       **kw)
+        eng.warmup(prompt_lens=(3,))
+        keys = set(eng._prefill_exes.keys())
+        # mixed workload: ragged lengths force waves of every size class
+        rng = np.random.default_rng(0)
+        reqs = [eng.submit([int(i) + 1, 2, 3],
+                           max_new_tokens=int(rng.integers(2, 12)))
+                for i in range(20)]
+        eng.run_until_complete()
+        assert all(r.done for r in reqs)
+        assert set(eng._prefill_exes.keys()) == keys, (
+            "executables compiled mid-workload:",
+            set(eng._prefill_exes.keys()) - keys)
+
+    def test_wave_split_streams_match_single(self):
+        model = self._model()
+        refs = [_single_ref(model, [i + 1, 2, 3], 6) for i in range(7)]
+        eng = ContinuousBatchingEngine(model, max_batch=8, max_seq_len=64,
+                                       steps_per_dispatch=4, pipelined=True)
+        # 7 simultaneous admissions -> sub-waves 4 + 2 + single
+        reqs = [eng.submit([i + 1, 2, 3], max_new_tokens=6)
+                for i in range(7)]
+        eng.run_until_complete()
+        for i, r in enumerate(reqs):
+            assert r.generated == refs[i], (i, r.generated, refs[i])
